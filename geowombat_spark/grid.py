@@ -1,0 +1,463 @@
+"""Pure-numpy grid kernel library — the H3/S2 stand-in for a fixed affine grid.
+
+This is the single source of truth for all spatial math in the engine:
+affine encode/decode, Z-order cell ids, tile keys, k-ring neighborhoods,
+bbox→tile cover, ray-casting point-in-polygon over Arrow-packed rings, and
+the grid-alignment arithmetic the reference pins in its tests.
+
+Reference parity notes (all paths cite /root/reference):
+- coords→indices truncates after the inverse affine, matching
+  ``src/geowombat/core/conversion.py:164-203`` (``np.int64`` truncation).
+- cell centers are origin + (index+0.5)*res, matching
+  ``src/geowombat/core/util.py:533-536``.
+- ``align_bounds`` replicates ``src/geowombat/backends/rasterio_.py:633-664``
+  (floor of extent/res, then rasterio ``aligned_target`` floor/ceil snap and
+  *round* — not truncate — of the final width/height; golden:
+  ``tests/test_rasterio.py:28-55`` res=1.67 ⇒ left=-100.19999999999999).
+- polygon sampling uses a *polygon-local* grid with origin at (minx, maxy)
+  and truncated shape, matching ``src/geowombat/core/util.py:269-295``;
+  sample order is row-major (``np.where`` order,
+  ``src/geowombat/core/util.py:533-536``).
+
+Everything here is vectorized numpy so it can run unchanged inside
+Arrow-batched pandas UDFs on executors — no per-row Python.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+__all__ = [
+    "GridSpec",
+    "L8_GRID",
+    "coords_to_rowcol",
+    "rowcol_to_center_coords",
+    "zorder_encode",
+    "zorder_decode",
+    "kring_offsets",
+    "kring_cells",
+    "point_in_rings",
+    "polygon_local_grid",
+    "polygon_sample_centers",
+    "align_bounds",
+    "window_from_bounds",
+    "bbox_cover_tiles",
+]
+
+
+# ---------------------------------------------------------------------------
+# Grid specification
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class GridSpec:
+    """A fixed affine grid: the engine's analogue of an H3/S2 indexing system.
+
+    ``left``/``top`` are the *corner* (not center) of cell (0, 0); ``celly``
+    is stored positive (the forward transform uses -celly), matching the
+    reference transform ``(cellx, 0, left, 0, -celly, top)``
+    (``src/geowombat/core/properties.py:967-975``).
+    """
+
+    left: float
+    top: float
+    cellx: float
+    celly: float
+    nrows: int
+    ncols: int
+    tile_rows: int = 512
+    tile_cols: int = 512
+    crs: str = "EPSG:32621"
+    nodata: float = 0.0
+
+    @property
+    def right(self) -> float:
+        return self.left + self.ncols * self.cellx
+
+    @property
+    def bottom(self) -> float:
+        return self.top - self.nrows * self.celly
+
+    @property
+    def tiles_x(self) -> int:
+        return -(-self.ncols // self.tile_cols)
+
+    @property
+    def tiles_y(self) -> int:
+        return -(-self.nrows // self.tile_rows)
+
+    def tile_id(self, row: np.ndarray, col: np.ndarray) -> np.ndarray:
+        """Partition key: row-major tile index."""
+        return (
+            np.asarray(row, dtype=np.int64) // self.tile_rows
+        ) * self.tiles_x + np.asarray(col, dtype=np.int64) // self.tile_cols
+
+    def as_dict(self) -> dict:
+        """Plain-dict form for shipping into UDF closures (small, picklable)."""
+        return {
+            "left": self.left,
+            "top": self.top,
+            "cellx": self.cellx,
+            "celly": self.celly,
+            "nrows": self.nrows,
+            "ncols": self.ncols,
+            "tile_rows": self.tile_rows,
+            "tile_cols": self.tile_cols,
+            "crs": self.crs,
+            "nodata": self.nodata,
+        }
+
+
+#: The synthetic stand-in for the reference's ``l8_224078_20200518`` grid
+#: (FIXTURES.md §1: 30 m, EPSG:32621, 2048×2048, covers all 6 AOI points).
+L8_GRID = GridSpec(
+    left=717585.0,
+    top=-2776995.0,
+    cellx=30.0,
+    celly=30.0,
+    nrows=2048,
+    ncols=2048,
+)
+
+
+# ---------------------------------------------------------------------------
+# Affine encode / decode
+# ---------------------------------------------------------------------------
+
+
+def coords_to_rowcol(
+    grid: GridSpec, x: np.ndarray, y: np.ndarray, clamp: bool = False
+) -> tuple[np.ndarray, np.ndarray]:
+    """Map coords → (row, col) int64 indices.
+
+    Truncates toward zero after the inverse affine, matching the reference's
+    ``np.int64(~transform * (x, y))`` (``conversion.py:201-203``). With
+    ``clamp=True``, out-of-range indices are clamped into the grid, matching
+    the extract clamp (``src/geowombat/core/sops.py:836-844``).
+    """
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    col = ((x - grid.left) / grid.cellx).astype(np.int64)
+    row = ((grid.top - y) / grid.celly).astype(np.int64)
+    if clamp:
+        col = np.clip(col, 0, grid.ncols - 1)
+        row = np.clip(row, 0, grid.nrows - 1)
+    return row, col
+
+
+def rowcol_to_center_coords(
+    grid: GridSpec, row: np.ndarray, col: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(row, col) → cell-center coords (``util.py:533-536`` half-cell shift)."""
+    row = np.asarray(row, dtype=np.float64)
+    col = np.asarray(col, dtype=np.float64)
+    x = grid.left + (col + 0.5) * grid.cellx
+    y = grid.top - (row + 0.5) * grid.celly
+    return x, y
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) cell ids — the packed spatial key
+# ---------------------------------------------------------------------------
+
+
+def _part1by1(v: np.ndarray) -> np.ndarray:
+    """Spread the low 32 bits of each value to even bit positions."""
+    v = v.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+    v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return v
+
+
+def _unpart1by1(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.uint64) & np.uint64(0x5555555555555555)
+    v = (v | (v >> np.uint64(1))) & np.uint64(0x3333333333333333)
+    v = (v | (v >> np.uint64(2))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v >> np.uint64(4))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v >> np.uint64(8))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v >> np.uint64(16))) & np.uint64(0x00000000FFFFFFFF)
+    return v
+
+
+def zorder_encode(row: np.ndarray, col: np.ndarray) -> np.ndarray:
+    """Interleave (row, col) into a Z-order int64 cell id.
+
+    Z-order keeps spatially-near cells numerically near, so range scans over
+    ``cell_id`` touch few tiles and sort-within-partition write locality is
+    preserved — the flat-grid analogue of H3/S2 hierarchical ids.
+    """
+    r = np.asarray(row, dtype=np.int64)
+    c = np.asarray(col, dtype=np.int64)
+    return ((_part1by1(r.astype(np.uint64)) << np.uint64(1)) | _part1by1(c.astype(np.uint64))).astype(np.int64)
+
+
+def zorder_decode(cell_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of :func:`zorder_encode` → (row, col)."""
+    z = np.asarray(cell_id, dtype=np.int64).astype(np.uint64)
+    col = _unpart1by1(z)
+    row = _unpart1by1(z >> np.uint64(1))
+    return row.astype(np.int64), col.astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# k-ring neighborhoods (the kNN candidate generator)
+# ---------------------------------------------------------------------------
+
+
+def kring_offsets(k: int) -> np.ndarray:
+    """(2k+1)² array of (drow, dcol) offsets within Chebyshev distance k."""
+    d = np.arange(-k, k + 1, dtype=np.int64)
+    dr, dc = np.meshgrid(d, d, indexing="ij")
+    return np.stack([dr.ravel(), dc.ravel()], axis=1)
+
+
+def kring_cells(
+    grid: GridSpec, row: np.ndarray, col: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Expand each (row, col) to its k-ring.
+
+    Returns (origin_index, nrow, ncol) with out-of-grid neighbors dropped.
+    ``origin_index`` maps each emitted neighbor back to its source point.
+    This is the candidate-pair generator for kNN / min-dist thinning
+    (reference semantics: ``src/geowombat/core/sops.py:56-81``).
+    """
+    row = np.asarray(row, dtype=np.int64)
+    col = np.asarray(col, dtype=np.int64)
+    offs = kring_offsets(k)
+    n, m = row.shape[0], offs.shape[0]
+    origin = np.repeat(np.arange(n, dtype=np.int64), m)
+    nrow = np.repeat(row, m) + np.tile(offs[:, 0], n)
+    ncol = np.repeat(col, m) + np.tile(offs[:, 1], n)
+    ok = (nrow >= 0) & (nrow < grid.nrows) & (ncol >= 0) & (ncol < grid.ncols)
+    return origin[ok], nrow[ok], ncol[ok]
+
+
+# ---------------------------------------------------------------------------
+# Point-in-polygon: even-odd ray casting over Arrow-packed rings
+# ---------------------------------------------------------------------------
+
+
+def point_in_rings(
+    px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]
+) -> np.ndarray:
+    """Even-odd ray-cast PIP for N points against one polygon.
+
+    ``rings`` is a list of flat-packed coordinate arrays
+    ``[x0, y0, x1, y1, ...]`` (exterior first, holes after) — the
+    Arrow-friendly ``array<array<double>>`` layout from FIXTURES.md §5.
+
+    Crossing rule: an edge (x1,y1)→(x2,y2) crosses the rightward ray from
+    (px,py) iff ``(y1 > py) != (y2 > py)`` and
+    ``px < (x2-x1)·(py-y1)/(y2-y1) + x1``. This is the standard even-odd
+    rule; holes naturally flip parity. Fully vectorized (N × E broadcast).
+
+    The identical arithmetic is used in the SQL oracles (see
+    ``__spark_entry__.py``) so Spark and DuckDB agree bit-for-bit.
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    inside = np.zeros(px.shape[0], dtype=bool)
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        xs, ys = r[0::2], r[1::2]
+        # close the ring if not closed
+        if xs.shape[0] == 0:
+            continue
+        if xs[0] != xs[-1] or ys[0] != ys[-1]:
+            xs = np.concatenate([xs, xs[:1]])
+            ys = np.concatenate([ys, ys[:1]])
+        x1, y1 = xs[:-1], ys[:-1]
+        x2, y2 = xs[1:], ys[1:]
+        # broadcast: points (N,1) vs edges (1,E)
+        pyc = py[:, None]
+        pxc = px[:, None]
+        straddle = (y1[None, :] > pyc) != (y2[None, :] > pyc)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = (x2 - x1)[None, :] * (pyc - y1[None, :]) / (y2 - y1)[
+                None, :
+            ] + x1[None, :]
+        crossings = (straddle & (pxc < xint)).sum(axis=1)
+        inside ^= (crossings % 2).astype(bool)
+    return inside
+
+
+# ---------------------------------------------------------------------------
+# Polygon-local sampling grid (gw.extract polygon semantics)
+# ---------------------------------------------------------------------------
+
+
+def polygon_local_grid(
+    minx: float, miny: float, maxx: float, maxy: float, resx: float, resy: float
+) -> tuple[int, int]:
+    """(nrows, ncols) of the polygon-local grid.
+
+    Truncated (NOT rounded) shape with origin at (minx, maxy) — reference
+    ``get_geometry_info`` (``src/geowombat/core/util.py:269-295``).
+    """
+    return int((maxy - miny) / resy), int((maxx - minx) / resx)
+
+
+def polygon_sample_centers(
+    rings: list[np.ndarray],
+    resx: float,
+    resy: float,
+    all_touched: bool = False,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sample-point centers for a polygon, row-major order.
+
+    Replicates ``sample_feature`` (``src/geowombat/core/util.py:472-573``):
+    local grid anchored at the polygon bbox (minx, maxy), truncated shape,
+    rasterize-by-center (all_touched=False ⇒ center-in-polygon, GDAL's
+    default), centers at local affine + half-cell shift, row-major emission.
+
+    ``all_touched=True`` approximates GDAL's any-touch by testing the four
+    cell corners and center (sufficient for convex fixtures; documented
+    approximation).
+    """
+    allx = np.concatenate([np.asarray(r, dtype=np.float64)[0::2] for r in rings])
+    ally = np.concatenate([np.asarray(r, dtype=np.float64)[1::2] for r in rings])
+    minx, maxx = float(allx.min()), float(allx.max())
+    miny, maxy = float(ally.min()), float(ally.max())
+    nrows, ncols = polygon_local_grid(minx, miny, maxx, maxy, resx, resy)
+    if nrows <= 0 or ncols <= 0:
+        return np.empty(0, dtype=np.float64), np.empty(0, dtype=np.float64)
+    rr, cc = np.meshgrid(
+        np.arange(nrows, dtype=np.float64),
+        np.arange(ncols, dtype=np.float64),
+        indexing="ij",
+    )
+    cx = minx + (cc.ravel() + 0.5) * resx
+    cy = maxy - (rr.ravel() + 0.5) * resy
+    if all_touched:
+        hit = point_in_rings(cx, cy, rings)
+        for dx, dy in ((-0.5, -0.5), (-0.5, 0.5), (0.5, -0.5), (0.5, 0.5)):
+            hit |= point_in_rings(cx + dx * resx, cy + dy * resy, rings)
+    else:
+        hit = point_in_rings(cx, cy, rings)
+    return cx[hit], cy[hit]
+
+
+# ---------------------------------------------------------------------------
+# Bounds / window arithmetic (golden-pinned)
+# ---------------------------------------------------------------------------
+
+
+def align_bounds(
+    minx: float, miny: float, maxx: float, maxy: float, res
+) -> tuple[tuple[float, float, float, float, float, float], int, int]:
+    """Align bounds to a resolution.
+
+    Returns (affine_6tuple, width, height) where the affine tuple is
+    ``(xres, 0, left, 0, -yres, top)``. Replicates the reference chain
+    ``align_bounds`` → rasterio ``aligned_target``
+    (``src/geowombat/backends/rasterio_.py:633-664``): floor the raw extent
+    to whole cells, snap the origin to floor/ceil multiples of res, and
+    **round** (not truncate) the final width/height — golden values in
+    ``tests/test_rasterio.py:28-55`` and the 1e-10-short-bounds regression
+    in ``tests/test_bounds_rounding.py:20-58``.
+    """
+    if isinstance(res, (int, float)):
+        res = (float(res), float(res))
+    xres, yres = float(res[0]), float(res[1])
+
+    new_height = int(math.floor((maxy - miny) / yres))
+    new_width = int(math.floor((maxx - minx) / xres))
+
+    # rasterio.warp.aligned_target equivalent
+    xmin = minx
+    ymax = maxy
+    xmax = minx + new_width * xres
+    ymin = maxy - new_height * yres
+    xmin = math.floor(xmin / xres) * xres
+    xmax = math.ceil(xmax / xres) * xres
+    ymin = math.floor(ymin / yres) * yres
+    ymax = math.ceil(ymax / yres) * yres
+    width = max(int(round((xmax - xmin) / xres)), 1)
+    height = max(int(round((ymax - ymin) / yres)), 1)
+    transform = (xres, 0.0, xmin, 0.0, -yres, ymax)
+    return transform, width, height
+
+
+def bounds_to_shape(
+    minx: float, miny: float, maxx: float, maxy: float, res
+) -> tuple[int, int]:
+    """(width, height) of a bounds extent — the *open-path* arithmetic.
+
+    Uses ``int(round(...))``, NOT floor: the reference's issue-#325 fix
+    (``src/geowombat/backends/rasterio_.py:763-764``) so bounds that are
+    1e-10 short of a whole cell still produce the full dimension
+    (``tests/test_bounds_rounding.py:20-58``).
+    """
+    if isinstance(res, (int, float)):
+        res = (float(res), float(res))
+    xres, yres = float(res[0]), float(res[1])
+    width = int(round((maxx - minx) / xres))
+    height = int(round((maxy - miny) / yres))
+    return width, height
+
+
+def window_from_bounds(
+    minx: float, miny: float, maxx: float, maxy: float, res
+) -> tuple[float, float, float, float]:
+    """(row_off, col_off, height, width) of a bbox window under a
+    corner-anchored transform at (minx, maxy) — reference
+    ``get_window_from_bounds`` (``src/geowombat/backends/rasterio_.py:63-69``);
+    golden 20×20 in ``tests/test_rasterio.py:57-65``. Float, not rounded
+    (rasterio returns float windows)."""
+    if isinstance(res, (int, float)):
+        res = (float(res), float(res))
+    xres, yres = float(res[0]), float(res[1])
+    col_off = 0.0
+    row_off = 0.0
+    width = (maxx - minx) / xres
+    height = (maxy - miny) / yres
+    return row_off, col_off, height, width
+
+
+def round_window(
+    grid: GridSpec,
+    minx: float,
+    miny: float,
+    maxx: float,
+    maxy: float,
+    expand_by: int = 0,
+) -> tuple[int, int, int, int]:
+    """Snap a bbox to grid cells → (row0, row1, col0, col1) half-open,
+    clamped to the grid, optionally expanded by whole cells
+    (``gw.clip_by_polygon(expand_by=...)``,
+    ``src/geowombat/core/sops.py:951-984``)."""
+    col0 = int(math.floor((minx - grid.left) / grid.cellx)) - expand_by
+    col1 = int(math.ceil((maxx - grid.left) / grid.cellx)) + expand_by
+    row0 = int(math.floor((grid.top - maxy) / grid.celly)) - expand_by
+    row1 = int(math.ceil((grid.top - miny) / grid.celly)) + expand_by
+    return (
+        max(row0, 0),
+        min(row1, grid.nrows),
+        max(col0, 0),
+        min(col1, grid.ncols),
+    )
+
+
+def bbox_cover_tiles(
+    grid: GridSpec, minx: float, miny: float, maxx: float, maxy: float
+) -> list[int]:
+    """Tile ids whose extent intersects the bbox — the driver-side
+    partition-pruning list (reference analogue: R-tree ``sindex``
+    candidate pruning, ``src/geowombat/core/conversion.py:667-694``)."""
+    row0, row1, col0, col1 = round_window(grid, minx, miny, maxx, maxy)
+    if row0 >= row1 or col0 >= col1:
+        return []
+    t0r, t1r = row0 // grid.tile_rows, (row1 - 1) // grid.tile_rows
+    t0c, t1c = col0 // grid.tile_cols, (col1 - 1) // grid.tile_cols
+    return [
+        int(tr * grid.tiles_x + tc)
+        for tr in range(t0r, t1r + 1)
+        for tc in range(t0c, t1c + 1)
+    ]

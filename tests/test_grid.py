@@ -1,0 +1,144 @@
+"""Golden tests for the grid kernel library.
+
+Golden values ported from the reference's committed expectations:
+- align_bounds res=1.67 ⇒ left=-100.19999999999999
+  (/root/reference/tests/test_rasterio.py:28-55)
+- bbox→window 20×20 (/root/reference/tests/test_rasterio.py:57-65)
+- 256×256 preserved under 1e-10-short bounds
+  (/root/reference/tests/test_bounds_rounding.py:20-58)
+- polygon sample centers x=737544.502430237+15+30k, y=maxy-15
+  (/root/reference/tests/test_extract.py:75-119)
+"""
+
+import numpy as np
+import pytest
+
+from geowombat_spark.grid import (
+    L8_GRID,
+    GridSpec,
+    align_bounds,
+    bbox_cover_tiles,
+    bounds_to_shape,
+    coords_to_rowcol,
+    kring_cells,
+    point_in_rings,
+    polygon_sample_centers,
+    rowcol_to_center_coords,
+    round_window,
+    window_from_bounds,
+    zorder_decode,
+    zorder_encode,
+)
+from geowombat_spark.fixtures import AOI_POINTS, AOI_POLYGONS
+
+
+def test_align_bounds_exact_res():
+    transform, w, h = align_bounds(-100.0, -100.0, 100.0, 100.0, (2.0, 2.0))
+    assert transform == (2.0, 0.0, -100.0, 0.0, -2.0, 100.0)
+    assert (w, h) == (100, 100)
+
+    transform, w, h = align_bounds(-100.0, -100.0, 100.0, 100.0, 2.0)
+    assert transform == (2.0, 0.0, -100.0, 0.0, -2.0, 100.0)
+
+
+def test_align_bounds_inexact_res_golden():
+    # /root/reference/tests/test_rasterio.py:47-55
+    transform, w, h = align_bounds(-100.0, -100.0, 100.0, 100.0, 1.67)
+    assert transform == (1.67, 0.0, -100.19999999999999, 0.0, -1.67, 100.19999999999999)
+
+
+def test_bounds_to_shape_rounds_not_truncates():
+    # /root/reference/tests/test_bounds_rounding.py:20-58 — the open path
+    # uses int(round(...)) (rasterio_.py:763-764, issue #325), not floor.
+    left, bottom, res = 0.0, 0.0, 10.0
+    right = left + 256 * res - 1e-10
+    top = bottom + 256 * res - 1e-10
+    w, h = bounds_to_shape(left, bottom, right, top, res)
+    assert (w, h) == (256, 256)
+
+
+def test_window_from_bounds_golden():
+    # /root/reference/tests/test_rasterio.py:57-65
+    row_off, col_off, height, width = window_from_bounds(-100, -100, 100, 100, (10, 10))
+    assert (height, width) == (20, 20)
+
+
+def test_coords_roundtrip_centers():
+    rows = np.array([0, 5, 2047])
+    cols = np.array([0, 7, 2047])
+    x, y = rowcol_to_center_coords(L8_GRID, rows, cols)
+    r2, c2 = coords_to_rowcol(L8_GRID, x, y)
+    np.testing.assert_array_equal(rows, r2)
+    np.testing.assert_array_equal(cols, c2)
+
+
+def test_aoi_points_map_to_expected_cells():
+    xs = np.array([p["x"] for p in AOI_POINTS])
+    ys = np.array([p["y"] for p in AOI_POINTS])
+    row, col = coords_to_rowcol(L8_GRID, xs, ys)
+    np.testing.assert_array_equal(row, [1140, 982, 939, 1157, 1367, 1719])
+    np.testing.assert_array_equal(col, [797, 618, 944, 715, 673, 1387])
+
+
+def test_zorder_roundtrip_and_locality():
+    rng = np.random.default_rng(42)
+    rows = rng.integers(0, 2**31 - 1, size=1000)
+    cols = rng.integers(0, 2**31 - 1, size=1000)
+    z = zorder_encode(rows, cols)
+    r2, c2 = zorder_decode(z)
+    np.testing.assert_array_equal(rows, r2)
+    np.testing.assert_array_equal(cols, c2)
+    # locality: 2x2 blocks are contiguous
+    z00 = zorder_encode(np.array([0]), np.array([0]))[0]
+    z01 = zorder_encode(np.array([0]), np.array([1]))[0]
+    z10 = zorder_encode(np.array([1]), np.array([0]))[0]
+    z11 = zorder_encode(np.array([1]), np.array([1]))[0]
+    assert sorted([z00, z01, z10, z11]) == [0, 1, 2, 3]
+
+
+def test_kring():
+    origin, nr, nc = kring_cells(L8_GRID, np.array([0]), np.array([0]), 1)
+    # corner cell: only 4 of 9 in range
+    assert len(nr) == 4
+    origin, nr, nc = kring_cells(L8_GRID, np.array([100, 200]), np.array([100, 200]), 2)
+    assert len(nr) == 50  # 25 each
+    np.testing.assert_array_equal(np.bincount(origin), [25, 25])
+
+
+def test_pip_square_even_odd():
+    # unit square with a hole
+    outer = np.array([0, 0, 10, 0, 10, 10, 0, 10, 0, 0], dtype=float)
+    hole = np.array([4, 4, 6, 4, 6, 6, 4, 6, 4, 4], dtype=float)
+    px = np.array([5.0, 1.0, 11.0, 5.0])
+    py = np.array([5.0, 1.0, 5.0, 4.5])
+    hit = point_in_rings(px, py, [outer, hole])
+    np.testing.assert_array_equal(hit, [False, True, False, False])
+    hit = point_in_rings(px, py, [outer])
+    np.testing.assert_array_equal(hit, [True, True, False, True])
+
+
+def test_polygon_sample_centers_golden():
+    """The flagship registration golden: water polygon first-10 centers.
+
+    /root/reference/tests/test_extract.py:75-119 pins
+    x = 737559.50243024 + 30k (k=0..9), y = -2795247.77178369 row-major.
+    """
+    water = AOI_POLYGONS[0]
+    cx, cy = polygon_sample_centers(
+        [np.asarray(r) for r in water["rings"]], 30.0, 30.0
+    )
+    assert cx.shape[0] >= 10
+    np.testing.assert_allclose(
+        cx[:10], 737559.502430237 + 30.0 * np.arange(10), rtol=0, atol=1e-6
+    )
+    np.testing.assert_allclose(cy[:10], np.full(10, -2795247.7717836937), atol=1e-6)
+
+
+def test_round_window_and_tile_cover():
+    g = GridSpec(left=0.0, top=1000.0, cellx=10.0, celly=10.0, nrows=100, ncols=100, tile_rows=32, tile_cols=32)
+    r0, r1, c0, c1 = round_window(g, 100.0, 500.0, 200.0, 600.0)
+    assert (r0, r1, c0, c1) == (40, 50, 10, 20)
+    tiles = bbox_cover_tiles(g, 100.0, 500.0, 200.0, 600.0)
+    assert tiles == [4]  # rows 40-49 → tile row 1, cols 10-19 → tile col 0... (tiles_x=4)
+    tiles = bbox_cover_tiles(g, 0.0, 0.0, 1000.0, 1000.0)
+    assert len(tiles) == 16
