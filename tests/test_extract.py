@@ -1,0 +1,93 @@
+"""gw.extract parity tests — golden vectors from the reference suite.
+
+/root/reference/tests/test_extract.py:20-31 (point values),
+:49-69 (multi-time ``t1_blue``/``t2_blue`` columns),
+:71-119 (polygon sample values + center coordinates).
+Span-sequence survival (FIXTURES.md §9.10) is asserted via span_hash.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from geowombat_spark.fixtures import (
+    build_corpus,
+    corpus_windows_for_tests,
+    span_hash_py,
+)
+from geowombat_spark.grid import L8_GRID
+from geowombat_spark.operators.extract import extract_points, extract_polygons
+from geowombat_spark.sources.tables import corpus_df
+
+GOLDEN = {
+    "blue": [7966.0, 8030.0, 7561.0, 8302.0, 8277.0, 7398.0],
+    "green": [7326.0, 7490.0, 6874.0, 8202.0, 7982.0, 6711.0],
+    "red": [6254.0, 8080.0, 6106.0, 8111.0, 7341.0, 6007.0],
+}
+POLY_BLUE_10 = [7994.0, 8017.0, 8008.0, 8008.0, 8018.0, 8007.0, 7991.0, 7993.0, 7981.0, 7991.0]
+
+
+def test_extract_points_multi_band(spark, docs, aoi_points_pdf):
+    df = extract_points(spark, docs, aoi_points_pdf, L8_GRID).toPandas()
+    assert len(df) == 6
+    for b, vals in GOLDEN.items():
+        np.testing.assert_allclose(df[b].values, vals)
+
+
+def test_extract_points_single_band(spark, docs, aoi_points_pdf):
+    df = extract_points(spark, docs, aoi_points_pdf, L8_GRID, bands=["blue"]).toPandas()
+    np.testing.assert_allclose(df["blue"].values, GOLDEN["blue"])
+
+
+def test_extract_points_multi_time(spark, corpus_dir, aoi_points_pdf):
+    table = build_corpus(windows=corpus_windows_for_tests(), times=("t1", "t2"))
+    stacked = corpus_df(spark, table, corpus_dir + "/stack2")
+    df = extract_points(
+        spark, stacked, aoi_points_pdf, L8_GRID, bands=["blue", "green", "red"]
+    ).toPandas()
+    # reference: identical stacks give identical t1_*/t2_* columns
+    # (/root/reference/tests/test_extract.py:49-69)
+    for b in ("blue", "green", "red"):
+        np.testing.assert_allclose(df[f"t1_{b}"].values, GOLDEN[b])
+        np.testing.assert_allclose(df[f"t2_{b}"].values, GOLDEN[b])
+
+
+def test_extract_polygons_golden(spark, docs, aoi_polygons_pdf):
+    water = aoi_polygons_pdf.iloc[:1]
+    df = extract_polygons(spark, docs, water, L8_GRID, bands=["blue"]).toPandas()
+    assert len(df) >= 10
+    np.testing.assert_allclose(df["blue"].values[:10], POLY_BLUE_10)
+    np.testing.assert_allclose(
+        df["x"].values[:10], 737559.502430237 + 30.0 * np.arange(10), atol=1e-6
+    )
+    np.testing.assert_allclose(df["y"].values[:10], np.full(10, -2795247.7717836937), atol=1e-6)
+
+
+def test_extract_polygons_frac(spark, docs, aoi_polygons_pdf):
+    water = aoi_polygons_pdf.iloc[:1]
+    full = extract_polygons(spark, docs, water, L8_GRID, bands=["blue"]).toPandas()
+    sub = extract_polygons(
+        spark, docs, water, L8_GRID, bands=["blue"], frac=0.5
+    ).toPandas()
+    assert len(sub) == int(len(full) * 0.5)
+    # min_frac_area floor disables subsampling (util.py:538-551)
+    floor = extract_polygons(
+        spark, docs, water, L8_GRID, bands=["blue"], frac=0.5, min_frac_area=1e9
+    ).toPandas()
+    assert len(floor) == len(full)
+
+
+def test_span_sequence_survives_join(spark, docs, aoi_points_pdf):
+    """North-rule invariant: span sequences ride through the join
+    byte-identically (kind, text, media_ref, order)."""
+    df = extract_points(
+        spark,
+        docs,
+        aoi_points_pdf,
+        L8_GRID,
+        bands=["blue"],
+        keep_doc_columns=["doc_id", "spans", "span_hash"],
+    ).toPandas()
+    assert len(df) == 6
+    for _, r in df.iterrows():
+        assert span_hash_py(r["spans"]) == r["span_hash"]
