@@ -1,0 +1,102 @@
+"""Mosaic / concat — multi-source grid-alignment set operations.
+
+Reference: ``/root/reference/src/geowombat/backends/xarray_.py:425-591``
+(mosaic: stack + nan-min/max/mean, ``:501-535``) and ``:608-818`` (concat;
+duplicate time names mosaicked into one layer first, ``:681-709``).
+
+Spark shape: ``unionByName`` of per-source scans → ``groupBy(cell)`` with
+null-skipping aggregates — ``F.min/max/avg`` ignore NULLs natively, an exact
+semantic match for the reference's nan-reductions once nodata → NULL.
+The groupBy is the single shuffle; partial (map-side) aggregation halves it,
+and because every source shares the tile layout, AQE coalesces the result
+back to sensible partition counts.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BAND_COLS = ("band_blue", "band_green", "band_red")
+
+_OVERLAP = {"min": F.min, "max": F.max, "mean": F.avg}
+
+KEY_COLS = ("cell_id", "tile_id", "row", "col", "x", "y")
+
+
+def _nullify(df: DataFrame, nodata: float | None, bands) -> DataFrame:
+    """nodata → NULL so aggregates skip it (``set_nodata`` NULL model)."""
+    if nodata is None:
+        return df
+    for b in bands:
+        df = df.withColumn(b, F.nullif(F.col(b), F.lit(float(nodata))))
+    return df
+
+
+def mosaic(
+    sources: list[DataFrame],
+    overlap: str = "max",
+    nodata: float | None = 0.0,
+    bands: tuple[str, ...] = BAND_COLS,
+    key_cols: tuple[str, ...] = KEY_COLS,
+) -> DataFrame:
+    """Spatial mosaic of N sources; overlapping cells resolved by
+    min/max/mean (``xarray_.py:501-535``). ``bounds_by`` union/intersection
+    falls out of the join shape: union = the groupBy over the unioned scans
+    (cells present in any source), intersection = post-filter on
+    ``src_count = N``.
+    """
+    agg_fn = _OVERLAP[overlap]
+    tagged = [
+        _nullify(s, nodata, bands).select(*key_cols, *bands) for s in sources
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), tagged)
+    aggs = [agg_fn(b).alias(b) for b in bands]
+    aggs.append(F.count(F.lit(1)).alias("src_count"))
+    return u.groupBy(*key_cols).agg(*aggs)
+
+
+def mosaic_intersection(
+    sources: list[DataFrame], **kwargs
+) -> DataFrame:
+    """``bounds_by='intersection'`` (``rasterio_.py:751-755``): keep only
+    cells covered by every source."""
+    n = len(sources)
+    return mosaic(sources, **kwargs).filter(F.col("src_count") == n).drop("src_count")
+
+
+def concat(
+    sources: list[DataFrame],
+    time_names: list[str] | None = None,
+    overlap: str = "max",
+    nodata: float | None = 0.0,
+    bands: tuple[str, ...] = BAND_COLS,
+    key_cols: tuple[str, ...] = KEY_COLS,
+) -> DataFrame:
+    """Stack N sources along time (``xarray_.py:608-818``).
+
+    ``time_names`` overrides/assigns the ``t`` column per source; duplicate
+    time names are mosaicked into one layer by ``overlap``
+    (``xarray_.py:681-709``) via ``groupBy(t, cell)``.
+    """
+    tagged = []
+    for i, s in enumerate(sources):
+        s = _nullify(s, nodata, bands)
+        if time_names is not None:
+            s = s.withColumn("t", F.lit(time_names[i]))
+        tagged.append(s.select("t", *key_cols, *bands))
+    u = reduce(lambda a, b: a.unionByName(b), tagged)
+    if time_names is not None and len(set(time_names)) < len(time_names):
+        agg_fn = _OVERLAP[overlap]
+        u = u.groupBy("t", *key_cols).agg(*[agg_fn(b).alias(b) for b in bands])
+    return u
+
+
+def grids_equal(a: DataFrame, b: DataFrame) -> bool:
+    """``xr.align(join='exact')`` analogue (``xarray_.py:594-605``): stacking
+    requires identical grids — here, identical key schemas."""
+    ka = [f for f in a.schema.fields if f.name in KEY_COLS]
+    kb = [f for f in b.schema.fields if f.name in KEY_COLS]
+    return [ (f.name, f.dataType) for f in ka ] == [ (f.name, f.dataType) for f in kb ]

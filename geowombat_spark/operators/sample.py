@@ -1,0 +1,95 @@
+"""Sampling operators — ``gw.sample`` (``src/geowombat/core/sops.py:213-687``).
+
+- random: ``orderBy(rand(seed)).limit(n)`` — Catalyst compiles this to
+  TakeOrderedAndProject (a distributed top-k), NOT a full sort: each
+  partition keeps its local n, the driver merges. Scales to any corpus.
+- systematic: a modulo predicate — pure pruned scan (``sops.py:297-327``).
+- stratified: per-stratum conditional sampling (``sops.py:407-687``); the
+  reference's 16-branch sign dispatch collapses to a parsed Column.
+- min_dist thinning: the reference removes points with a neighbor closer
+  than r via cKDTree pairs (``sops.py:56-81``); here candidate pairs come
+  from a k-ring self-join (the kNN candidate generator) and the greedy
+  keep-first filter runs on the (small) sampled set.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..grid import GridSpec
+
+
+def sample_random(docs: DataFrame, n: int, seed: int = 42) -> DataFrame:
+    return docs.orderBy(F.rand(seed)).limit(n)
+
+
+def sample_systematic(docs: DataFrame, grid: GridSpec, spacing: float) -> DataFrame:
+    """Every ⌊spacing/cell⌋-th row/col (``sops.py:297-327``)."""
+    step_r = max(int(spacing / grid.celly), 1)
+    step_c = max(int(spacing / grid.cellx), 1)
+    return docs.filter((F.col("row") % step_r == 0) & (F.col("col") % step_c == 0))
+
+
+_SIGNS = {
+    "==": lambda c, v: c == v,
+    "!=": lambda c, v: c != v,
+    ">": lambda c, v: c > v,
+    ">=": lambda c, v: c >= v,
+    "<": lambda c, v: c < v,
+    "<=": lambda c, v: c <= v,
+}
+
+
+def parse_strata_condition(band: str, cond: str):
+    """Parse the reference's strata keys — ``'==,1'`` or two-sided
+    ``'>,1;<=,5'`` (``sops.py:457-559``) — into one Column predicate."""
+    pred = None
+    for part in cond.split(";"):
+        sign, val = part.split(",")
+        p = _SIGNS[sign.strip()](F.col(band), float(val))
+        pred = p if pred is None else (pred & p)
+    return pred
+
+
+def sample_stratified(
+    docs: DataFrame,
+    band: str,
+    strata: dict[str, float | int],
+    seed: int = 42,
+) -> DataFrame:
+    """``strata={'==,1': 0.5, '>,1;<=,5': 10}``: float → fraction of the
+    stratum, int → absolute count (``sops.py:407-687``)."""
+    parts = []
+    for i, (cond, amount) in enumerate(strata.items()):
+        stratum = docs.filter(parse_strata_condition(band, cond))
+        if isinstance(amount, float) and amount <= 1.0 and not isinstance(amount, bool):
+            parts.append(stratum.sample(fraction=amount, seed=seed + i))
+        else:
+            parts.append(stratum.orderBy(F.rand(seed + i)).limit(int(amount)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def thin_min_dist(points: pd.DataFrame, min_dist: float) -> pd.DataFrame:
+    """Greedy keep-first min-distance thinning of a sampled point set —
+    parity with ``_remove_near_points`` (``sops.py:56-81``: drops the
+    *second* point of each near pair). Driver-side because the input is the
+    already-sampled (small) set; the distributed candidate generator for
+    big sets is ``operators.knn.near_pairs``.
+    """
+    xs = points["x"].values
+    ys = points["y"].values
+    n = len(points)
+    keep = np.ones(n, dtype=bool)
+    for i in range(n):
+        if not keep[i]:
+            continue
+        d2 = (xs[i + 1 :] - xs[i]) ** 2 + (ys[i + 1 :] - ys[i]) ** 2
+        close = np.where(d2 < min_dist**2)[0] + i + 1
+        keep[close] = False
+    return points[keep]

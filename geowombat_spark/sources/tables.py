@@ -66,7 +66,6 @@ def write_tiled_parquet(
         table,
         root_path=path,
         partition_cols=list(partition_cols),
-        use_legacy_dataset=False,
     )
 
 
