@@ -1,0 +1,131 @@
+"""Temporal aggregation — the SeriesStats family as groupBy aggregates.
+
+Reference: ``/root/reference/src/geowombat/core/series.py:382-511``
+(``SeriesStats``: amp, cv, max, mean, median, min, norm_abs_energy,
+percentile_N, abs_slope_q1..q4 via lstsq, mean_abs_diff) and
+``group_dates`` (``series.py:258-286``: duplicate acquisition dates →
+nodata-aware mean per date).
+
+The reference co-locates all T timesteps of a tile in one windowed read
+(``core/api.py:1062-1300``); here the time series of a cell is grouped by
+the cell key and every statistic is a built-in JVM aggregate — map-side
+partial aggregation, one shuffle, no Python at all. Only ``mean_abs_diff``
+needs sequence order and uses a sorted ``collect_list`` fold (still
+JVM-side higher-order functions).
+
+Exact formula parity (nan → NULL skipping is native to Spark aggregates):
+- amp  = max - min
+- cv   = stddev_pop / (mean + 1e-9)             (np.nanstd is ddof=0)
+- norm_abs_energy = sum(v²) / (max² · T)
+- percentile_N    = percentile(v, N/100)         (linear interpolation,
+                    same as np.nanpercentile default)
+- abs_slope_qK    = scale_min_max(|regr_slope(v, t_idx)| over quarter K,
+                    0, 0.05, 0, 1)  — quarters split at int(0.25·T) etc.
+- mean_abs_diff   = scale_min_max(mean |vₜ₊₁ - vₜ|, 0, 0.05, 0, 1)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+KEY_COLS = ("cell_id", "row", "col", "x", "y")
+
+
+def _scale_min_max(c: Column, mni: float, mxi: float, mno: float, mxo: float) -> Column:
+    scaled = ((mxo - mno) * (c - mni)) / (mxi - mni) + mno
+    clipped = F.least(F.greatest(scaled, F.lit(mno)), F.lit(mxo))
+    return F.when(c.isNull(), F.lit(None).cast("double")).otherwise(clipped)
+
+
+def _quarter_bounds(n_times: int) -> list[tuple[int, int]]:
+    q1, q2, q3 = int(0.25 * n_times), int(0.5 * n_times), int(0.75 * n_times)
+    return [(0, q1), (q1, q2), (q2, q3), (q3, n_times)]
+
+
+def series_stats(
+    docs: DataFrame,
+    stats: list[str],
+    band: str = "band_blue",
+    time_col: str = "t",
+    time_names: list[str] | None = None,
+    nodata: float | None = 0.0,
+    key_cols: tuple[str, ...] = KEY_COLS,
+) -> DataFrame:
+    """Per-cell time-series statistics (one row per cell, one column per
+    stat). ``stats`` accepts the reference's names, e.g.
+    ``['mean','amp','cv','percentile_25','abs_slope_q1','mean_abs_diff']``.
+    """
+    if time_names is None:
+        time_names = [r[0] for r in docs.select(time_col).distinct().orderBy(time_col).collect()]
+    n_t = len(time_names)
+    t_idx = None
+    for i, t in enumerate(time_names):
+        cond = F.col(time_col) == t
+        t_idx = F.when(cond, i) if t_idx is None else t_idx.when(cond, i)
+    t_idx = t_idx.cast("double")
+
+    v = F.col(band).cast("double")
+    if nodata is not None:
+        v = F.nullif(v, F.lit(float(nodata)))
+
+    src = docs.select(*key_cols, t_idx.alias("_ti"), v.alias("_v"))
+    aggs = []
+    for stat in stats:
+        if stat == "mean":
+            aggs.append(F.avg("_v").alias("mean"))
+        elif stat == "max":
+            aggs.append(F.max("_v").alias("max"))
+        elif stat == "min":
+            aggs.append(F.min("_v").alias("min"))
+        elif stat == "amp":
+            aggs.append((F.max("_v") - F.min("_v")).alias("amp"))
+        elif stat == "cv":
+            aggs.append((F.stddev_pop("_v") / (F.avg("_v") + F.lit(1e-9))).alias("cv"))
+        elif stat == "median":
+            aggs.append(F.percentile("_v", F.lit(0.5)).alias("median"))
+        elif stat.startswith("percentile_"):
+            p = float(stat.split("_")[1]) / 100.0
+            aggs.append(F.percentile("_v", F.lit(p)).alias(stat))
+        elif stat == "norm_abs_energy":
+            aggs.append(
+                (F.sum(F.col("_v") * F.col("_v")) / (F.max("_v") * F.max("_v") * F.lit(float(n_t)))).alias(stat)
+            )
+        elif stat.startswith("abs_slope_q"):
+            q = int(stat[-1]) - 1
+            lo, hi = _quarter_bounds(n_t)[q]
+            in_q = (F.col("_ti") >= lo) & (F.col("_ti") < hi)
+            slope = F.regr_slope(
+                F.when(in_q, F.col("_v")), F.when(in_q, F.col("_ti"))
+            )
+            aggs.append(_scale_min_max(F.abs(slope), 0.0, 0.05, 0.0, 1.0).alias(stat))
+        elif stat == "mean_abs_diff":
+            # ordered fold over the (t, v) series — JVM higher-order fns
+            arr = F.array_sort(
+                F.collect_list(F.struct(F.col("_ti").alias("t"), F.col("_v").alias("v")))
+            )
+            diffs = F.zip_with(
+                F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))),
+                F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+                lambda a, b: F.abs(b["v"] - a["v"]),
+            )
+            mad = F.aggregate(diffs, F.lit(0.0), lambda acc, d: acc + d) / F.size(diffs)
+            aggs.append(_scale_min_max(mad, 0.0, 0.05, 0.0, 1.0).alias(stat))
+        else:
+            raise ValueError(f"unknown stat {stat}")
+    return src.groupBy(*key_cols).agg(*aggs)
+
+
+def group_dates(
+    docs: DataFrame,
+    band: str = "band_blue",
+    date_col: str = "t",
+    nodata: float | None = 0.0,
+    key_cols: tuple[str, ...] = KEY_COLS,
+) -> DataFrame:
+    """Duplicate acquisition dates → nodata-aware mean per date
+    (``series.py:258-286``)."""
+    v = F.col(band).cast("double")
+    if nodata is not None:
+        v = F.nullif(v, F.lit(float(nodata)))
+    return docs.groupBy(date_col, *key_cols).agg(F.avg(v).alias(band))

@@ -1,0 +1,196 @@
+"""Focal halo-exchange, SeriesStats, and k-ring kNN tests.
+
+The chunk-border equality test replicates the contract of
+/root/reference/tests/test_moving.py:48-56: focal values at cells straddling
+tile borders must equal the global (single-array) computation.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geowombat_spark.grid import GridSpec, zorder_encode
+from geowombat_spark.operators.focal import moving
+from geowombat_spark.operators.knn import knn_join, near_pairs
+from geowombat_spark.operators.temporal import group_dates, series_stats
+
+SMALL = GridSpec(
+    left=0.0, top=2560.0, cellx=10.0, celly=10.0,
+    nrows=256, ncols=256, tile_rows=128, tile_cols=128,
+)
+
+
+def _small_pdf():
+    rr, cc = np.meshgrid(np.arange(256), np.arange(256), indexing="ij")
+    rr, cc = rr.ravel(), cc.ravel()
+    v = ((rr * 131 + cc * 7) % 9000 + 1000).astype(np.float64)
+    v[(rr < 10) & (cc < 10)] = 0.0  # nodata stripe
+    return pd.DataFrame(
+        {
+            "row": rr,
+            "col": cc,
+            "cell_id": zorder_encode(rr, cc),
+            "tile_id": SMALL.tile_id(rr, cc),
+            "x": SMALL.left + (cc + 0.5) * 10.0,
+            "y": SMALL.top - (rr + 0.5) * 10.0,
+            "band_blue": v,
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def small_docs(spark):
+    return spark.createDataFrame(_small_pdf()).repartition(8, "tile_id")
+
+
+def _numpy_focal(stat, w):
+    pdf = _small_pdf()
+    arr = np.full((256, 256), np.nan)
+    arr[pdf["row"], pdf["col"]] = pdf["band_blue"].values
+    arr[arr == 0.0] = np.nan
+    hw = w // 2
+    pad = np.full((256 + 2 * hw, 256 + 2 * hw), np.nan)
+    pad[hw:-hw, hw:-hw] = arr
+    win = np.lib.stride_tricks.sliding_window_view(pad, (w, w)).reshape(256, 256, -1)
+    with np.errstate(invalid="ignore"):
+        if stat == "mean":
+            return np.nanmean(win, axis=2)
+        if stat == "max":
+            return np.nanmax(win, axis=2)
+        if stat == "std":
+            return np.nanstd(win, axis=2)
+    raise ValueError(stat)
+
+
+@pytest.mark.parametrize("stat,w", [("mean", 3), ("max", 5), ("std", 3)])
+def test_moving_matches_global(spark, small_docs, stat, w):
+    out = moving(small_docs, SMALL, stat=stat, w=w, nodata=0.0).toPandas()
+    expected = _numpy_focal(stat, w)
+    got = np.full((256, 256), np.nan)
+    got[out["row"], out["col"]] = out[f"band_blue_{stat}"].values
+    np.testing.assert_allclose(got, expected, rtol=1e-12, equal_nan=True)
+
+
+def test_moving_chunk_border_cells(spark, small_docs):
+    """Cells at tile borders (row/col 127/128) equal the global computation
+    — the halo-width correctness contract (test_moving.py:48-56)."""
+    out = moving(small_docs, SMALL, stat="mean", w=5, nodata=0.0).toPandas()
+    expected = _numpy_focal("mean", 5)
+    border = out[out["row"].isin([126, 127, 128, 129]) | out["col"].isin([126, 127, 128, 129])]
+    assert len(border) > 0
+    np.testing.assert_allclose(
+        border["band_blue_mean"].values,
+        expected[border["row"], border["col"]],
+        rtol=1e-12,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SeriesStats
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def series_docs(spark):
+    times = [f"t{i}" for i in range(8)]
+    rows = []
+    series = {
+        0: [5.0, 7.0, 9.0, 11.0, 10.0, 8.0, 6.0, 4.0],
+        1: [1.0, 0.0, 3.0, 2.0, 5.0, 4.0, 7.0, 6.0],  # contains nodata (0)
+    }
+    for cid, vals in series.items():
+        for i, t in enumerate(times):
+            rows.append((cid, cid, cid, float(cid), float(cid), t, vals[i]))
+    pdf = pd.DataFrame(
+        rows, columns=["cell_id", "row", "col", "x", "y", "t", "band_blue"]
+    )
+    return spark.createDataFrame(pdf), series, times
+
+
+def test_series_stats_formulas(spark, series_docs):
+    df, series, times = series_docs
+    stats = ["mean", "max", "min", "amp", "cv", "median", "percentile_25",
+             "norm_abs_energy", "abs_slope_q1", "abs_slope_q4", "mean_abs_diff"]
+    out = series_stats(df, stats, time_names=times).toPandas().set_index("cell_id")
+
+    def expect(vals):
+        v = np.array(vals, dtype=float)
+        v[v == 0.0] = np.nan
+        T = len(v)
+        res = {
+            "mean": np.nanmean(v),
+            "max": np.nanmax(v),
+            "min": np.nanmin(v),
+            "amp": np.nanmax(v) - np.nanmin(v),
+            "cv": np.nanstd(v) / (np.nanmean(v) + 1e-9),
+            "median": np.nanmedian(v),
+            "percentile_25": np.nanpercentile(v, 25),
+            "norm_abs_energy": np.nansum(v**2) / (np.nanmax(v) ** 2 * T),
+        }
+        # quarter slopes vs t index (nodata rows excluded)
+        def slope(lo, hi):
+            idx = np.arange(T, dtype=float)
+            m = ~np.isnan(v) & (idx >= lo) & (idx < hi)
+            if m.sum() < 2:
+                return np.nan
+            return np.polyfit(idx[m], v[m], 1)[0]
+        for q, (lo, hi) in enumerate([(0, 2), (2, 4), (4, 6), (6, 8)], start=1):
+            s = abs(slope(lo, hi))
+            res[f"abs_slope_q{q}"] = min(max(s / 0.05, 0.0), 1.0)
+        d = np.abs(np.diff(v))
+        res["mean_abs_diff"] = min(max(np.nanmean(d) / 0.05, 0.0), 1.0)
+        return res
+
+    for cid, vals in series.items():
+        exp = expect(vals)
+        for s in ["mean", "max", "min", "amp", "cv", "median", "percentile_25",
+                  "norm_abs_energy", "abs_slope_q1", "abs_slope_q4"]:
+            np.testing.assert_allclose(out.loc[cid, s], exp[s], rtol=1e-9, err_msg=s)
+    # mean_abs_diff: cell 0 has no nodata → exact ordered-fold parity
+    np.testing.assert_allclose(out.loc[0, "mean_abs_diff"], expect(series[0])["mean_abs_diff"], rtol=1e-9)
+
+
+def test_group_dates(spark):
+    pdf = pd.DataFrame(
+        {
+            "cell_id": [1, 1, 1, 1],
+            "row": 0, "col": 0, "x": 0.0, "y": 0.0,
+            "t": ["d1", "d1", "d2", "d2"],
+            "band_blue": [4.0, 6.0, 0.0, 8.0],
+        }
+    )
+    out = group_dates(spark.createDataFrame(pdf)).toPandas().set_index("t")
+    assert out.loc["d1", "band_blue"] == 5.0
+    assert out.loc["d2", "band_blue"] == 8.0  # nodata-aware mean (series.py:258-286)
+
+
+# ---------------------------------------------------------------------------
+# kNN
+# ---------------------------------------------------------------------------
+
+
+def _pts(spark, coords, id_col="doc_id"):
+    rows = []
+    for i, (x, y) in enumerate(coords):
+        c = int((x - SMALL.left) / SMALL.cellx)
+        r = int((SMALL.top - y) / SMALL.celly)
+        rows.append((f"p{i}", r, c, zorder_encode(np.array([r]), np.array([c]))[0], x, y))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=[id_col, "row", "col", "cell_id", "x", "y"])
+    )
+
+
+def test_near_pairs(spark):
+    pts = _pts(spark, [(100.0, 100.0), (105.0, 100.0), (500.0, 500.0), (508.0, 500.0), (1000.0, 1000.0)])
+    out = near_pairs(pts, SMALL, min_dist=10.0).toPandas()
+    pairs = set(map(tuple, out[["a_id", "b_id"]].values))
+    assert pairs == {("p0", "p1"), ("p2", "p3")}
+    np.testing.assert_allclose(sorted(out["dist"]), [5.0, 8.0])
+
+
+def test_knn_join(spark):
+    targets = _pts(spark, [(100.0, 100.0), (110.0, 100.0), (130.0, 100.0), (2000.0, 2000.0)])
+    queries = _pts(spark, [(101.0, 100.0)], id_col="qid")
+    out = knn_join(queries, targets, SMALL, k_neighbors=2, k_ring=4).toPandas()
+    assert list(out.sort_values("rank")["doc_id"]) == ["p0", "p1"]
