@@ -1,0 +1,249 @@
+"""Similarity search over embedding columns.
+
+- ``brute_force_topk``: exact cosine top-k. Queries are broadcast as a dense
+  numpy matrix; each corpus partition is scored with one Arrow-batched
+  matmul and emits only its local top-k per query, so the shuffle carries
+  O(#queries × k × #partitions) rows, never the full score matrix. A final
+  window rank gives the global top-k. At 100 TB this is the right exact
+  plan: one scan, no corpus shuffle.
+
+- ``hyperplane_lsh``: random-hyperplane signatures (SRP) for cosine; the
+  bucketed self-join is the approximate scale path for all-pairs search.
+
+- ``ivf_topk``: IVF-style two-stage search — k-means-ish centroids sampled
+  deterministically, corpus assigned to nearest centroid (one column of
+  cluster id), queries probe only the ``nprobe`` nearest centroids. Cuts
+  scored rows by ~nlist/nprobe at the cost of recall.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    mat = np.asarray(mat, dtype=np.float64)
+    n = np.linalg.norm(mat, axis=1)
+    n[n == 0] = 1.0
+    return mat / n[:, None]
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact cosine top-k of each query against the corpus.
+
+    Output: (query_id, vec_id, cosine, rank), rank 1..k, ties broken by
+    vec_id ascending (deterministic). Scores rounded to 6 dp so results are
+    bit-stable across engines.
+    """
+    query_id_col = query_id_col or id_col
+    spark = corpus.sparkSession
+    qrows = queries.select(query_id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    q_mat = _normalize([r[1] for r in qrows])
+    bq = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def _score(it):
+        ids, qm = bq.value
+        for pdf in it:
+            c = _normalize(list(pdf[vec_col]))
+            sims = np.round(qm @ c.T, 6)  # (nq, batch)
+            cids = pdf[id_col].values.astype(np.int64)
+            take = min(k, sims.shape[1])
+            # local top-k per query: argpartition then exact order later
+            part = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+            qi = np.repeat(ids, take)
+            ci = cids[part.ravel()]
+            sc = np.take_along_axis(sims, part, axis=1).ravel()
+            yield pd.DataFrame({"query_id": qi, "vec_id": ci, "cosine": sc})
+
+    local = corpus.select(id_col, vec_col).mapInPandas(
+        _score, "query_id bigint, vec_id bigint, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def hyperplane_signatures(
+    df: DataFrame,
+    n_planes: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-random-projection signature (int bucket id) per vector.
+
+    Planes are regenerated on each executor from the seed (cheaper than
+    broadcasting for small plane matrices, and dim-agnostic)."""
+
+    def _sig(it):
+        pl = None
+        for pdf in it:
+            m = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            if pl is None:
+                pl = np.random.default_rng(seed).standard_normal(
+                    (n_planes, m.shape[1])
+                )
+            bits = (m @ pl.T) >= 0  # (n, planes)
+            sig = np.zeros(len(pdf), dtype=np.int64)
+            for b in range(pl.shape[0]):
+                sig |= bits[:, b].astype(np.int64) << b
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col].astype(np.int64), "bucket": sig}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        _sig, "vec_id bigint, bucket bigint"
+    )
+
+
+def hyperplane_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate all-pairs cosine ≥ threshold via multi-table SRP-LSH.
+
+    Candidates = pairs sharing a bucket in ANY of ``n_tables`` independent
+    hyperplane sets; verified with an exact cosine on the candidate set
+    (join back to the vectors, zip_with dot product — JVM-side).
+    """
+    cands = None
+    for t in range(n_tables):
+        sig = hyperplane_signatures(
+            df, n_planes, seed + 1000 * t, id_col, vec_col
+        )
+        a, b = sig.alias("a"), sig.alias("b")
+        c = (
+            a.join(b, "bucket")
+            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+            )
+        )
+        cands = c if cands is None else cands.unionAll(c)
+    cands = cands.distinct()
+    va = df.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("emb_a")
+    )
+    vb = df.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("emb_b")
+    )
+    dot = F.aggregate(
+        F.zip_with("emb_a", "emb_b", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    return (
+        cands.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn(
+            "cosine",
+            F.round(dot / (norm(F.col("emb_a")) * norm(F.col("emb_b"))), 6),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF two-stage ANN: centroid assignment then probe-limited exact scan.
+
+    Centroids are the first ``nlist`` corpus vectors by id (deterministic
+    seeding — at scale replace with a sampled k-means fit, same plumbing).
+    The corpus gains a ``cluster`` column; a query scores only the rows of
+    its ``nprobe`` nearest clusters.
+    """
+    spark = corpus.sparkSession
+    cent_rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(nlist).collect()
+    )
+    cents = _normalize([r[1] for r in cent_rows])
+    bc = spark.sparkContext.broadcast(cents)
+
+    def _assign(it):
+        cm = bc.value
+        for pdf in it:
+            m = _normalize(list(pdf[vec_col]))
+            cl = np.argmax(m @ cm.T, axis=1).astype(np.int32)
+            out = pdf[[id_col, vec_col]].copy()
+            out["cluster"] = cl
+            yield out
+
+    assigned = corpus.select(id_col, vec_col).mapInPandas(
+        _assign, f"{id_col} bigint, {vec_col} array<float>, cluster int"
+    )
+
+    qrows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    q_mat = _normalize([r[1] for r in qrows])
+    probes = np.argsort(-(q_mat @ cents.T), axis=1)[:, :nprobe]
+    bq = spark.sparkContext.broadcast((q_ids, q_mat, probes))
+
+    def _probe(it):
+        ids, qm, pr = bq.value
+        for pdf in it:
+            c = _normalize(list(pdf[vec_col]))
+            cl = pdf["cluster"].values
+            cids = pdf[id_col].values.astype(np.int64)
+            frames = []
+            for qi in range(len(ids)):
+                mask = np.isin(cl, pr[qi])
+                if not mask.any():
+                    continue
+                sims = np.round(qm[qi] @ c[mask].T, 6)
+                take = min(k, sims.shape[0])
+                part = np.argpartition(-sims, take - 1)[:take]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": ids[qi],
+                            "vec_id": cids[mask][part],
+                            "cosine": sims[part],
+                        }
+                    )
+                )
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                {"query_id": [], "vec_id": [], "cosine": []}
+            )
+
+    local = assigned.mapInPandas(
+        _probe, "query_id bigint, vec_id bigint, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

@@ -1,0 +1,124 @@
+"""Text analysis: tokenization, quality scoring, language-ID, fingerprints.
+
+Everything here is pure JVM Column expressions (whole-stage codegen, no
+Python in the hot path). Hashes are md5-derived so results are exactly
+reproducible in any SQL engine (see pipeline/__init__.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 60-bit md5-derived integer hash: stable across engines, fits int64.
+HEX_CHARS = 15
+
+
+def md5_int(c: Column) -> Column:
+    """First 60 bits of md5 as a non-negative bigint (portable hash)."""
+    return F.conv(F.substring(F.md5(c), 1, HEX_CHARS), 16, 10).cast("long")
+
+
+def tokens(c: Column) -> Column:
+    """Whitespace tokenization of already-normalized text."""
+    return F.split(F.trim(c), r"\s+")
+
+
+# Small stopword lists used by the language-ID heuristic and the quality
+# score. Deliberately tiny and hard-coded: the heuristic's value is its
+# determinism, not linguistic completeness.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "zu"),
+    "fr": ("le", "la", "les", "et", "de"),
+}
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def _hit_ratio(toks: Column, words: tuple[str, ...]) -> Column:
+    """Fraction of tokens (with multiplicity) found in ``words``."""
+    hits = F.size(F.filter(toks, lambda w: w.isin(*words)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token count, char count, unique-token ratio, mean token length."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    return df.withColumns(
+        {
+            "n_tokens": n,
+            "n_chars_calc": F.length(F.col(text_col)),
+            "uniq_ratio": F.round(
+                F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1)), 6
+            ),
+            "mean_token_len": F.round(
+                F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w))
+                / F.greatest(n, F.lit(1)),
+                6,
+            ),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite document-quality score in [0, 1].
+
+    Components (all cheap Column expressions): length band, stopword ratio,
+    unique-token ratio, punctuation density. Mirrors the usual C4/Gopher-style
+    filters in spirit; the exact weights are arbitrary but pinned by tests.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.greatest(F.size(toks), F.lit(1))
+    stop_ratio = _hit_ratio(toks, STOPWORDS)
+    uniq_ratio = F.size(F.array_distinct(toks)) / n
+    text_len = F.length(F.col(text_col))
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,!?;:]", ""))
+    punct_ratio = punct / F.greatest(text_len, F.lit(1))
+    len_ok = F.when((text_len >= 20) & (text_len <= 10000), 1.0).otherwise(0.3)
+    score = (
+        0.4 * len_ok
+        + 0.2 * F.least(stop_ratio * 5.0, F.lit(1.0))
+        + 0.3 * uniq_ratio
+        + 0.1 * (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0)))
+    )
+    return df.withColumns(
+        {
+            "stop_ratio": F.round(stop_ratio, 6),
+            "punct_ratio": F.round(punct_ratio, 6),
+            "quality": F.round(score, 6),
+        }
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: argmax over per-language hit ratios.
+
+    Ties break by language code order (deterministic). Adds one score
+    column per language plus ``lang_pred``.
+    """
+    toks = tokens(F.col(text_col))
+    out = df
+    for code, words in LANG_MARKERS.items():
+        out = out.withColumn(f"score_{code}", F.round(_hit_ratio(toks, words), 6))
+    best = None
+    for code in sorted(LANG_MARKERS):
+        cond = F.lit(True)
+        for other in sorted(LANG_MARKERS):
+            if other < code:
+                cond = cond & (F.col(f"score_{code}") > F.col(f"score_{other}"))
+            elif other > code:
+                cond = cond & (F.col(f"score_{code}") >= F.col(f"score_{other}"))
+        best = F.when(cond, code) if best is None else best.when(cond, code)
+    return out.withColumn("lang_pred", F.coalesce(best, F.lit(sorted(LANG_MARKERS)[0])))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical document fingerprint: md5 over the sorted unique token set.
+
+    Equal fingerprints ⇔ equal bags-of-unique-tokens — the classic
+    "fingerprint" key used for clustering near-identical documents.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
+    return df.withColumn("fingerprint", F.md5(canon))

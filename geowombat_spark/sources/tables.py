@@ -54,7 +54,40 @@ def get_spark(
     if extra:
         for k, v in extra.items():
             b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executors (the ``spark-submit --py-files``
+    deployment mode, self-served): UDF closures reference module functions
+    pickled by reference, so Python workers must be able to import
+    ``geowombat_spark`` no matter the driver's cwd."""
+    import hashlib
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sources = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                full = os.path.join(root, f)
+                sources.append(f"{full}:{os.path.getmtime(full)}")
+    digest = hashlib.md5("\n".join(sorted(sources)).encode()).hexdigest()[:12]
+    zip_path = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), f"geowombat_spark_pkg_{digest}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path + ".tmp", "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+        os.replace(zip_path + ".tmp", zip_path)
+    spark.sparkContext.addPyFile(zip_path)
 
 
 def write_tiled_parquet(

@@ -1,0 +1,240 @@
+"""Tests for the training-data pipeline operators (text / dedup / ann /
+multimodal). Golden values are hand-derived or cross-checked against an
+independent pure-python/numpy computation of the same public formulas."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geowombat_spark.pipeline import ann, dedup, multimodal, text
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "the quick brown fox leaps over the lazy dog"),  # near dup of 1
+    (4, "completely different content about spark shuffles and joins"),
+    (5, "der hund und die katze und das haus"),
+    (6, "le chat et le chien et la maison"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(pd.DataFrame(DOCS, columns=["doc_id", "text"]))
+
+
+def md5_int_py(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+# --- text -----------------------------------------------------------------
+
+
+def test_token_stats(spark, docs_df):
+    out = text.token_stats(docs_df).orderBy("doc_id").collect()
+    assert out[0]["n_tokens"] == 9
+    assert out[0]["n_chars_calc"] == len(DOCS[0][1])
+    assert out[0]["uniq_ratio"] == round(8 / 9, 6)  # 'the' twice
+    toks = DOCS[0][1].split()
+    assert out[0]["mean_token_len"] == round(sum(map(len, toks)) / 9, 6)
+
+
+def test_quality_and_langid(spark, docs_df):
+    q = text.quality_score(docs_df).orderBy("doc_id").collect()
+    # doc 1: 9 tokens, 2 stopword hits ('the' x2) -> 2/9
+    assert q[0]["stop_ratio"] == round(2 / 9, 6)
+    assert q[0]["punct_ratio"] == 0.0
+    assert 0.0 < q[0]["quality"] <= 1.0
+
+    lang = {r["doc_id"]: r["lang_pred"] for r in text.lang_id(docs_df).collect()}
+    assert lang[1] == "en"
+    assert lang[5] == "de"
+    assert lang[6] == "fr"
+
+
+def test_fingerprint_groups_token_sets(spark, docs_df):
+    fp = {r["doc_id"]: r["fingerprint"] for r in text.fingerprint(docs_df).collect()}
+    assert fp[1] == fp[2]  # identical docs
+    assert fp[1] != fp[3]
+    # matches a hand computation
+    canon = " ".join(sorted(set(DOCS[0][1].split())))
+    assert fp[1] == hashlib.md5(canon.encode()).hexdigest()
+
+
+# --- dedup ----------------------------------------------------------------
+
+
+def test_exact_dedup(spark, docs_df):
+    groups = dedup.exact_dedup(docs_df).collect()
+    assert len(groups) == 1
+    assert groups[0]["survivor_id"] == 1
+    assert groups[0]["n_dupes"] == 2
+
+
+def test_jaccard_pairs_golden(spark, docs_df):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(docs_df, n=3, threshold=0.0).collect()
+    }
+    # hand-compute 3-gram jaccard for docs 1 vs 3
+    def sh(s):
+        t = s.split()
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    s1, s3 = sh(DOCS[0][1]), sh(DOCS[2][1])
+    expect = round(len(s1 & s3) / len(s1 | s3), 6)
+    assert pairs[(1, 3)] == expect
+    assert pairs[(1, 2)] == 1.0
+
+
+def test_minhash_signature_matches_pure_python(spark, docs_df):
+    sig = dedup.minhash_signatures(docs_df, n=3, k=16)
+    row = sig.filter(F.col("doc_id") == 4).collect()[0]
+    t = DOCS[3][1].split()
+    shingles = {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+    params = dedup.hash_params(16)
+    for i, (a, b) in enumerate(params):
+        expect = min(
+            (a * (md5_int_py(s) % dedup.PRIME30) + b) % dedup.PRIME31
+            for s in shingles
+        )
+        assert row[f"mh{i}"] == expect, f"mh{i}"
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs_df):
+    out = dedup.minhash_dedup_pairs(docs_df, threshold=0.5).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert (1, 2) in got  # identical always collide
+    for r in out:
+        assert r["jaccard"] >= 0.5
+
+
+def test_simhash_and_pairs(spark, docs_df):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs_df).collect()}
+    assert sh[1] == sh[2]
+    assert 0 <= sh[1] < (1 << 60)
+    # independent pure-python recompute for doc 4
+    sums = np.zeros(60, dtype=np.int64)
+    for w in DOCS[3][1].split():
+        h = md5_int_py(w)
+        for b in range(60):
+            sums[b] += 1 if (h >> b) & 1 else -1
+    expect = sum(1 << b for b in range(60) if sums[b] >= 0)
+    assert sh[4] == expect
+
+    pairs = dedup.simhash_pairs(docs_df, max_hamming=3).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs}
+    assert got[(1, 2)] == 0
+
+
+def test_embedding_neardup(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(16)
+    vecs = [
+        (1, base),
+        (2, base + 0.001 * rng.standard_normal(16)),  # near dup
+        (3, rng.standard_normal(16)),
+    ]
+    pdf = pd.DataFrame(
+        {"vec_id": [v[0] for v in vecs], "embedding": [v[1].tolist() for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    out = dedup.embedding_neardup_pairs(df, threshold=0.99).collect()
+    got = {(r["vec_a"], r["vec_b"]) for r in out}
+    assert got == {(1, 2)}
+
+
+# --- ann ------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((80, 16))
+    pdf = pd.DataFrame(
+        {"vec_id": range(80), "embedding": [m.tolist() for m in mat]}
+    )
+    return spark.createDataFrame(pdf), mat
+
+
+def test_brute_force_topk_matches_numpy(spark, emb_df):
+    df, mat = emb_df
+    queries = df.filter(F.col("vec_id") < 3)
+    out = ann.brute_force_topk(df, queries, k=5).collect()
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = np.round(norm @ norm.T, 6)
+    for q in range(3):
+        order = sorted(range(80), key=lambda j: (-sims[q, j], j))[:5]
+        got = sorted(
+            [r for r in out if r["query_id"] == q], key=lambda r: r["rank"]
+        )
+        assert [r["vec_id"] for r in got] == order
+        for r in got:
+            assert r["cosine"] == sims[q, r["vec_id"]]
+
+
+def test_hyperplane_lsh_pairs_self_similarity(spark, emb_df):
+    df, mat = emb_df
+    # plant an exact duplicate of vec 0 with id 999
+    dup = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [999], "embedding": [mat[0].tolist()]})
+    )
+    out = ann.hyperplane_lsh_pairs(df.unionAll(dup), threshold=0.999).collect()
+    assert {(r["vec_a"], r["vec_b"]) for r in out} >= {(0, 999)}
+
+
+def test_ivf_topk_runs_and_ranks(spark, emb_df):
+    df, mat = emb_df
+    queries = df.filter(F.col("vec_id") < 2)
+    out = ann.ivf_topk(df, queries, k=3, nlist=8, nprobe=8).collect()
+    # nprobe == nlist -> exhaustive -> must match brute force
+    bf = ann.brute_force_topk(df, queries, k=3).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted([(r["query_id"], r["rank"], r["vec_id"]) for r in out]) == sorted(
+        [(r["query_id"], r["rank"], r["vec_id"]) for r in bf]
+    )
+
+
+# --- multimodal -----------------------------------------------------------
+
+
+def test_spans_roundtrip_and_hash(spark, docs_df):
+    sp = multimodal.with_span_hash(multimodal.derive_spans(docs_df))
+    rows = sp.orderBy("doc_id").collect()
+    r1 = rows[0]
+    assert [s["text"] for s in r1["spans"]] == DOCS[0][1].split()
+    assert [s["offset"] for s in r1["spans"]] == list(range(9))
+    for s in r1["spans"]:
+        if s["kind"] == "image":
+            assert s["media_ref"].startswith("media://")
+        else:
+            assert s["media_ref"] == ""
+    # invariant: hash survives a shuffle + join untouched
+    shuffled = (
+        sp.repartition(7, "doc_id")
+        .join(sp.select("doc_id"), "doc_id")
+        .withColumn("span_hash2", multimodal.span_hash_col("spans"))
+    )
+    bad = shuffled.filter(F.col("span_hash") != F.col("span_hash2")).count()
+    assert bad == 0
+
+
+def test_media_decode_stub(spark, docs_df):
+    sp = multimodal.derive_spans(docs_df.limit(4))
+    media = multimodal.attach_media_bytes(multimodal.media_refs(sp))
+    assert media.filter(F.col("media_len") != 16).count() == 0
+    decoded = multimodal.decode_media(media)
+    rows = decoded.collect()
+    assert len(rows) == media.count()
+    for r in rows:
+        assert 1 <= r["width"] <= 2048
+        assert 1 <= r["n_frames"] <= 32
+        assert 0.0 <= r["mean_intensity"] <= 1.0
+    # determinism
+    rows2 = multimodal.decode_media(media).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+    frames = multimodal.frame_sample(decoded, every=2)
+    assert frames.count() >= len(rows)
