@@ -70,11 +70,14 @@ def near_pairs(
         F.col("y").alias("b_y"),
         F.col("cell_id").alias("neighbor_cell_id"),
     )
-    d2 = (F.col("a_x") - F.col("b_x")) ** 2 + (F.col("a_y") - F.col("b_y")) ** 2
+    dx = F.col("a_x") - F.col("b_x")
+    dy = F.col("a_y") - F.col("b_y")
+    # explicit multiplication, not pow(): bit-identical to the SQL oracle
+    d2 = dx * dx + dy * dy
     return (
         left.join(right, "neighbor_cell_id")
         .filter(F.col("a_id") < F.col("b_id"))
-        .filter(d2 < F.lit(float(min_dist)) ** 2)
+        .filter(d2 < F.lit(float(min_dist) * float(min_dist)))
         .select("a_id", "b_id", F.sqrt(d2).alias("dist"))
         .distinct()
     )
@@ -113,7 +116,9 @@ def knn_join(
         F.col("y").alias("t_y"),
         F.col("cell_id").alias("neighbor_cell_id"),
     )
-    d2 = (F.col("q_x") - F.col("t_x")) ** 2 + (F.col("q_y") - F.col("t_y")) ** 2
+    qdx = F.col("q_x") - F.col("t_x")
+    qdy = F.col("q_y") - F.col("t_y")
+    d2 = qdx * qdx + qdy * qdy
     w = Window.partitionBy(query_id).orderBy(F.col("d2").asc(), F.col("t_id").asc())
     return (
         cand.join(tgt, "neighbor_cell_id")
