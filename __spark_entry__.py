@@ -142,12 +142,21 @@ def _polys_pdf() -> pd.DataFrame:
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Single-file test inputs arrive as ONE scan partition (one parquet row
+    group), which would serialize every downstream explode/UDF stage. A
+    production corpus arrives as thousands of files, so the scan itself
+    provides parallelism; this round-robin repartition restores that shape
+    locally. AQE coalesces it away when the input is already wide."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,258 @@
+#!/usr/bin/env python
+"""Headline benchmark for the geowombat_spark engine.
+
+Prints ONE JSON line on stdout:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {"q_...": sec, ...}, "sf": <float>,
+     "flagship": {"docs": N, "sec": s, "docs_per_sec": r}}
+
+Environment:
+    SPARK_GRAFT_SF_DIR   parquet table dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS     local[*] parallelism (default 32)
+    SPARK_GRAFT_BENCH_DOCS  flagship corpus rows (default 2_000_000)
+    SPARK_GRAFT_SKIP_FLAGSHIP  set to 1 to skip the big corpus run
+
+The per-query timings execute each ``__spark_entry__.queries()`` plan with a
+``noop``-format write (full execution, zero serialization to the driver).
+The flagship measurement is the BASELINE.json metric — extract+clip
+spatial-join throughput in docs/sec — over a deterministic synthetic
+interleaved-document corpus written once (cached) as a tile-partitioned
+parquet table, so the timed region is scan → prune → broadcast-join →
+span-preserving projection, not data generation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000000"))
+CACHE_DIR = os.path.join(REPO, ".bench_cache")
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build_spark(cpus: int = CPUS, app: str = "gw-bench") -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def run_noop(df) -> None:
+    """Force full plan execution without collecting to the driver."""
+    df.write.mode("overwrite").format("noop").save()
+
+
+# ---------------------------------------------------------------------------
+# Flagship: extract+clip spatial-join throughput on a synthetic interleaved
+# corpus (BASELINE.json metric). Corpus: n docs on a 4096-col affine grid,
+# 2 interleaved spans per doc (text + media_ref), band values derived from
+# doc_id — all JVM-side expressions, fully deterministic, no RNG.
+# ---------------------------------------------------------------------------
+
+FLAG_NCOLS = 4096
+FLAG_TILE = 128  # 128×128-cell tiles → ample partitions at every local[N]
+FLAG_CELL = 30.0
+
+
+def flagship_grid(n_docs: int):
+    from geowombat_spark.grid import GridSpec
+
+    nrows = -(-n_docs // FLAG_NCOLS)
+    return GridSpec(
+        left=0.0,
+        top=0.0,
+        cellx=FLAG_CELL,
+        celly=FLAG_CELL,
+        nrows=nrows,
+        ncols=FLAG_NCOLS,
+        tile_rows=FLAG_TILE,
+        tile_cols=FLAG_TILE,
+        nodata=0.0,
+    )
+
+
+def synth_corpus(spark: SparkSession, n_docs: int):
+    """Deterministic interleaved-document corpus as one select over range()."""
+    grid = flagship_grid(n_docs)
+    d = spark.range(n_docs).withColumnRenamed("id", "doc_id")
+    d = d.withColumns(
+        {
+            "col": (F.col("doc_id") % FLAG_NCOLS).cast("long"),
+            "row": F.expr(f"doc_id div {FLAG_NCOLS}").cast("long"),
+        }
+    )
+    d = d.withColumns(
+        {
+            "x": (F.col("col").cast("double") + F.lit(0.5)) * FLAG_CELL,
+            "y": -((F.col("row").cast("double") + F.lit(0.5)) * FLAG_CELL),
+            "band_blue": (F.lit(1) + F.col("doc_id") % 255).cast("double"),
+            "band_green": (F.lit(1) + (F.col("doc_id") * 7) % 255).cast("double"),
+            "band_red": (F.lit(1) + (F.col("doc_id") * 13 + 5) % 255).cast("double"),
+            "spans": F.array(
+                F.struct(
+                    F.lit("text").alias("kind"),
+                    F.concat(F.lit("doc "), F.col("doc_id").cast("string")).alias("text"),
+                    F.lit(None).cast("string").alias("media_ref"),
+                    F.lit(0).cast("int").alias("offset"),
+                ),
+                F.struct(
+                    F.lit("image").alias("kind"),
+                    F.lit(None).cast("string").alias("text"),
+                    F.concat(F.lit("s3://m/"), F.col("doc_id").cast("string")).alias(
+                        "media_ref"
+                    ),
+                    F.lit(1).cast("int").alias("offset"),
+                ),
+            ),
+            "tile_id": (
+                F.expr(f"row div {FLAG_TILE}") * grid.tiles_x
+                + F.expr(f"col div {FLAG_TILE}")
+            ).cast("long"),
+        }
+    )
+    # Z-order cell id via JVM bit-interleave (matches grid.zorder_encode)
+    from geowombat_spark.grid import with_zorder_column
+
+    d = with_zorder_column(d)
+    return d, grid
+
+
+def corpus_path(n_docs: int) -> str:
+    return os.path.join(CACHE_DIR, f"corpus_{n_docs}")
+
+
+def ensure_corpus(spark: SparkSession, n_docs: int) -> str:
+    path = corpus_path(n_docs)
+    marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(marker):
+        return path
+    log(f"[bench] materializing flagship corpus ({n_docs} docs) → {path}")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    d, _ = synth_corpus(spark, n_docs)
+    (
+        d.repartition(F.col("tile_id"))
+        .sortWithinPartitions("cell_id")
+        .write.mode("overwrite")
+        .partitionBy("tile_id")
+        .parquet(path)
+    )
+    return path
+
+
+def run_flagship(spark: SparkSession, n_docs: int) -> dict:
+    """Timed region: tile-pruned scan → broadcast extract join → clip bbox
+    filter → span-preserving projection. The AOI is 1024 deterministic
+    points; the clip window covers the top-left quarter of the grid."""
+    import numpy as np
+    import pandas as pd
+
+    from geowombat_spark.operators import extract as ex
+    from geowombat_spark.operators import sops
+
+    grid = flagship_grid(n_docs)
+    path = ensure_corpus(spark, n_docs)
+    docs = spark.read.parquet(path)
+
+    # AOI: 1024 points in a deterministic lattice over the full grid
+    k = 1024
+    step_r = max(1, grid.nrows // 32)
+    step_c = max(1, grid.ncols // 32)
+    rr, cc = np.meshgrid(
+        np.arange(32) * step_r + step_r // 2, np.arange(32) * step_c + step_c // 2
+    )
+    aoi = pd.DataFrame(
+        {
+            "id": np.arange(k, dtype=np.int64),
+            "x": (cc.ravel() + 0.5) * FLAG_CELL,
+            "y": -((rr.ravel() + 0.5) * FLAG_CELL),
+        }
+    )
+
+    t0 = time.time()
+    pts = ex.extract_points(
+        spark,
+        docs,
+        aoi,
+        grid,
+        bands=["blue", "green", "red"],
+        keep_doc_columns=["doc_id", "spans"],
+    )
+    run_noop(pts)
+    # clip: top-left quarter window, snapped to the grid
+    clip = sops.subset(
+        docs, grid, left=0.0, top=0.0, rows=grid.nrows // 2, cols=grid.ncols // 2
+    )
+    run_noop(clip.select("doc_id", "cell_id", "band_blue", "spans"))
+    sec = time.time() - t0
+    return {"docs": n_docs, "sec": round(sec, 3), "docs_per_sec": round(n_docs / sec, 1)}
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+
+    sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
+    spark = build_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qtimes: dict[str, float] = {}
+    total = 0.0
+    qs = entrymod.queries()
+    # warm the JVM + Arrow path once so q1 doesn't absorb session startup
+    run_noop(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    for name, fn in qs.items():
+        t0 = time.time()
+        try:
+            run_noop(fn(spark, SF_DIR))
+            dt = time.time() - t0
+            qtimes[name] = round(dt, 3)
+            total += dt
+            log(f"[bench] {name}: {dt:.3f}s")
+        except Exception as e:  # keep the bench robust: report, don't die
+            qtimes[name] = -1.0
+            log(f"[bench] {name}: FAILED {type(e).__name__}: {e}")
+
+    flagship = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_FLAGSHIP") != "1":
+        flagship = run_flagship(spark, BENCH_DOCS)
+        log(f"[bench] flagship: {flagship}")
+
+    out = {
+        "metric": "extract+clip spatial-join throughput (docs/sec) + full query suite wall time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "cpus": CPUS,
+        "flagship": flagship,
+    }
+    print(json.dumps(out), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -37,6 +37,7 @@ __all__ = [
     "rowcol_to_center_coords",
     "zorder_encode",
     "zorder_decode",
+    "with_zorder_column",
     "kring_offsets",
     "kring_cells",
     "point_in_rings",
@@ -196,6 +197,39 @@ def zorder_encode(row: np.ndarray, col: np.ndarray) -> np.ndarray:
     r = np.asarray(row, dtype=np.int64)
     c = np.asarray(col, dtype=np.int64)
     return ((_part1by1(r.astype(np.uint64)) << np.uint64(1)) | _part1by1(c.astype(np.uint64))).astype(np.int64)
+
+
+def with_zorder_column(df, out: str = "cell_id", row_col: str = "row", col_col: str = "col"):
+    """Add ``zorder_encode(row, col)`` as a column computed entirely JVM-side
+    (shift/mask chain inside whole-stage codegen — no UDF on the corpus
+    generation / re-keying hot path). Valid for row/col < 2^31.
+
+    Implemented as chained intermediate columns so the generated expression
+    tree stays linear in the number of mask levels.
+    """
+    from pyspark.sql import functions as F
+
+    masks = (
+        (16, 0x0000FFFF0000FFFF),
+        (8, 0x00FF00FF00FF00FF),
+        (4, 0x0F0F0F0F0F0F0F0F),
+        (2, 0x3333333333333333),
+        (1, 0x5555555555555555),
+    )
+    tmp = {}
+    for name, src in (("_zr", row_col), ("_zc", col_col)):
+        e = F.col(src).cast("long").bitwiseAND(F.lit(0xFFFFFFFF))
+        df = df.withColumn(name, e)
+        for shift, mask in masks:
+            df = df.withColumn(
+                name,
+                (
+                    F.col(name).bitwiseOR(F.shiftleft(F.col(name), shift))
+                ).bitwiseAND(F.lit(mask)),
+            )
+        tmp[name] = name
+    df = df.withColumn(out, F.shiftleft(F.col("_zr"), 1).bitwiseOR(F.col("_zc")))
+    return df.drop("_zr", "_zc")
 
 
 def zorder_decode(cell_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
