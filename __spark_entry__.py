@@ -477,6 +477,293 @@ def q_media_decode(spark, sf_dir):
     return multimodal.decode_media(media)
 
 
+def q_set_nodata(spark, sf_dir):
+    """Nodata/scale precedence chain: explicit kwargs beat table metadata
+    (meta_nodata=7 is overridden by src_nodata=5 — config > kwarg > meta)."""
+    from geowombat_spark.functions import nodata as nd
+
+    gd = grid_docs(spark, sf_dir)
+    out = nd.set_nodata(
+        gd,
+        bands=("band_blue", "band_green"),
+        src_nodata=5.0,
+        dst_nodata=-9999.0,
+        scale_factor=0.1,
+        offset=2.0,
+        out_range=(0.0, 20.0),
+        meta_nodata=7.0,
+        meta_scale=999.0,
+    )
+    return out.select(
+        "doc_id",
+        F.round("band_blue", 6).alias("band_blue"),
+        F.round("band_green", 6).alias("band_green"),
+    )
+
+
+def q_band_mask(spark, sf_dir):
+    from geowombat_spark.functions import nodata as nd
+
+    gd = grid_docs(spark, sf_dir).withColumns(
+        {
+            "vb1": F.col("band_blue") - F.lit(100.0),
+            "vb2": F.col("band_green") - F.lit(50.0),
+        }
+    )
+    out = nd.band_mask(gd, valid_bands=("vb1", "vb2"), out="mask")
+    return out.select("doc_id", F.col("mask").cast("long").alias("mask"))
+
+
+def _docs_with_swir(spark, sf_dir):
+    return grid_docs(spark, sf_dir).withColumns(
+        {
+            "band_swir1": (F.lit(1) + (F.col("doc_id") * 17 + 3) % 255).cast("double"),
+            "band_swir2": (F.lit(1) + (F.col("doc_id") * 23 + 9) % 255).cast("double"),
+        }
+    )
+
+
+def q_tasseled_cap(spark, sf_dir):
+    gd = _docs_with_swir(spark, sf_dir)
+    out = vi.tasseled_cap(
+        gd,
+        band_cols={
+            "blue": "band_blue",
+            "green": "band_green",
+            "red": "band_red",
+            "nir": "band_nir",
+            "swir1": "band_swir1",
+            "swir2": "band_swir2",
+        },
+        sensor="l8",
+    )
+    return out.select(
+        "doc_id",
+        F.round("brightness", 6).alias("brightness"),
+        F.round("greenness", 6).alias("greenness"),
+        F.round("wetness", 6).alias("wetness"),
+    )
+
+
+def q_vi_suite2(spark, sf_dir):
+    """nbr / evi / wi with reflectance scaling + compare + linear_transform.
+
+    scale_factor=1/2550 keeps every band in (0, 0.2], which makes the evi
+    denominator provably positive (no 0-division on either engine)."""
+    sf = 1.0 / 2550.0
+    gd = _docs_with_swir(spark, sf_dir)
+    gd = vi.nbr(gd, "band_nir", "band_swir2", out="nbr", scale_factor=sf)
+    gd = vi.evi(gd, "band_blue", "band_red", "band_nir", out="evi", scale_factor=sf)
+    gd = vi.wi(gd, "band_red", "band_swir1", out="wi", scale_factor=sf)
+    gd = vi.compare(gd, "band_green", "lt", 128.0, return_binary=True, out="green_lt")
+    gd = vi.linear_transform(gd, ["band_red"], scale=2.0, offset=-1.0)
+    return gd.select(
+        "doc_id",
+        F.round("nbr", 6).alias("nbr"),
+        F.round("evi", 6).alias("evi"),
+        F.round("wi", 6).alias("wi"),
+        F.col("green_lt").cast("long").alias("green_lt"),
+        F.round("band_red", 6).alias("red_lt"),
+    )
+
+
+def q_sample_strata(spark, sf_dir):
+    gd = grid_docs(spark, sf_dir)
+    out = sample.sample_stratified_deterministic(
+        gd,
+        "band_green",
+        {"<,100.0": 0.3, ">=,100.0;<,200.0": 25},
+    )
+    return out.select("doc_id", "band_green")
+
+
+def q_group_dates(spark, sf_dir):
+    """Duplicate acquisition dates → nodata-aware mean (series.py:258-286):
+    three layers, two sharing date d1, zeros treated as nodata."""
+    gd = grid_docs(spark, sf_dir)
+    layers = []
+    for name, k in (("d1", 0), ("d1", 1), ("d2", 2)):
+        layers.append(
+            gd.select(
+                "doc_id",
+                F.lit(name).alias("t"),
+                F.when((F.col("doc_id") + k) % 5 == 0, F.lit(0.0))
+                .otherwise((F.lit(1) + (F.col("doc_id") * 7 + k * 31) % 255).cast("double"))
+                .alias("band_blue"),
+            )
+        )
+    stacked = layers[0].unionByName(layers[1]).unionByName(layers[2])
+    out = temporal.group_dates(
+        stacked, band="band_blue", nodata=0.0, key_cols=("doc_id",)
+    )
+    return out.select("t", "doc_id", F.round("band_blue", 6).alias("band_blue"))
+
+
+def q_concat(spark, sf_dir):
+    """Stack along time with duplicate-time mosaic resolution
+    (xarray_.py:681-709): t2 appears twice → groupBy(t, cell).max."""
+    gd = grid_docs(spark, sf_dir)
+
+    def layer(k):
+        return gd.select(
+            "row",
+            "col",
+            F.when((F.col("doc_id") + k) % 4 == 0, F.lit(0.0))
+            .otherwise((F.lit(1) + (F.col("doc_id") * 11 + k * 17) % 255).cast("double"))
+            .alias("band_blue"),
+        )
+
+    out = mosaic.concat(
+        [layer(0), layer(1), layer(2)],
+        time_names=["t1", "t2", "t2"],
+        overlap="max",
+        nodata=0.0,
+        bands=("band_blue",),
+        key_cols=("row", "col"),
+    )
+    return out.select("t", "row", "col", "band_blue")
+
+
+def q_extract_time(spark, sf_dir):
+    """Multi-time extract: output columns named f'{t}_{band}'
+    (sops.py:872-907)."""
+    gd = grid_docs(spark, sf_dir)
+    stacked = None
+    for i, t in enumerate(("t1", "t2")):
+        s = gd.withColumns(
+            {
+                "t": F.lit(t),
+                "band_blue": (F.lit(1) + (F.col("doc_id") * 7 + i * 31) % 255).cast(
+                    "double"
+                ),
+            }
+        )
+        stacked = s if stacked is None else stacked.unionByName(s)
+    out = ex.extract_points(
+        spark,
+        stacked,
+        _aoi_points_pdf(),
+        GRID,
+        bands=("blue",),
+        time_names=["t1", "t2"],
+    )
+    return out.select("id", "x", "y", "t1_blue", "t2_blue")
+
+
+def q_focal_max(spark, sf_dir):
+    gd = grid_docs(spark, sf_dir)
+    out = focal.moving(gd, GRID, stat="max", w=5, band="band_blue", nodata=None)
+    return out.select("doc_id", F.col("band_blue_max").alias("blue_max"))
+
+
+def q_focal_std(spark, sf_dir):
+    gd = grid_docs(spark, sf_dir)
+    out = focal.moving(gd, GRID, stat="std", w=3, band="band_blue", nodata=None)
+    return out.select("doc_id", F.round("band_blue_std", 6).alias("blue_std"))
+
+
+def q_polygonize(spark, sf_dir):
+    """array_to_polygon: connected same-valued regions (4-connectivity) via
+    iterative min-label propagation + pointer jumping
+    (conversion.py:495-568); regions reported as (comp, value, count, bbox)."""
+    from geowombat_spark.operators import polygonize as pz
+
+    gd = grid_docs(spark, sf_dir).withColumn(
+        "cls", (F.col("n_chars") % 4).cast("long")
+    )
+    comps = pz.connected_components(
+        gd.select("row", "col", F.col("cls").alias("value")), "value"
+    )
+    s = pz.region_summary(comps)
+    return s.select(
+        "comp",
+        "value",
+        F.col("n_cells").cast("long").alias("n_cells"),
+        "row_min",
+        "row_max",
+        "col_min",
+        "col_max",
+    )
+
+
+RZ_BURN = (7.0, 9.0)  # rect, tri burn values
+
+
+def q_rasterize(spark, sf_dir):
+    """polygon_to_array: burn rect(7)+tri(9) onto the grid window covering
+    both; later features overwrite (conversion.py:570-833)."""
+    from geowombat_spark.operators import rasterize as rz
+
+    polys = _polys_pdf().assign(burn=list(RZ_BURN))
+    out = rz.polygon_to_array(spark, polys, GRID, col="burn", fill=0.0)
+    return out.select("row", "col", "value")
+
+
+def q_qa_mask(spark, sf_dir):
+    """QA bit unpacking + usable-pixel mask (radiometry/qa.py:68-344)."""
+    from geowombat_spark.functions import radiometry as rad
+
+    gd = grid_docs(spark, sf_dir).withColumn(
+        "qa", ((F.col("doc_id") * 37 + 11) % 512).cast("long")
+    )
+    out = rad.qa_mask(gd, "qa", keep_clear=True, max_cloud_conf=1)
+    return out.select(
+        "doc_id",
+        *[
+            F.col(c).cast("long").alias(c)
+            for c in (
+                "fill",
+                "clear",
+                "water",
+                "shadow_conf",
+                "snow_conf",
+                "cloud_conf",
+                "qa_ok",
+            )
+        ],
+    )
+
+
+# folded TOAR factor: pi * d^2 / (esun * cos(zenith)) — computed once in
+# Python and inlined as the SAME literal into both engines
+TOAR_FACTOR = __import__("math").pi * 1.0201 / (1536.0 * __import__("math").cos(__import__("math").radians(35.0)))
+
+
+def q_dn_toar(spark, sf_dir):
+    """DN → radiance → TOAR plus direct DN→TOAR with clip
+    (radiometry/sr.py:746-873)."""
+    from geowombat_spark.functions import radiometry as rad
+
+    gd = grid_docs(spark, sf_dir)
+    gd = rad.dn_to_toar(
+        gd, {"band_blue": (2e-05, -0.1), "band_green": (3e-05, -0.05)}, clip=True
+    )
+    gd = rad.dn_to_radiance(gd, {"band_red": (0.01, 1.0)})
+    gd = gd.withColumn(
+        "band_red", F.col("band_red") * F.lit(float(TOAR_FACTOR))
+    )
+    return gd.select(
+        "doc_id",
+        F.round("band_blue", 6).alias("toar_blue"),
+        F.round("band_green", 6).alias("toar_green"),
+        F.round("band_red", 6).alias("toar_red"),
+    )
+
+
+def q_tile_manifest(spark, sf_dir):
+    """Per-tile lineage + metrics — the checkpoint manifest content the
+    tiling sink commits per batch (plans/checkpoint.py)."""
+    from geowombat_spark.plans import checkpoint as cp
+
+    gd = grid_docs(spark, sf_dir)
+    return cp.tile_metrics(gd).select(
+        "tile_id",
+        F.col("row_count").cast("long").alias("row_count"),
+        "checksum",
+        "lineage",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_extract_points": q_extract_points,
@@ -513,6 +800,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sample_random": q_sample_random,
         "q_spans": q_spans,
         "q_media_decode": q_media_decode,
+        "q_tile_manifest": q_tile_manifest,
+        "q_set_nodata": q_set_nodata,
+        "q_band_mask": q_band_mask,
+        "q_tasseled_cap": q_tasseled_cap,
+        "q_vi_suite2": q_vi_suite2,
+        "q_sample_strata": q_sample_strata,
+        "q_group_dates": q_group_dates,
+        "q_concat": q_concat,
+        "q_extract_time": q_extract_time,
+        "q_focal_max": q_focal_max,
+        "q_focal_std": q_focal_std,
+        "q_rasterize": q_rasterize,
+        "q_qa_mask": q_qa_mask,
+        "q_dn_toar": q_dn_toar,
+        "q_polygonize": q_polygonize,
     }
 
 
@@ -521,6 +823,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 MD5I = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def _p11_sql(e: str) -> str:
+    """DuckDB mirror of grid._part1by1 (bit-interleave spread)."""
+    out = f"(CAST({e} AS BIGINT) & 4294967295)"
+    for sh, mask in (
+        (16, 0x0000FFFF0000FFFF),
+        (8, 0x00FF00FF00FF00FF),
+        (4, 0x0F0F0F0F0F0F0F0F),
+        (2, 0x3333333333333333),
+        (1, 0x5555555555555555),
+    ):
+        out = f"((({out}) | (({out}) << {sh})) & {mask})"
+    return out
+
+
+#: DuckDB mirror of grid.zorder_encode(row, col)
+_ZORDER_ORACLE = f"((({_p11_sql('row')}) << 1) | ({_p11_sql('col')}))"
+#: canonical row repr hashed by plans.checkpoint.tile_metrics
+_ROW_REPR = "concat(CAST(doc_id AS VARCHAR), ',', CAST(cell_id AS VARCHAR))"
 
 # shared text CTEs
 TOKS = r"toks AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS t FROM documents)"
@@ -620,6 +942,11 @@ _TRI_INSIDE = (
 # clip window constants (the same driver arithmetic the engine runs)
 _C_R0, _C_R1, _C_C0, _C_C1 = round_window(
     GRID, RECT["minx"], RECT["miny"], RECT["maxx"], RECT["maxy"]
+)
+
+# rasterize window: grid-aligned total bounds of rect + tri
+_RZ_R0, _RZ_R1, _RZ_C0, _RZ_C1 = round_window(
+    GRID, RECT["minx"], _T_MINY, _T_MAXX, _T_MAXY
 )
 
 _RECT_PIP = (
@@ -980,6 +1307,226 @@ SELECT doc_id, media_ref,
   CAST(1 + b4 % 32 AS INTEGER) AS n_frames,
   round((CAST(bsum AS DOUBLE) / 16) / 255.0, 6) AS mean_intensity
 FROM b
+"""
+
+    o["q_tile_manifest"] = f"""
+WITH {G_SQL},
+z AS (
+  SELECT doc_id, row // {GRID.tile_rows} AS tile_id,
+         {_ZORDER_ORACLE} AS cell_id
+  FROM g)
+SELECT tile_id, CAST(count(*) AS BIGINT) AS row_count,
+  CAST(sum({MD5I.format(x=_ROW_REPR)} % 1073741789) AS BIGINT) AS checksum,
+  CAST(sum({MD5I.format(x="CAST(doc_id AS VARCHAR)")} % 1073741789) AS BIGINT) AS lineage
+FROM z GROUP BY tile_id
+"""
+
+    o["q_set_nodata"] = f"""
+WITH {G_SQL}
+SELECT doc_id,
+  round(CASE WHEN band_blue = 5.0 THEN -9999.0
+        ELSE least(greatest(band_blue * 0.1 + 2.0, 0.0), 20.0) END, 6) AS band_blue,
+  round(CASE WHEN band_green = 5.0 THEN -9999.0
+        ELSE least(greatest(band_green * 0.1 + 2.0, 0.0), 20.0) END, 6) AS band_green
+FROM g
+"""
+
+    o["q_band_mask"] = f"""
+WITH {G_SQL}
+SELECT doc_id,
+  CAST(CASE WHEN least(band_blue - 100.0, band_green - 50.0) <= 0 THEN 1 ELSE 0 END AS BIGINT) AS mask
+FROM g
+"""
+
+    _SWIR = """
+  CAST(1 + (doc_id * 17 + 3) % 255 AS DOUBLE) AS band_swir1,
+  CAST(1 + (doc_id * 23 + 9) % 255 AS DOUBLE) AS band_swir2"""
+
+    o["q_tasseled_cap"] = f"""
+WITH {G_SQL},
+s AS (SELECT g.*, {_SWIR} FROM g)
+SELECT doc_id,
+  round(band_blue*0.3029 + band_green*0.2786 + band_red*0.4733
+      + band_nir*0.5599 + band_swir1*0.508 + band_swir2*0.1872, 6) AS brightness,
+  round(band_blue*-0.2941 + band_green*-0.243 + band_red*-0.5424
+      + band_nir*0.7276 + band_swir1*0.0713 + band_swir2*-0.1608, 6) AS greenness,
+  round(band_blue*0.1511 + band_green*0.1973 + band_red*0.3283
+      + band_nir*0.3407 + band_swir1*-0.7117 + band_swir2*-0.4559, 6) AS wetness
+FROM s
+"""
+
+    o["q_vi_suite2"] = f"""
+WITH {G_SQL},
+s AS (SELECT g.*, {_SWIR} FROM g),
+sc AS (
+  SELECT doc_id, band_green,
+    band_blue * (1.0/2550.0) AS b, band_red * (1.0/2550.0) AS r,
+    band_nir * (1.0/2550.0) AS n,
+    band_swir1 * (1.0/2550.0) AS s1, band_swir2 * (1.0/2550.0) AS s2,
+    band_red AS red_raw
+  FROM s)
+SELECT doc_id,
+  round(least(greatest((n - s2) / (n + s2), -1.0), 1.0), 6) AS nbr,
+  round(least(greatest(2.5 * (n - r) / (n + 6.0 * r - 7.5 * b + 1.0), 0.0), 1.0), 6) AS evi,
+  round(least(greatest(CASE WHEN (r + s1) > 0.5 THEN 0.0
+        ELSE 1.0 - (r + s1) / 0.5 END, 0.0), 1.0), 6) AS wi,
+  CAST(CASE WHEN band_green < 128.0 THEN 1 ELSE 0 END AS BIGINT) AS green_lt,
+  round(red_raw * 2.0 + -1.0, 6) AS red_lt
+FROM sc
+"""
+
+    _HV = MD5I.format(x="CAST(doc_id AS VARCHAR)")
+    o["q_sample_strata"] = f"""
+WITH {G_SQL},
+h AS (SELECT doc_id, band_green, {_HV} AS hv FROM g)
+SELECT doc_id, band_green FROM h
+WHERE band_green < 100.0 AND hv % 1000 < 300
+UNION ALL
+SELECT doc_id, band_green FROM (
+  SELECT doc_id, band_green,
+         row_number() OVER (ORDER BY hv, doc_id) AS rn
+  FROM h WHERE band_green >= 100.0 AND band_green < 200.0)
+WHERE rn <= 25
+"""
+
+    o["q_group_dates"] = f"""
+WITH {G_SQL},
+stacked AS (
+  SELECT doc_id, 'd1' AS t,
+    CASE WHEN (doc_id + 0) % 5 = 0 THEN 0.0
+         ELSE CAST(1 + (doc_id * 7 + 0) % 255 AS DOUBLE) END AS band_blue FROM g
+  UNION ALL
+  SELECT doc_id, 'd1',
+    CASE WHEN (doc_id + 1) % 5 = 0 THEN 0.0
+         ELSE CAST(1 + (doc_id * 7 + 31) % 255 AS DOUBLE) END FROM g
+  UNION ALL
+  SELECT doc_id, 'd2',
+    CASE WHEN (doc_id + 2) % 5 = 0 THEN 0.0
+         ELSE CAST(1 + (doc_id * 7 + 62) % 255 AS DOUBLE) END FROM g)
+SELECT t, doc_id, round(avg(nullif(band_blue, 0.0)), 6) AS band_blue
+FROM stacked GROUP BY t, doc_id
+"""
+
+    o["q_concat"] = f"""
+WITH {G_SQL},
+stacked AS (
+  SELECT row, col, 't1' AS t,
+    CASE WHEN (doc_id + 0) % 4 = 0 THEN 0.0
+         ELSE CAST(1 + (doc_id * 11 + 0) % 255 AS DOUBLE) END AS band_blue FROM g
+  UNION ALL
+  SELECT row, col, 't2',
+    CASE WHEN (doc_id + 1) % 4 = 0 THEN 0.0
+         ELSE CAST(1 + (doc_id * 11 + 17) % 255 AS DOUBLE) END FROM g
+  UNION ALL
+  SELECT row, col, 't2',
+    CASE WHEN (doc_id + 2) % 4 = 0 THEN 0.0
+         ELSE CAST(1 + (doc_id * 11 + 34) % 255 AS DOUBLE) END FROM g)
+SELECT t, row, col, max(nullif(band_blue, 0.0)) AS band_blue
+FROM stacked GROUP BY t, row, col
+"""
+
+    o["q_extract_time"] = f"""
+WITH {G_SQL},
+stacked AS (
+  SELECT doc_id, row, col, 't1' AS t,
+    CAST(1 + (doc_id * 7 + 0) % 255 AS DOUBLE) AS band_blue FROM g
+  UNION ALL
+  SELECT doc_id, row, col, 't2',
+    CAST(1 + (doc_id * 7 + 31) % 255 AS DOUBLE) FROM g)
+SELECT p.id, p.x, p.y,
+  max(CASE WHEN s.t = 't1' THEN s.band_blue END) AS t1_blue,
+  max(CASE WHEN s.t = 't2' THEN s.band_blue END) AS t2_blue
+FROM (VALUES {_POINTS_VALUES}) AS p(id, x, y)
+JOIN stacked s ON s.row = CAST(floor((0.0 - p.y) / {CELL}) AS BIGINT)
+              AND s.col = CAST(floor(p.x / {CELL}) AS BIGINT)
+GROUP BY p.id, p.x, p.y
+"""
+
+    o["q_focal_max"] = f"""
+WITH {G_SQL}
+SELECT a.doc_id, max(b.band_blue) AS blue_max
+FROM g a JOIN g b ON abs(a.row - b.row) <= 2 AND abs(a.col - b.col) <= 2
+GROUP BY a.doc_id
+"""
+
+    o["q_focal_std"] = f"""
+WITH {G_SQL}
+SELECT a.doc_id, round(stddev_pop(b.band_blue), 6) AS blue_std
+FROM g a JOIN g b ON abs(a.row - b.row) <= 1 AND abs(a.col - b.col) <= 1
+GROUP BY a.doc_id
+"""
+
+    o["q_rasterize"] = f"""
+WITH cand AS (
+  SELECT CAST(1 AS BIGINT) AS fid, {RZ_BURN[0]} AS burn, 0 AS ord,
+         {RECT['minx']} + (CAST(j AS DOUBLE) + 0.5) * {CELL} AS sx,
+         {RECT['maxy']} - (CAST(i AS DOUBLE) + 0.5) * {CELL} AS sy
+  FROM UNNEST(range({_R_NR})) AS t1(i), UNNEST(range({_R_NC})) AS t2(j)
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), {RZ_BURN[1]}, 1,
+         {_T_MINX} + (CAST(j AS DOUBLE) + 0.5) * {CELL},
+         {_T_MAXY} - (CAST(i AS DOUBLE) + 0.5) * {CELL}
+  FROM UNNEST(range({_T_NR})) AS t1(i), UNNEST(range({_T_NC})) AS t2(j)),
+hit AS (
+  SELECT burn, ord,
+         CAST(floor((0.0 - sy) / {CELL}) AS BIGINT) AS row,
+         CAST(floor(sx / {CELL}) AS BIGINT) AS col
+  FROM cand WHERE fid = 1 OR (fid = 2 AND {_TRI_INSIDE})),
+burned AS (
+  SELECT row, col, arg_max(burn, ord) AS value FROM hit GROUP BY row, col),
+cells AS (
+  SELECT CAST({_RZ_R0} + i AS BIGINT) AS row, CAST({_RZ_C0} + j AS BIGINT) AS col
+  FROM UNNEST(range({_RZ_R1 - _RZ_R0})) AS t1(i),
+       UNNEST(range({_RZ_C1 - _RZ_C0})) AS t2(j))
+SELECT c.row, c.col, coalesce(b.value, 0.0) AS value
+FROM cells c LEFT JOIN burned b ON b.row = c.row AND b.col = c.col
+"""
+
+    o["q_qa_mask"] = f"""
+WITH {G_SQL},
+q AS (SELECT doc_id, (doc_id * 37 + 11) % 512 AS qa FROM g)
+SELECT doc_id,
+  CAST(qa & 1 AS BIGINT) AS fill,
+  CAST((qa >> 1) & 1 AS BIGINT) AS clear,
+  CAST((qa >> 2) & 1 AS BIGINT) AS water,
+  CAST((qa >> 3) & 3 AS BIGINT) AS shadow_conf,
+  CAST((qa >> 5) & 3 AS BIGINT) AS snow_conf,
+  CAST((qa >> 7) & 3 AS BIGINT) AS cloud_conf,
+  CAST(CASE WHEN ((qa >> 7) & 3) <= 1 AND ((qa >> 1) & 1) = 1
+            AND (qa & 1) = 0 THEN 1 ELSE 0 END AS BIGINT) AS qa_ok
+FROM q
+"""
+
+    o["q_dn_toar"] = f"""
+WITH {G_SQL}
+SELECT doc_id,
+  round(least(greatest(band_blue * 2e-05 + -0.1, 0.0), 1.0), 6) AS toar_blue,
+  round(least(greatest(band_green * 3e-05 + -0.05, 0.0), 1.0), 6) AS toar_green,
+  round((band_red * 0.01 + 1.0) * {TOAR_FACTOR!r}, 6) AS toar_red
+FROM g
+"""
+
+    o["q_polygonize"] = f"""
+WITH RECURSIVE {G_SQL.strip().lstrip()},
+c AS (
+  SELECT doc_id, row, col, n_chars % 4 AS value,
+         row * 4294967296 + col AS lab
+  FROM g),
+adj AS (
+  SELECT a.lab AS u, b.lab AS v FROM c a JOIN c b
+  ON a.value = b.value
+  AND ((abs(a.row - b.row) = 1 AND a.col = b.col)
+    OR (a.row = b.row AND abs(a.col - b.col) = 1))),
+reach(u, v) AS (
+  SELECT lab, lab FROM c
+  UNION
+  SELECT r.u, a.v FROM reach r JOIN adj a ON a.u = r.v),
+comp AS (SELECT u AS lab, min(v) AS comp FROM reach GROUP BY u)
+SELECT comp.comp, c.value, CAST(count(*) AS BIGINT) AS n_cells,
+  min(c.row) AS row_min, max(c.row) AS row_max,
+  min(c.col) AS col_min, max(c.col) AS col_max
+FROM c JOIN comp ON comp.lab = c.lab
+GROUP BY comp.comp, c.value
 """
 
     return o

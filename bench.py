@@ -142,10 +142,16 @@ def synth_corpus(spark: SparkSession, n_docs: int):
 
 
 def corpus_path(n_docs: int) -> str:
-    return os.path.join(CACHE_DIR, f"corpus_{n_docs}")
+    return os.path.join(CACHE_DIR, f"corpus_v2_{n_docs}")
 
 
 def ensure_corpus(spark: SparkSession, n_docs: int) -> str:
+    """Range-sorted scan layout: ~16 MB files, rows ordered by
+    (tile_id, cell_id), so tile predicates prune at parquet row-group
+    granularity via min/max stats. At 100 TB this is the Iceberg-style
+    read layout (sorted data files + stats pruning) — a directory per tile
+    would mean millions of tiny files; dir-per-tile remains the WRITE/resume
+    layout of plans/checkpoint.py, a different concern."""
     path = corpus_path(n_docs)
     marker = os.path.join(path, "_SUCCESS")
     if os.path.exists(marker):
@@ -154,11 +160,11 @@ def ensure_corpus(spark: SparkSession, n_docs: int) -> str:
     if os.path.exists(path):
         shutil.rmtree(path)
     d, _ = synth_corpus(spark, n_docs)
+    n_files = max(32, n_docs // 625_000)
     (
-        d.repartition(F.col("tile_id"))
-        .sortWithinPartitions("cell_id")
+        d.repartitionByRange(n_files, F.col("tile_id"), F.col("cell_id"))
+        .sortWithinPartitions("tile_id", "cell_id")
         .write.mode("overwrite")
-        .partitionBy("tile_id")
         .parquet(path)
     )
     return path

@@ -99,12 +99,19 @@ def extract_points(
     time_names: list[str] | None = None,
     id_column: str = "id",
     keep_doc_columns: list[str] = (),
+    ordered: bool = True,
 ) -> DataFrame:
     """Sample band values at AOI points.
 
     Returns one row per AOI point, band columns named like the reference:
     ``blue`` for a single time, ``t1_blue``/``t2_blue``… for stacks
     (``sops.py:872-907``).
+
+    ``ordered=True`` returns rows in AOI order (reference parity). Note the
+    cost: a global ``orderBy`` uses range partitioning, whose sampling pass
+    *recomputes the join input* — i.e. the corpus scan runs twice. Pass
+    ``ordered=False`` in throughput-critical pipelines (any consumer that
+    aggregates or re-sorts anyway).
     """
     enc = encode_points_pdf(aoi, grid)
     pts_cols = [id_column, "x", "y", "cell_id"]
@@ -138,7 +145,9 @@ def extract_points(
     else:
         renames = dict(zip(band_cols, bands))
         out = joined.withColumnsRenamed(renames)
-    return out.orderBy("_pt_order").drop("_pt_order")
+    if ordered:
+        out = out.orderBy("_pt_order")
+    return out.drop("_pt_order")
 
 
 def sample_polygons(

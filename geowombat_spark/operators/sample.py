@@ -75,6 +75,37 @@ def sample_stratified(
     return out
 
 
+def sample_stratified_deterministic(
+    docs: DataFrame,
+    band: str,
+    strata: dict[str, float | int],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hash-deterministic stratified sampling.
+
+    Same strata grammar as :func:`sample_stratified`, but selection is a
+    pure function of the row identity (portable md5 hash), not of Spark's
+    partition-seeded RNG — so results are identical across engines, runs,
+    partitionings and cluster sizes. This is the production variant for
+    training-data pipelines where a sample must be reproducible; fractions
+    select ``hash % 1000 < frac*1000``, counts take the ``k`` smallest
+    hashes (a distributed top-k, no full sort).
+    """
+    from functools import reduce
+
+    from ..pipeline.text import md5_int
+
+    h = md5_int(F.col(id_col).cast("string"))
+    parts = []
+    for cond, amount in strata.items():
+        stratum = docs.filter(parse_strata_condition(band, cond))
+        if isinstance(amount, float) and not isinstance(amount, bool) and amount <= 1.0:
+            parts.append(stratum.filter(h % 1000 < int(round(amount * 1000))))
+        else:
+            parts.append(stratum.orderBy(h, F.col(id_col)).limit(int(amount)))
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
 def thin_min_dist(points: pd.DataFrame, min_dist: float) -> pd.DataFrame:
     """Greedy keep-first min-distance thinning of a sampled point set —
     parity with ``_remove_near_points`` (``sops.py:56-81``: drops the

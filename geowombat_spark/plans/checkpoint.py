@@ -1,0 +1,227 @@
+"""Checkpointed tiling sink: batched tile writes + manifest + resume + salting.
+
+This is the Spark rebuild of the reference's windowed write path:
+
+- ``gw.to_raster`` writes one file **per window** named by its offsets
+  (``/root/reference/src/geowombat/backends/rasterio_.py:131-135``) — the
+  per-window file IS its resume unit.
+- ``GeoTask._check_task`` short-circuits tasks whose outputs already exist
+  (``/root/reference/src/geowombat/tasks/pipeline.py:176``) — the
+  output-exists check IS its resume protocol.
+
+Here both become first-class: the sink writes the corpus as a
+tile-partitioned parquet dataset (the Iceberg-shim layout) in bounded
+batches of tiles, and appends one manifest row per tile with **per-partition
+lineage + metrics** (row count, order-independent content checksum, lineage
+hash over the contributing doc_ids, batch id, wall time). Restarting the
+same write anti-joins pending tiles against the manifest and only runs what
+is missing — the north rule's mid-job resume.
+
+Skew: a cheap ``groupBy(tile_id).count()`` pre-pass finds hot tiles; the
+write repartitions on ``(tile_id, salt)`` where ``salt = pmod(hash(doc_id),
+n_salt)`` applies only to hot tiles — a hot tile spreads over ``n_salt``
+tasks (and files), cold tiles keep one. AQE skew-join splitting covers the
+moderate-skew case at shuffle time; the salt covers pathological producers.
+Salting the *write* never breaks correctness because ``partitionBy`` keys
+files by ``tile_id`` regardless of which task wrote them.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: hash-unit modulus (largest 30-bit prime) — see tile_metrics
+CHECKSUM_PRIME = 1_073_741_789
+
+MANIFEST_SCHEMA = (
+    "tile_id bigint, batch_id int, row_count bigint, checksum bigint, "
+    "lineage bigint, wall_s double, status string, ts double"
+)
+
+
+def tile_metrics(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-tile lineage + metrics as one aggregation.
+
+    - ``row_count``: rows landing in the tile.
+    - ``checksum``: order-independent content hash — sum of the portable
+      md5-derived int64 (``pipeline.text.md5_int``) over the canonical row
+      repr (id + cell). Any lost/duplicated/mutated row changes it;
+      commutativity makes it shuffle-order invariant, and md5 makes it
+      bit-for-bit reproducible in any SQL engine (the DuckDB oracle
+      recomputes it).
+    - ``lineage``: same construction over the *input identity* only
+      (``doc_id``) — two runs over the same input partition agree on
+      lineage even if derived columns change.
+    """
+    from ..pipeline.text import md5_int
+
+    # 30-bit hash units: Spark 4 runs ANSI mode, where a long-sum overflow
+    # is a job-killing error. 30-bit units keep the sum < 2^63 for any tile
+    # up to 2^33 rows — far beyond the 512×512 tile ceiling.
+    row_repr = F.concat_ws(
+        ",", F.col(id_col).cast("string"), F.col("cell_id").cast("string")
+    )
+    return df.groupBy("tile_id").agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.sum(md5_int(row_repr) % CHECKSUM_PRIME).alias("checksum"),
+        F.sum(md5_int(F.col(id_col).cast("string")) % CHECKSUM_PRIME).alias(
+            "lineage"
+        ),
+    )
+
+
+def _manifest_path(path: str) -> str:
+    return os.path.join(path, "_manifest")
+
+
+def read_manifest(spark: SparkSession, path: str) -> DataFrame | None:
+    mp = _manifest_path(path)
+    if not os.path.isdir(mp) or not os.listdir(mp):
+        return None
+    return spark.read.schema(MANIFEST_SCHEMA).parquet(mp)
+
+
+def completed_tiles(spark: SparkSession, path: str) -> set[int]:
+    m = read_manifest(spark, path)
+    if m is None:
+        return set()
+    return {
+        r[0]
+        for r in m.filter(F.col("status") == "ok").select("tile_id").distinct().collect()
+    }
+
+
+def hot_tiles(df: DataFrame, threshold: int) -> set[int]:
+    """Skew pre-pass: tiles whose row count exceeds ``threshold``.
+
+    One partial-aggregated count per tile — at 100 TB this is a map-side
+    combine over the partition column, far cheaper than the write itself.
+    """
+    rows = (
+        df.groupBy("tile_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > threshold)
+        .collect()
+    )
+    return {int(r[0]) for r in rows}
+
+
+def write_tiled_checkpointed(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    batch_tiles: int = 64,
+    salt_threshold: int | None = None,
+    n_salt: int = 8,
+    sort_col: str = "cell_id",
+    fail_after_batches: int | None = None,
+) -> DataFrame:
+    """Write ``df`` (must carry ``tile_id``) as a tile-partitioned dataset in
+    resumable batches. Returns the manifest DataFrame.
+
+    ``fail_after_batches`` is the fault-injection hook used by the
+    kill/restart test: the writer raises after that many committed batches,
+    exactly as if the job died mid-run. A rerun with the same arguments
+    resumes from the manifest.
+    """
+    spark = df.sparkSession
+    all_tiles = sorted(
+        int(r[0]) for r in df.select("tile_id").distinct().collect()
+    )
+    done = completed_tiles(spark, path)
+    pending = [t for t in all_tiles if t not in done]
+
+    hot: set[int] = set()
+    if salt_threshold is not None and pending:
+        hot = hot_tiles(df.filter(F.col("tile_id").isin(pending)), salt_threshold)
+
+    mp = _manifest_path(path)
+    os.makedirs(mp, exist_ok=True)
+    batches = [
+        pending[i : i + batch_tiles] for i in range(0, len(pending), batch_tiles)
+    ]
+    for bi, batch in enumerate(batches):
+        t0 = time.time()
+        sub = df.filter(F.col("tile_id").isin(batch))
+        hot_in_batch = [t for t in batch if t in hot]
+        if hot_in_batch:
+            # Salt only the hot tiles: cold tiles keep salt 0 (one task),
+            # hot tiles fan out over n_salt tasks/files. The partition count
+            # is explicit — a user-specified repartition(n) is exempt from
+            # AQE coalescing, so the fan-out survives even when the batch is
+            # small (AQE would otherwise re-merge the hot tile into one
+            # task, which is exactly the skew being removed).
+            n_parts = max(
+                spark.sparkContext.defaultParallelism,
+                len(batch) + n_salt * len(hot_in_batch),
+            )
+            salt = F.when(
+                F.col("tile_id").isin(hot_in_batch),
+                F.pmod(F.hash(F.col(id_col)), F.lit(n_salt)),
+            ).otherwise(F.lit(0))
+            sub = sub.repartition(n_parts, F.col("tile_id"), salt.alias("_salt"))
+        else:
+            sub = sub.repartition(F.col("tile_id"))
+        sub = sub.sortWithinPartitions(sort_col)
+        # Dynamic partition overwrite: the batch replaces exactly the tile
+        # directories it touches. A job killed between the data commit and
+        # the manifest commit leaves orphan tile files — the resumed run
+        # re-executes that batch and the overwrite replaces them, so the
+        # manifest row (written after the data) is the one true commit.
+        (
+            sub.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("tile_id")
+            .parquet(path)
+        )
+        metrics = tile_metrics(df.filter(F.col("tile_id").isin(batch)), id_col)
+        wall = time.time() - t0
+        manifest_rows = metrics.select(
+            "tile_id",
+            F.lit(bi).alias("batch_id"),
+            "row_count",
+            "checksum",
+            "lineage",
+            F.lit(round(wall, 3)).alias("wall_s"),
+            F.lit("ok").alias("status"),
+            F.lit(time.time()).alias("ts"),
+        )
+        manifest_rows.coalesce(1).write.mode("append").parquet(mp)
+        if fail_after_batches is not None and bi + 1 >= fail_after_batches:
+            raise RuntimeError(
+                f"fault injection: killed after batch {bi} "
+                f"({(bi + 1) * batch_tiles} tiles committed)"
+            )
+    return read_manifest(spark, path)
+
+
+def verify_against_manifest(
+    df: DataFrame, spark: SparkSession, path: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Audit a written dataset: recompute per-tile metrics from the stored
+    files and anti-compare with the manifest. Returns rows that disagree
+    (empty ⇒ the dataset is complete and content-identical)."""
+    stored = spark.read.option("basePath", path).parquet(path)
+    actual = tile_metrics(stored, id_col)
+    man = (
+        read_manifest(spark, path)
+        .groupBy("tile_id")
+        .agg(
+            F.max("row_count").alias("m_rows"),
+            F.max("checksum").alias("m_sum"),
+        )
+    )
+    return (
+        actual.join(man, "tile_id", "full_outer")
+        .filter(
+            F.col("row_count").isNull()
+            | F.col("m_rows").isNull()
+            | (F.col("row_count") != F.col("m_rows"))
+            | (F.col("checksum") != F.col("m_sum"))
+        )
+    )

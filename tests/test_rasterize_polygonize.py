@@ -1,0 +1,99 @@
+"""polygon_to_array (rasterize) and array_to_polygon (connected components)
+— reference semantics: ``conversion.py:570-833`` (later feature wins,
+center containment) and ``conversion.py:495-568`` (4/8-connectivity)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geowombat_spark.grid import GridSpec
+from geowombat_spark.operators import polygonize as pz
+from geowombat_spark.operators import rasterize as rz
+
+GRID = GridSpec(
+    left=0.0, top=0.0, cellx=10.0, celly=10.0, nrows=100, ncols=100,
+    tile_rows=50, tile_cols=50, nodata=0.0,
+)
+
+
+def _rect_rings(minx, miny, maxx, maxy):
+    return [[minx, maxy, maxx, maxy, maxx, miny, minx, miny]]
+
+
+def test_rasterize_burn_and_fill(spark):
+    # Reference parity (util.py:269-295): sampling runs on the POLYGON-LOCAL
+    # grid — origin (minx, maxy)=(2,-2), truncated dims 3 cols × 2 rows →
+    # local centers x=7,17,27 / y=-7,-17 → global cols 0-2, rows 0-1.
+    polys = pd.DataFrame(
+        [{"fid": 1, "rings": _rect_rings(2.0, -28.0, 38.0, -2.0)}]
+    )
+    out = rz.polygon_to_array(spark, polys, GRID, default_value=5.0, fill=0.0)
+    pdf = out.toPandas().sort_values(["row", "col"]).reset_index(drop=True)
+    burned = pdf[pdf["value"] == 5.0]
+    assert len(burned) == 6
+    assert set(burned["col"]) == {0, 1, 2}
+    assert set(burned["row"]) == {0, 1}
+    # everything else in the window is fill
+    assert set(pdf["value"]).issubset({0.0, 5.0})
+
+
+def test_rasterize_later_feature_wins(spark):
+    a = {"fid": 1, "rings": _rect_rings(2.0, -28.0, 38.0, -2.0)}
+    b = {"fid": 2, "rings": _rect_rings(22.0, -28.0, 58.0, -2.0)}
+    polys = pd.DataFrame([a, b]).assign(burn=[1.0, 2.0])
+    out = rz.polygon_to_array(spark, polys, GRID, col="burn", fill=-1.0)
+    pdf = out.toPandas()
+    # A covers cols 0-2, B covers cols 2-4 (rows 0-1); overlap col 2:
+    # feature 2 (later) wins — GDAL rasterize parity
+    overlap = pdf[(pdf["col"] == 2) & (pdf["row"] < 2)]
+    assert (overlap["value"] == 2.0).all()
+    only_a = pdf[(pdf["col"].isin([0, 1])) & (pdf["row"] < 2)]
+    assert (only_a["value"] == 1.0).all()
+    only_b = pdf[(pdf["col"].isin([3, 4])) & (pdf["row"] < 2)]
+    assert (only_b["value"] == 2.0).all()
+
+
+def _cells(spark, arr):
+    rows, cols = np.nonzero(np.ones_like(arr))
+    pdf = pd.DataFrame(
+        {"row": rows.astype(np.int64), "col": cols.astype(np.int64),
+         "value": arr[rows, cols].astype(np.int64)}
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_components_two_halves(spark):
+    arr = np.zeros((6, 6), dtype=np.int64)
+    arr[:, 3:] = 1
+    comps = pz.connected_components(_cells(spark, arr), "value")
+    s = pz.region_summary(comps).toPandas()
+    assert len(s) == 2
+    assert sorted(s["n_cells"]) == [18, 18]
+
+
+def test_components_diagonal_not_connected_4(spark):
+    # two same-valued cells touching only diagonally
+    arr = np.zeros((4, 4), dtype=np.int64)
+    arr[1, 1] = 1
+    arr[2, 2] = 1
+    comps = pz.connected_components(_cells(spark, arr), "value", connectivity=4)
+    s = pz.region_summary(comps).toPandas()
+    ones = s[s["value"] == 1]
+    assert len(ones) == 2  # separate under 4-connectivity
+    comps8 = pz.connected_components(_cells(spark, arr), "value", connectivity=8)
+    s8 = pz.region_summary(comps8).toPandas()
+    assert len(s8[s8["value"] == 1]) == 1  # joined under 8-connectivity
+
+
+def test_components_snake(spark):
+    # an S-shaped path: pointer jumping must still converge to one label
+    arr = np.zeros((5, 5), dtype=np.int64)
+    path = [(0, 0), (0, 1), (0, 2), (1, 2), (2, 2), (2, 1), (2, 0), (3, 0), (4, 0)]
+    for r, c in path:
+        arr[r, c] = 7
+    comps = pz.connected_components(_cells(spark, arr), "value")
+    s = pz.region_summary(comps).toPandas()
+    seven = s[s["value"] == 7]
+    assert len(seven) == 1
+    assert int(seven["n_cells"].iloc[0]) == len(path)

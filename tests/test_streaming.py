@@ -1,0 +1,130 @@
+"""Structured Streaming ingest: micro-batch file source → cell encode →
+watermarked tile rollup → memory/file sinks; custom stateful running stats."""
+
+import os
+import shutil
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geowombat_spark.grid import GridSpec
+from geowombat_spark.streaming import ingest
+
+GRID = GridSpec(
+    left=0.0, top=0.0, cellx=30.0, celly=30.0, nrows=64, ncols=64,
+    tile_rows=16, tile_cols=16, nodata=0.0,
+)
+
+
+@pytest.fixture()
+def stream_dirs():
+    base = tempfile.mkdtemp(prefix="gw_stream_")
+    paths = {k: os.path.join(base, k) for k in ("in", "out", "ckpt", "ckpt2")}
+    os.makedirs(paths["in"])
+    yield paths
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def _batch(spark, path, docs, name):
+    """Write one micro-batch as a single flat file in the stream dir (the
+    file source treats subdirectories as partition dirs, so batches must be
+    flat files)."""
+    import glob as _glob
+
+    pdf = pd.DataFrame(docs, columns=["doc_id", "x", "y", "value", "event_ts"])
+    pdf["event_ts"] = pd.to_datetime(pdf["event_ts"])
+    sdf = spark.createDataFrame(pdf)
+    tmp = os.path.join(os.path.dirname(path), f"_stage_{name}")
+    sdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    shutil.copy(part, os.path.join(path, f"{name}.parquet"))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+BATCH1 = [
+    (1, 15.0, -15.0, 10.0, "2026-01-01 00:00:10"),   # tile 0
+    (2, 45.0, -15.0, 20.0, "2026-01-01 00:00:20"),   # tile 0
+    (3, 500.0, -15.0, 30.0, "2026-01-01 00:00:30"),  # tile 1 (col 16)
+]
+BATCH2 = [
+    (4, 15.0, -45.0, 40.0, "2026-01-01 00:01:10"),   # tile 0, next window
+    (5, 500.0, -500.0, 50.0, "2026-01-01 00:01:20"),  # tile 5
+]
+
+
+def test_stream_tile_rollup_to_memory(spark, stream_dirs):
+    _batch(spark, stream_dirs["in"], BATCH1, "b1")
+    _batch(spark, stream_dirs["in"], BATCH2, "b2")
+    stream = ingest.stream_documents(spark, stream_dirs["in"])
+    assert stream.isStreaming
+    rollup = ingest.tile_rollup(ingest.encode_stream(stream, GRID))
+    q = (
+        rollup.writeStream.format("memory")
+        .queryName("rollup_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["tile_id"]): (r["n_docs"], r["mean_value"])
+        for r in spark.sql("select * from rollup_test").collect()
+    }
+    assert got[("2026-01-01 00:00:00", 0)] == (2, 15.0)
+    assert got[("2026-01-01 00:00:00", 1)] == (1, 30.0)
+    assert got[("2026-01-01 00:01:00", 0)] == (1, 40.0)
+    # doc 5: col=16, row=16 → tile (1,1) = tile_rows block 1 * 4 tiles_x + 1
+    assert got[("2026-01-01 00:01:00", 5)] == (1, 50.0)
+
+
+def test_stream_write_tiled_and_resume(spark, stream_dirs):
+    _batch(spark, stream_dirs["in"], BATCH1, "b1")
+    enc = ingest.encode_stream(
+        ingest.stream_documents(spark, stream_dirs["in"]), GRID
+    )
+    q = ingest.write_stream_tiled(enc, stream_dirs["out"], stream_dirs["ckpt"])
+    q.awaitTermination(120)
+    got1 = spark.read.option("basePath", stream_dirs["out"]).parquet(
+        stream_dirs["out"]
+    )
+    assert got1.count() == 3
+    assert {r[0] for r in got1.select("tile_id").distinct().collect()} == {0, 1}
+
+    # new files arrive; restart from the SAME checkpoint → only the new
+    # batch is processed (streaming WAL = the resume protocol)
+    _batch(spark, stream_dirs["in"], BATCH2, "b2")
+    q2 = ingest.write_stream_tiled(enc, stream_dirs["out"], stream_dirs["ckpt"])
+    q2.awaitTermination(120)
+    got2 = spark.read.option("basePath", stream_dirs["out"]).parquet(
+        stream_dirs["out"]
+    )
+    assert got2.count() == 5
+    assert got2.select("doc_id").distinct().count() == 5
+
+
+def test_running_tile_stats_stateful(spark, stream_dirs):
+    _batch(spark, stream_dirs["in"], BATCH1, "b1")
+    _batch(spark, stream_dirs["in"], BATCH2, "b2")
+    enc = ingest.encode_stream(
+        ingest.stream_documents(spark, stream_dirs["in"]), GRID
+    )
+    stats = ingest.running_tile_stats(enc)
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("running_stats")
+        .outputMode("update")
+        .option("checkpointLocation", stream_dirs["ckpt2"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # with maxFilesPerTrigger=1 tile 0 is updated in two micro-batches; the
+    # LAST update row carries the folded running state (3 docs, mean 70/3)
+    rows = spark.sql(
+        "select * from running_stats where tile_id = 0 order by n"
+    ).collect()
+    assert rows[-1]["n"] == 3
+    assert rows[-1]["total"] == 70.0
+    assert abs(rows[-1]["mean"] - round(70.0 / 3, 6)) < 1e-9
