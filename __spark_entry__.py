@@ -686,6 +686,44 @@ def q_polygonize(spark, sf_dir):
     )
 
 
+# destination frame for the warp queries: 2x coarser, half-cell shifted
+DST_GRID = GridSpec(
+    left=-15.0,
+    top=15.0,
+    cellx=60.0,
+    celly=60.0,
+    nrows=12,
+    ncols=14,
+    tile_rows=12,
+    tile_cols=14,
+    nodata=0.0,
+)
+
+
+def q_warp_nearest(spark, sf_dir):
+    """transform_crs, nearest: warp = extract at the destination lattice
+    centers (inverse mapping; rasterio_.py:1087-1284)."""
+    from geowombat_spark.operators import transform as tf
+
+    gd = grid_docs(spark, sf_dir)
+    out = tf.transform_grid(
+        spark, gd, GRID, DST_GRID, bands=("band_blue", "band_green"), resampling="nearest"
+    )
+    return out.select("row", "col", "x", "y", "band_blue", "band_green")
+
+
+def q_warp_avg(spark, sf_dir):
+    """transform_crs, average: forward map + groupBy avg (nodata-skipping
+    aggregate resample)."""
+    from geowombat_spark.operators import transform as tf
+
+    gd = grid_docs(spark, sf_dir)
+    out = tf.transform_grid(
+        spark, gd, GRID, DST_GRID, bands=("band_blue",), resampling="average"
+    )
+    return out.select("row", "col", "x", "y", F.round("band_blue", 6).alias("band_blue"))
+
+
 RZ_BURN = (7.0, 9.0)  # rect, tri burn values
 
 
@@ -815,6 +853,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_qa_mask": q_qa_mask,
         "q_dn_toar": q_dn_toar,
         "q_polygonize": q_polygonize,
+        "q_warp_nearest": q_warp_nearest,
+        "q_warp_avg": q_warp_avg,
     }
 
 
@@ -1527,6 +1567,35 @@ SELECT comp.comp, c.value, CAST(count(*) AS BIGINT) AS n_cells,
   min(c.col) AS col_min, max(c.col) AS col_max
 FROM c JOIN comp ON comp.lab = c.lab
 GROUP BY comp.comp, c.value
+"""
+
+    o["q_warp_nearest"] = f"""
+WITH {G_SQL},
+lat AS (
+  SELECT CAST(i AS BIGINT) AS row, CAST(j AS BIGINT) AS col,
+         -15.0 + (CAST(j AS DOUBLE) + 0.5) * 60.0 AS x,
+         15.0 - (CAST(i AS DOUBLE) + 0.5) * 60.0 AS y
+  FROM UNNEST(range(12)) AS t1(i), UNNEST(range(14)) AS t2(j))
+SELECT l.row, l.col, l.x, l.y, g.band_blue, g.band_green
+FROM lat l LEFT JOIN g
+  ON g.row = CAST(floor((0.0 - l.y) / 30.0) AS BIGINT)
+ AND g.col = CAST(floor((l.x - 0.0) / 30.0) AS BIGINT)
+"""
+
+    o["q_warp_avg"] = f"""
+WITH {G_SQL},
+fwd AS (
+  SELECT CAST(floor((15.0 - y) / 60.0) AS BIGINT) AS row,
+         CAST(floor((x - -15.0) / 60.0) AS BIGINT) AS col,
+         band_blue
+  FROM g
+  WHERE floor((15.0 - y) / 60.0) >= 0 AND floor((15.0 - y) / 60.0) < 12
+    AND floor((x - -15.0) / 60.0) >= 0 AND floor((x - -15.0) / 60.0) < 14)
+SELECT row, col,
+  -15.0 + (CAST(col AS DOUBLE) + 0.5) * 60.0 AS x,
+  15.0 - (CAST(row AS DOUBLE) + 0.5) * 60.0 AS y,
+  round(avg(band_blue), 6) AS band_blue
+FROM fwd GROUP BY row, col
 """
 
     return o

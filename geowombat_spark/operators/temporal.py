@@ -116,6 +116,65 @@ def series_stats(
     return src.groupBy(*key_cols).agg(*aggs)
 
 
+def series_apply(
+    docs: DataFrame,
+    kernel,
+    out_names: tuple[str, ...],
+    band: str = "band_blue",
+    time_col: str = "t",
+    group_col: str = "tile_id",
+) -> DataFrame:
+    """TimeModule protocol: a user numpy kernel over the co-located time
+    cube of each tile (``core/series.py:289-379``; windowed reader
+    ``core/api.py:1062-1300``).
+
+    ``kernel(cube, times) -> array[C, N]`` where ``cube`` is the dense
+    ``[T, N]`` float64 array of one tile's cells (N cells, T sorted
+    timesteps, NaN where a (t, cell) sample is missing) — the tabular form
+    of the reference's ``array[T, B, H, W]`` (H×W flattens to N; run one
+    band per call, compose bands like ``TimeModulePipeline`` composes
+    modules). Output C rows per declared ``out_names`` column.
+
+    Spark shape: ``groupBy(tile_id).applyInPandas`` — all T timesteps of a
+    tile are co-located by the one shuffle, then the kernel is a single
+    vectorized numpy call per tile.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = "row bigint, col bigint" + "".join(
+        f", {n} double" for n in out_names
+    )
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        times = np.sort(pdf[time_col].unique())
+        piv = pdf.pivot_table(
+            index=["row", "col"], columns=time_col, values=band, aggfunc="first"
+        ).reindex(columns=times)
+        cube = piv.to_numpy(dtype=np.float64).T  # [T, N]
+        out = np.asarray(kernel(cube, times), dtype=np.float64)  # [C, N]
+        res = pd.DataFrame(
+            {"row": piv.index.get_level_values(0), "col": piv.index.get_level_values(1)}
+        )
+        for i, name in enumerate(out_names):
+            res[name] = out[i]
+        return res
+
+    return docs.groupBy(group_col).applyInPandas(fn, out_schema)
+
+
+def apply_blocks(docs: DataFrame, fn, out_schema: str) -> DataFrame:
+    """``gw.apply`` analogue (``core/io.py:1377-1509``): stream the table
+    through a user batch function — ``mapInPandas`` over Arrow batches, one
+    job, no driver round-trip. ``fn(pdf) -> pdf`` per batch."""
+
+    def gen(it):
+        for pdf in it:
+            yield fn(pdf)
+
+    return docs.mapInPandas(gen, out_schema)
+
+
 def group_dates(
     docs: DataFrame,
     band: str = "band_blue",

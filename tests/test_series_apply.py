@@ -1,0 +1,78 @@
+"""series_apply (TimeModule protocol) and apply_blocks (gw.apply analogue)."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from geowombat_spark.operators import temporal
+
+
+def _stack(spark, n=60, T=4):
+    base = spark.range(n).select(
+        F.expr("id div 10").cast("long").alias("row"),
+        (F.col("id") % 10).cast("long").alias("col"),
+        (F.col("id") % 3).cast("long").alias("tile_id"),
+        F.col("id").alias("cell"),
+    )
+    layers = [
+        base.select(
+            "tile_id",
+            "row",
+            "col",
+            F.lit(f"t{i}").alias("t"),
+            (F.col("cell") * 2 + i * 10).cast("double").alias("band_blue"),
+        )
+        for i in range(T)
+    ]
+    out = layers[0]
+    for l in layers[1:]:
+        out = out.unionByName(l)
+    return out
+
+
+def test_series_apply_mean_amp(spark):
+    docs = _stack(spark)
+
+    def kernel(cube, times):
+        # cube [T, N] → rows: temporal mean, amplitude
+        return np.vstack(
+            [np.nanmean(cube, axis=0), np.nanmax(cube, axis=0) - np.nanmin(cube, axis=0)]
+        )
+
+    out = temporal.series_apply(docs, kernel, ("tmean", "amp")).toPandas()
+    assert len(out) == 60
+    # value v(t) = cell*2 + 10t, t=0..3 → mean = cell*2 + 15, amp = 30
+    out = out.sort_values(["row", "col"]).reset_index(drop=True)
+    cells = out["row"] * 10 + out["col"]
+    assert np.allclose(out["tmean"], cells * 2 + 15)
+    assert np.allclose(out["amp"], 30.0)
+
+
+def test_series_apply_missing_samples_are_nan(spark):
+    docs = _stack(spark).filter(
+        ~((F.col("t") == "t0") & (F.col("row") == 0))  # drop t0 for row 0
+    )
+
+    def kernel(cube, times):
+        return np.vstack([np.sum(np.isnan(cube), axis=0).astype(float)])
+
+    out = temporal.series_apply(docs, kernel, ("n_missing",)).toPandas()
+    out = out.sort_values(["row", "col"]).reset_index(drop=True)
+    assert (out.loc[out["row"] == 0, "n_missing"] == 1.0).all()
+    assert (out.loc[out["row"] != 0, "n_missing"] == 0.0).all()
+
+
+def test_apply_blocks(spark):
+    docs = _stack(spark)
+
+    def double_blue(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"row": pdf["row"], "col": pdf["col"], "v2": pdf["band_blue"] * 2.0}
+        )
+
+    out = temporal.apply_blocks(
+        docs, double_blue, "row bigint, col bigint, v2 double"
+    )
+    got = out.agg(F.sum("v2")).collect()[0][0]
+    exp = docs.agg(F.sum(F.col("band_blue") * 2.0)).collect()[0][0]
+    assert abs(got - exp) < 1e-6
