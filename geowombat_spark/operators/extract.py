@@ -39,6 +39,47 @@ def _band_col(name: str) -> str:
     return f"band_{name}" if not name.startswith("band_") else name
 
 
+def prepare_points(
+    aoi: pd.DataFrame,
+    grid: GridSpec,
+    aoi_epsg: int | None = None,
+    mask_rings: list | None = None,
+    id_column: str = "id",
+) -> pd.DataFrame:
+    """AOI normalization (``conversion.py:338-436`` parity): ensure an id
+    column, reproject to the raster frame (``:369-374``), clip to the image
+    bounds (points: ``intersects`` filter, ``:395-397``), optional
+    ``within(mask)`` PIP filter (``:399-413``), reindex (``:432-435``).
+
+    ``aoi_epsg`` names the AOI frame when it differs from ``grid.crs``
+    (supported frames: EPSG:4326 and UTM zones — ``crs.reproject_points``).
+    """
+    from ..crs import reproject_points
+    from ..grid import point_in_rings
+
+    out = aoi.copy().reset_index(drop=True)
+    if id_column not in out.columns:
+        out[id_column] = np.arange(len(out), dtype=np.int64)
+    grid_epsg = int(str(grid.crs).split(":")[-1])
+    if aoi_epsg is not None and aoi_epsg != grid_epsg:
+        x, y = reproject_points(
+            out["x"].values, out["y"].values, aoi_epsg, grid_epsg
+        )
+        out["x"], out["y"] = x, y
+    inb = (
+        (out["x"].values >= grid.left)
+        & (out["x"].values < grid.right)
+        & (out["y"].values <= grid.top)
+        & (out["y"].values > grid.bottom)
+    )
+    out = out[inb]
+    if mask_rings is not None:
+        rings = [np.asarray(r, dtype=np.float64) for r in mask_rings]
+        keep = point_in_rings(out["x"].values, out["y"].values, rings)
+        out = out[keep]
+    return out.reset_index(drop=True)
+
+
 def encode_points_pdf(aoi: pd.DataFrame, grid: GridSpec) -> pd.DataFrame:
     """Driver-side cell encoding for a small AOI (the reference's AOI is
     always driver-resident — ``prepare_points`` returns a GeoDataFrame)."""

@@ -94,6 +94,35 @@ def concat(
     return u
 
 
+def file_bounds(
+    footprints: DataFrame, bounds_by: str = "union", res: float | None = None
+) -> tuple[float, float, float, float]:
+    """``get_file_bounds`` analogue
+    (``src/geowombat/backends/rasterio_.py:667-778``): union/intersection of
+    source extents from a footprints table (minx, miny, maxx, maxy per
+    source), optionally snapped to ``res`` via ``grid.align_bounds``."""
+    if bounds_by == "union":
+        aggs = [F.min("minx"), F.min("miny"), F.max("maxx"), F.max("maxy")]
+    elif bounds_by == "intersection":
+        aggs = [F.max("minx"), F.max("miny"), F.min("maxx"), F.min("maxy")]
+    else:
+        raise ValueError("bounds_by must be union|intersection")
+    minx, miny, maxx, maxy = footprints.agg(*aggs).collect()[0]
+    if res is not None:
+        from ..grid import align_bounds
+
+        (xres, _z0, left, _z1, nyres, top), width, height = align_bounds(
+            minx, miny, maxx, maxy, res
+        )
+        return (
+            float(left),
+            float(top + nyres * height),
+            float(left + xres * width),
+            float(top),
+        )
+    return float(minx), float(miny), float(maxx), float(maxy)
+
+
 def grids_equal(a: DataFrame, b: DataFrame) -> bool:
     """``xr.align(join='exact')`` analogue (``xarray_.py:594-605``): stacking
     requires identical grids — here, identical key schemas."""

@@ -104,3 +104,14 @@ def transform_grid(
         ).select("row", "col", "x", "y", *bands)
 
     raise ValueError(f"unknown resampling {resampling!r}")
+
+
+def match_layout(df: DataFrame, grid: GridSpec, x: str = "x", y: str = "y") -> DataFrame:
+    """``match_data`` analogue (``core/geoxarray.py:248-280``): re-key a
+    table to another grid's tile/cell layout — re-encode under the target
+    affine and repartition on the new tile key so downstream per-tile
+    operators (focal, sinks) see the target chunking."""
+    from .extract import encode_cells
+
+    clean = df.drop("row", "col", "cell_id", "tile_id")
+    return encode_cells(clean, grid, x=x, y=y).repartition(F.col("tile_id"))
