@@ -223,6 +223,31 @@ def run_flagship(spark: SparkSession, n_docs: int) -> dict:
     return {"docs": n_docs, "sec": round(sec, 3), "docs_per_sec": round(n_docs / sec, 1)}
 
 
+def run_sink(spark: SparkSession, n_docs: int) -> dict:
+    """Checkpointed tiling-sink throughput: write a ~2M-doc slice of the
+    flagship corpus through plans/checkpoint.write_tiled_checkpointed
+    (manifest + salted batches) and report docs/sec."""
+    import shutil as _sh
+
+    from geowombat_spark.plans import checkpoint as cp
+
+    path = ensure_corpus(spark, n_docs)
+    docs = spark.read.parquet(path)
+    slice_tiles = 2_000_000 // (FLAG_TILE * FLAG_TILE) + 1
+    grid = flagship_grid(n_docs)
+    keep = [t for t in range(slice_tiles * grid.tiles_x) ][: max(slice_tiles * 4, 64)]
+    sub = docs.filter(F.col("tile_id").isin(keep))
+    n = sub.count()
+    out_dir = os.path.join(CACHE_DIR, "sink_bench")
+    if os.path.exists(out_dir):
+        _sh.rmtree(out_dir)
+    t0 = time.time()
+    cp.write_tiled_checkpointed(sub, out_dir, batch_tiles=512, salt_threshold=None)
+    sec = time.time() - t0
+    _sh.rmtree(out_dir, ignore_errors=True)
+    return {"docs": n, "sec": round(sec, 3), "docs_per_sec": round(n / sec, 1)}
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
 
@@ -248,9 +273,12 @@ def main() -> None:
             log(f"[bench] {name}: FAILED {type(e).__name__}: {e}")
 
     flagship = {}
+    sink = {}
     if os.environ.get("SPARK_GRAFT_SKIP_FLAGSHIP") != "1":
         flagship = run_flagship(spark, BENCH_DOCS)
         log(f"[bench] flagship: {flagship}")
+        sink = run_sink(spark, BENCH_DOCS)
+        log(f"[bench] sink: {sink}")
 
     out = {
         "metric": "extract+clip spatial-join throughput (docs/sec) + full query suite wall time",
@@ -260,6 +288,7 @@ def main() -> None:
         "sf": sf,
         "cpus": CPUS,
         "flagship": flagship,
+        "sink": sink,
     }
     print(json.dumps(out), flush=True)
     spark.stop()
