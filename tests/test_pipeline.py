@@ -238,3 +238,31 @@ def test_media_decode_stub(spark, docs_df):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
     frames = multimodal.frame_sample(decoded, every=2)
     assert frames.count() >= len(rows)
+
+
+def test_lsh_bucket_cap(spark):
+    import pandas as pd
+
+    from geowombat_spark.pipeline import dedup
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["the same text here"] * 3
+            + ["another document entirely", "yet one more different"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    sig = dedup.minhash_signatures(df, n=2, k=16)
+    uncapped = dedup.lsh_candidate_pairs(sig, bands=4, rows=4).toPandas()
+    # the three identical docs pair up
+    assert {(1, 2), (1, 3), (2, 3)}.issubset(
+        set(zip(uncapped["doc_a"], uncapped["doc_b"]))
+    )
+    capped = dedup.lsh_candidate_pairs(
+        sig, bands=4, rows=4, max_bucket_size=2
+    ).toPandas()
+    # the size-3 bucket is dropped: no pairs among the identical docs
+    assert not {(1, 2), (1, 3), (2, 3)} & set(
+        zip(capped["doc_a"], capped["doc_b"])
+    )
