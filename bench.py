@@ -258,8 +258,17 @@ def main() -> None:
     qtimes: dict[str, float] = {}
     total = 0.0
     qs = entrymod.queries()
-    # warm the JVM + Arrow path once so q1 doesn't absorb session startup
+    # warm the JVM, Python-worker pool, and Arrow transport once so q1
+    # doesn't absorb session startup
     run_noop(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    warm = spark.range(10000).withColumn("x", F.col("id").cast("double"))
+
+    @F.pandas_udf("double")
+    def _warm_udf(s):
+        return s * 2.0
+
+    run_noop(warm.select(_warm_udf("x")))
+    run_noop(warm.groupBy(F.col("id") % 8).agg(F.sum("x")))
     for name, fn in qs.items():
         t0 = time.time()
         try:
