@@ -196,6 +196,24 @@ def q_extract_points(spark, sf_dir):
     return out.select("id", "x", "y", "blue", "green", "red")
 
 
+def q_extract_crs(spark, sf_dir):
+    """CRS-tolerant extract: the AOI arrives in EPSG:4326 and
+    prepare_points reprojects it into the grid frame via the built-in
+    Transverse-Mercator layer (crs.py) before the cell-id join
+    (conversion.py:369-374 semantics). The oracle joins on the original
+    plane coordinates — parity proves the projection round-trip lands in
+    the same cells."""
+    from geowombat_spark import crs as _crs
+
+    gd = grid_docs(spark, sf_dir)
+    pts = _aoi_points_pdf()
+    lon, lat = _crs.utm_to_lonlat(pts["x"].values, pts["y"].values, 21, south=False)
+    aoi_ll = pd.DataFrame({"id": pts["id"], "x": lon, "y": lat})
+    prepped = ex.prepare_points(aoi_ll, GRID, aoi_epsg=4326)
+    out = ex.extract_points(spark, gd, prepped, GRID, bands=("blue",))
+    return out.select("id", "blue")
+
+
 def q_extract_polygons(spark, sf_dir):
     gd = grid_docs(spark, sf_dir)
     out = ex.extract_polygons(spark, gd, _polys_pdf(), GRID, bands=("blue",))
@@ -805,6 +823,7 @@ def q_tile_manifest(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_extract_points": q_extract_points,
+        "q_extract_crs": q_extract_crs,
         "q_extract_polygons": q_extract_polygons,
         "q_clip": q_clip,
         "q_mask": q_mask,
@@ -1021,6 +1040,14 @@ def oracle_sql() -> dict[str, str]:
     o["q_extract_points"] = f"""
 WITH {G_SQL}
 SELECT p.id, p.x, p.y, g.band_blue AS blue, g.band_green AS green, g.band_red AS red
+FROM (VALUES {_POINTS_VALUES}) AS p(id, x, y)
+JOIN g ON g.row = CAST(floor((0.0 - p.y) / {CELL}) AS BIGINT)
+      AND g.col = CAST(floor(p.x / {CELL}) AS BIGINT)
+"""
+
+    o["q_extract_crs"] = f"""
+WITH {G_SQL}
+SELECT p.id, g.band_blue AS blue
 FROM (VALUES {_POINTS_VALUES}) AS p(id, x, y)
 JOIN g ON g.row = CAST(floor((0.0 - p.y) / {CELL}) AS BIGINT)
       AND g.col = CAST(floor(p.x / {CELL}) AS BIGINT)

@@ -1,0 +1,114 @@
+"""Property-based tests (hypothesis) for the pure-numpy grid kernels —
+beyond the reference's golden-value-only strategy (SURVEY §5: no
+property-based testing exists upstream; these pin the algebraic invariants
+the golden values sample)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from geowombat_spark import crs
+from geowombat_spark.grid import (
+    GridSpec,
+    coords_to_rowcol,
+    kring_offsets,
+    point_in_rings,
+    rowcol_to_center_coords,
+    zorder_decode,
+    zorder_encode,
+)
+
+GRID = GridSpec(
+    left=717585.0, top=-2776995.0, cellx=30.0, celly=30.0,
+    nrows=2048, ncols=2048, tile_rows=512, tile_cols=512, nodata=0.0,
+)
+
+
+@given(
+    st.lists(st.integers(0, 2**31 - 1), min_size=1, max_size=50),
+    st.lists(st.integers(0, 2**31 - 1), min_size=1, max_size=50),
+)
+def test_zorder_roundtrip(rows, cols):
+    n = min(len(rows), len(cols))
+    r = np.array(rows[:n], dtype=np.int64)
+    c = np.array(cols[:n], dtype=np.int64)
+    rr, cc = zorder_decode(zorder_encode(r, c))
+    assert (rr == r).all() and (cc == c).all()
+
+
+@given(st.integers(0, 2**31 - 2), st.integers(0, 2**31 - 2))
+def test_zorder_monotone_in_quadrant(r, c):
+    # moving right/down within the same bit-prefix never decreases the key
+    z00 = zorder_encode(np.array([r]), np.array([c]))[0]
+    z01 = zorder_encode(np.array([r]), np.array([c + 1]))[0]
+    z10 = zorder_encode(np.array([r + 1]), np.array([c]))[0]
+    assert z01 != z00 and z10 != z00
+
+
+@given(
+    st.lists(st.integers(0, 2047), min_size=1, max_size=30),
+    st.lists(st.integers(0, 2047), min_size=1, max_size=30),
+)
+def test_center_coords_roundtrip(rows, cols):
+    n = min(len(rows), len(cols))
+    r = np.array(rows[:n], dtype=np.int64)
+    c = np.array(cols[:n], dtype=np.int64)
+    x, y = rowcol_to_center_coords(GRID, r, c)
+    r2, c2 = coords_to_rowcol(GRID, x, y)
+    assert (r2 == r).all() and (c2 == c).all()
+
+
+@given(st.integers(0, 5))
+def test_kring_size_and_symmetry(k):
+    offs = kring_offsets(k)
+    assert offs.shape == ((2 * k + 1) ** 2, 2)
+    # symmetric: for every (dr, dc) the negation is present
+    s = {(int(a), int(b)) for a, b in offs}
+    assert all((-a, -b) in s for a, b in s)
+
+
+@st.composite
+def convex_polygon(draw):
+    cx = draw(st.floats(-1000, 1000))
+    cy = draw(st.floats(-1000, 1000))
+    n = draw(st.integers(3, 10))
+    radii = [draw(st.floats(10.0, 200.0)) for _ in range(n)]
+    angles = np.sort([draw(st.floats(0, 2 * np.pi)) for _ in range(n)])
+    # degenerate angle sets rejected
+    if np.min(np.diff(angles, append=angles[0] + 2 * np.pi)) < 1e-3:
+        return None
+    xs = cx + np.array(radii) * np.cos(angles)
+    ys = cy + np.array(radii) * np.sin(angles)
+    ring = np.empty(2 * n)
+    ring[0::2], ring[1::2] = xs, ys
+    return cx, cy, ring
+
+
+@given(convex_polygon())
+@settings(max_examples=200)
+def test_pip_centroid_inside_far_point_outside(poly):
+    if poly is None:
+        return
+    cx, cy, ring = poly
+    verts_x, verts_y = ring[0::2], ring[1::2]
+    centroid = (verts_x.mean(), verts_y.mean())  # convex ⇒ inside
+    far = (verts_x.max() + 1000.0, verts_y.max() + 1000.0)
+    px = np.array([centroid[0], far[0]])
+    py = np.array([centroid[1], far[1]])
+    inside = point_in_rings(px, py, [ring])
+    assert inside[0] and not inside[1]
+
+
+@given(
+    st.floats(-80, 80),
+    st.floats(-3.0, 3.0),
+    st.integers(1, 60),
+)
+@settings(max_examples=300)
+def test_tm_roundtrip_property(lat, dlon, zone):
+    lon0, _ = crs.utm_zone_params(zone, False)
+    lon = lon0 + dlon
+    E, N = crs.lonlat_to_utm(np.array([lon]), np.array([lat]), zone)
+    lon2, lat2 = crs.utm_to_lonlat(E, N, zone)
+    assert abs(lon2[0] - lon) < 1e-8
+    assert abs(lat2[0] - lat) < 1e-8
