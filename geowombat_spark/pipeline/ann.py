@@ -120,18 +120,26 @@ def hyperplane_lsh_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Approximate all-pairs cosine ≥ threshold via multi-table SRP-LSH.
 
     Candidates = pairs sharing a bucket in ANY of ``n_tables`` independent
     hyperplane sets; verified with an exact cosine on the candidate set
     (join back to the vectors, zip_with dot product — JVM-side).
+    ``max_bucket_size`` drops pathological buckets (a bucket of m vectors
+    emits m² pairs — same skew guard as ``dedup.lsh_candidate_pairs``).
     """
     cands = None
     for t in range(n_tables):
         sig = hyperplane_signatures(
             df, n_planes, seed + 1000 * t, id_col, vec_col
         )
+        if max_bucket_size is not None:
+            sizes = sig.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
+            sig = sig.join(
+                sizes.filter(F.col("_bn") <= max_bucket_size), "bucket", "inner"
+            ).drop("_bn")
         a, b = sig.alias("a"), sig.alias("b")
         c = (
             a.join(b, "bucket")
