@@ -680,6 +680,17 @@ def q_focal_std(spark, sf_dir):
     return out.select("doc_id", F.round("band_blue_std", 6).alias("blue_std"))
 
 
+def q_focal_p25(spark, sf_dir):
+    """Focal 25th percentile (linear interpolation, np.nanpercentile
+    semantics — the oracle hand-rolls the same lerp, exact for the
+    integer-valued band)."""
+    gd = grid_docs(spark, sf_dir)
+    out = focal.moving(
+        gd, GRID, stat="perc", w=3, band="band_blue", nodata=None, perc=25
+    )
+    return out.select("doc_id", F.round("band_blue_perc", 6).alias("blue_p25"))
+
+
 def q_polygonize(spark, sf_dir):
     """array_to_polygon: connected same-valued regions (4-connectivity) via
     iterative min-label propagation + pointer jumping
@@ -868,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_extract_time": q_extract_time,
         "q_focal_max": q_focal_max,
         "q_focal_std": q_focal_std,
+        "q_focal_p25": q_focal_p25,
         "q_rasterize": q_rasterize,
         "q_qa_mask": q_qa_mask,
         "q_dn_toar": q_dn_toar,
@@ -1521,6 +1533,22 @@ WITH {G_SQL}
 SELECT a.doc_id, round(stddev_pop(b.band_blue), 6) AS blue_std
 FROM g a JOIN g b ON abs(a.row - b.row) <= 1 AND abs(a.col - b.col) <= 1
 GROUP BY a.doc_id
+"""
+
+    o["q_focal_p25"] = f"""
+WITH {G_SQL},
+nb AS (
+  SELECT a.doc_id, list(b.band_blue ORDER BY b.band_blue) AS arr
+  FROM g a JOIN g b ON abs(a.row - b.row) <= 1 AND abs(a.col - b.col) <= 1
+  GROUP BY a.doc_id),
+h AS (
+  SELECT doc_id, arr, 0.25 * (len(arr) - 1) AS hh,
+         CAST(floor(0.25 * (len(arr) - 1)) AS INTEGER) AS lo
+  FROM nb)
+SELECT doc_id,
+  round(arr[lo + 1] + (hh - lo) * (arr[least(lo + 2, len(arr))] - arr[lo + 1]), 6)
+    AS blue_p25
+FROM h
 """
 
     o["q_rasterize"] = f"""
