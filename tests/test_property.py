@@ -68,14 +68,16 @@ def test_kring_size_and_symmetry(k):
 
 
 @st.composite
-def convex_polygon(draw):
+def star_polygon(draw):
     cx = draw(st.floats(-1000, 1000))
     cy = draw(st.floats(-1000, 1000))
     n = draw(st.integers(3, 10))
     radii = [draw(st.floats(10.0, 200.0)) for _ in range(n)]
     angles = np.sort([draw(st.floats(0, 2 * np.pi)) for _ in range(n)])
-    # degenerate angle sets rejected
-    if np.min(np.diff(angles, append=angles[0] + 2 * np.pi)) < 1e-3:
+    gaps = np.diff(angles, append=angles[0] + 2 * np.pi)
+    # reject degenerate angle sets, and any angular gap ≥ π — the center is
+    # interior iff the vertices wrap it (every gap < π)
+    if np.min(gaps) < 1e-3 or np.max(gaps) > np.pi - 0.05:
         return None
     xs = cx + np.array(radii) * np.cos(angles)
     ys = cy + np.array(radii) * np.sin(angles)
@@ -84,17 +86,18 @@ def convex_polygon(draw):
     return cx, cy, ring
 
 
-@given(convex_polygon())
+@given(star_polygon())
 @settings(max_examples=200)
-def test_pip_centroid_inside_far_point_outside(poly):
+def test_pip_center_inside_far_point_outside(poly):
     if poly is None:
         return
     cx, cy, ring = poly
     verts_x, verts_y = ring[0::2], ring[1::2]
-    centroid = (verts_x.mean(), verts_y.mean())  # convex ⇒ inside
+    # the polygon is star-shaped about its generation center (radii ≥ 10),
+    # so (cx, cy) is strictly interior; a point past the max vertex is out
     far = (verts_x.max() + 1000.0, verts_y.max() + 1000.0)
-    px = np.array([centroid[0], far[0]])
-    py = np.array([centroid[1], far[1]])
+    px = np.array([cx, far[0]])
+    py = np.array([cy, far[1]])
     inside = point_in_rings(px, py, [ring])
     assert inside[0] and not inside[1]
 
