@@ -56,3 +56,19 @@ def test_match_layout_rekeys(spark):
                     ncols=100, tile_rows=5, tile_cols=5, nodata=0.0)
     rk5 = tf.match_layout(enc_src, dst5)
     assert rk5.select("tile_id").distinct().count() == 4
+
+
+def test_api_facade_names():
+    """The reference-named surface (gw.open/extract/clip/...) resolves."""
+    import geowombat_spark.api as gw
+
+    for req in (
+        "open", "extract", "extract_polygons", "clip_by_polygon", "mask",
+        "subset", "recode", "replace", "calc_area", "moving", "save",
+        "ndvi", "evi", "tasseled_cap", "config", "transform_crs",
+        "polygon_to_array", "array_to_polygon", "sample_random",
+        "sample_systematic", "sample_stratified", "series_stats",
+        "series_apply", "apply", "mosaic", "concat", "knn_join",
+        "near_pairs", "set_nodata", "qa_mask", "prepare_points",
+    ):
+        assert callable(getattr(gw, req)), req
