@@ -301,7 +301,7 @@ def q_mosaic(spark, sf_dir):
 
 def q_focal_mean(spark, sf_dir):
     gd = grid_docs(spark, sf_dir)
-    out = focal.moving(gd, GRID, stat="mean", w=3, band="band_blue", nodata=None)
+    out = focal.moving(gd, GRID, stat="mean", w=3, band="band_blue", nodata=None, keep=("doc_id",))
     return out.select("doc_id", F.round("band_blue_mean", 6).alias("blue_mean"))
 
 
@@ -449,7 +449,13 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 def q_embed_neardup(spark, sf_dir):
-    return dedup.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.4)
+    """Exact all-pairs cosine ≥ 0.4 via the blocked distributed matmul —
+    at a 0.4 threshold the pair angles (~66°) defeat SRP-LSH pruning, so
+    the exact block-pair plan is the right one (no driver collect; per-task
+    memory bounded by 2·N/n_blocks vectors)."""
+    return dedup.embedding_neardup_pairs(
+        _emb(spark, sf_dir), threshold=0.4, method="block", n_blocks=8
+    )
 
 
 def q_ann_topk(spark, sf_dir):
@@ -461,9 +467,11 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_ann_ivf(spark, sf_dir):
-    # rows-only check: centroid seeding is engine-internal
+    # rows-only check: centroid seeding is engine-internal.
+    # nprobe < nlist exercises the real probe-limited path (recall vs
+    # brute force pinned ≥0.9 in tests/test_pipeline.py).
     e = _emb(spark, sf_dir)
-    return ann.ivf_topk(e, e.filter(F.col("vec_id") < 5), k=10, nlist=16, nprobe=16)
+    return ann.ivf_topk(e, e.filter(F.col("vec_id") < 5), k=10, nlist=16, nprobe=4)
 
 
 def q_lsh_cosine_pairs(spark, sf_dir):
@@ -670,13 +678,13 @@ def q_extract_time(spark, sf_dir):
 
 def q_focal_max(spark, sf_dir):
     gd = grid_docs(spark, sf_dir)
-    out = focal.moving(gd, GRID, stat="max", w=5, band="band_blue", nodata=None)
+    out = focal.moving(gd, GRID, stat="max", w=5, band="band_blue", nodata=None, keep=("doc_id",))
     return out.select("doc_id", F.col("band_blue_max").alias("blue_max"))
 
 
 def q_focal_std(spark, sf_dir):
     gd = grid_docs(spark, sf_dir)
-    out = focal.moving(gd, GRID, stat="std", w=3, band="band_blue", nodata=None)
+    out = focal.moving(gd, GRID, stat="std", w=3, band="band_blue", nodata=None, keep=("doc_id",))
     return out.select("doc_id", F.round("band_blue_std", 6).alias("blue_std"))
 
 
@@ -686,7 +694,8 @@ def q_focal_p25(spark, sf_dir):
     integer-valued band)."""
     gd = grid_docs(spark, sf_dir)
     out = focal.moving(
-        gd, GRID, stat="perc", w=3, band="band_blue", nodata=None, perc=25
+        gd, GRID, stat="perc", w=3, band="band_blue", nodata=None, perc=25,
+        keep=("doc_id",)
     )
     return out.select("doc_id", F.round("band_blue_perc", 6).alias("blue_p25"))
 

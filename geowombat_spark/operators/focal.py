@@ -43,8 +43,6 @@ def halo_assignments(df: DataFrame, grid: GridSpec, hw: int) -> DataFrame:
     exists; each of the 8 neighbor directions fires only for rows inside the
     halo band, so the blow-up is limited to tile borders.
     """
-    tr = F.col("row") / grid.tile_rows
-    tc = F.col("col") / grid.tile_cols
     tile_r = F.floor(F.col("row") / grid.tile_rows)
     tile_c = F.floor(F.col("col") / grid.tile_cols)
     in_r = F.col("row") % grid.tile_rows
@@ -114,8 +112,15 @@ def moving(
     nodata: float | None = 0.0,
     perc: int | None = 50,
     out: str | None = None,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
-    """w×w focal statistic (``util.py:376-469``; w odd)."""
+    """w×w focal statistic (``util.py:376-469``; w odd).
+
+    Returns the stat frame keyed by (row, col, cell_id) — exactly one
+    exchange (the tile shuffle). Payload columns a caller needs alongside
+    the stat go in ``keep``: they ride through the kernel, avoiding a
+    second corpus-wide join after the applyInPandas shuffle.
+    """
     assert w % 2 == 1, "window size must be odd"
     if stat not in _STATS:
         raise ValueError(f"stat must be one of {_STATS}")
@@ -124,12 +129,16 @@ def moving(
     kern = _window_stat(stat, perc)
     g = grid.as_dict()
 
-    src = docs.select("row", "col", "cell_id", F.col(band).alias("_v"))
+    keep = tuple(k for k in keep if k not in ("row", "col", "cell_id"))
+    keep_schema = "".join(
+        f", {k} {docs.schema[k].dataType.simpleString()}" for k in keep
+    )
+    src = docs.select("row", "col", "cell_id", *keep, F.col(band).alias("_v"))
     if nodata is not None:
         src = src.withColumn("_v", F.nullif(F.col("_v"), F.lit(float(nodata))))
     src = halo_assignments(src, grid, hw)
 
-    schema = f"row bigint, col bigint, cell_id bigint, {out} double"
+    schema = f"row bigint, col bigint, cell_id bigint{keep_schema}, {out} double"
 
     def compute(key, pdf: pd.DataFrame) -> pd.DataFrame:
         atile = int(key[0])
@@ -152,14 +161,14 @@ def moving(
         # emit only cells that exist in the home tile of this group
         home = pdf[(pdf["row"] >= r0) & (pdf["row"] < r1) & (pdf["col"] >= c0) & (pdf["col"] < c1)]
         vals = stat_arr[home["row"].values - r0, home["col"].values - c0]
-        return pd.DataFrame(
-            {
-                "row": home["row"].values,
-                "col": home["col"].values,
-                "cell_id": home["cell_id"].values,
-                out: vals,
-            }
-        )
+        cols = {
+            "row": home["row"].values,
+            "col": home["col"].values,
+            "cell_id": home["cell_id"].values,
+        }
+        for k in keep:
+            cols[k] = home[k].values
+        cols[out] = vals
+        return pd.DataFrame(cols)
 
-    res = src.groupBy("atile").applyInPandas(compute, schema)
-    return docs.join(res.select("cell_id", out), "cell_id", "left")
+    return src.groupBy("atile").applyInPandas(compute, schema)

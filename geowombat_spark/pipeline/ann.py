@@ -177,6 +177,42 @@ def hyperplane_lsh_pairs(
     )
 
 
+def _train_centroids(
+    sample: np.ndarray, nlist: int, iters: int = 10
+) -> np.ndarray:
+    """Deterministic k-means over a (normalized) sample.
+
+    Greedy farthest-point init (k-means++-style but deterministic: each new
+    seed is the sample point farthest, in cosine distance, from its nearest
+    chosen seed) followed by ``iters`` Lloyd rounds with spherical
+    re-normalization. Empty clusters re-seed from the point worst-served by
+    the current centroids, so all ``nlist`` cells stay live.
+    """
+    n = sample.shape[0]
+    if n <= nlist:
+        return sample.copy()
+    chosen = [0]
+    best = sample @ sample[0]
+    for _ in range(1, nlist):
+        nxt = int(np.argmin(best))
+        chosen.append(nxt)
+        best = np.maximum(best, sample @ sample[nxt])
+    cents = sample[chosen].copy()
+    for _ in range(iters):
+        sims = sample @ cents.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(nlist):
+            mask = assign == c
+            if not mask.any():
+                worst = int(np.argmin(np.max(sims, axis=1)))
+                cents[c] = sample[worst]
+                continue
+            m = sample[mask].mean(axis=0)
+            nm = np.linalg.norm(m)
+            cents[c] = m / nm if nm > 0 else sample[int(np.argmax(mask))]
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -188,16 +224,29 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF two-stage ANN: centroid assignment then probe-limited exact scan.
 
-    Centroids are the first ``nlist`` corpus vectors by id (deterministic
-    seeding — at scale replace with a sampled k-means fit, same plumbing).
-    The corpus gains a ``cluster`` column; a query scores only the rows of
-    its ``nprobe`` nearest clusters.
+    Centroid training is a bounded-sample k-means: take the first
+    ``nlist × oversample`` corpus vectors in ``md5_int(id)`` order (the
+    hash order is uncorrelated with id order / storage layout, so the
+    sample spreads across the corpus even when ids are sorted or clustered
+    — the failure mode of ``orderBy(id).limit(nlist)`` seeding), then run
+    deterministic Lloyd iterations on the driver. The driver-side work is
+    O(nlist·oversample·dim) — independent of corpus size, so the plan holds
+    at 100 TB (it is the standard FAISS train-on-sample recipe). The corpus
+    gains a ``cluster`` column; a query scores only the rows of its
+    ``nprobe`` nearest clusters.
     """
+    from .text import md5_int
+
     spark = corpus.sparkSession
+    sample_n = nlist * 32
     cent_rows = (
-        corpus.select(id_col, vec_col).orderBy(id_col).limit(nlist).collect()
+        corpus.select(id_col, vec_col)
+        .orderBy(md5_int(F.col(id_col).cast("string")), id_col)
+        .limit(sample_n)
+        .collect()
     )
-    cents = _normalize([r[1] for r in cent_rows])
+    sample = _normalize([r[1] for r in cent_rows])
+    cents = _train_centroids(sample, nlist)
     bc = spark.sparkContext.broadcast(cents)
 
     def _assign(it):

@@ -266,3 +266,47 @@ def test_lsh_bucket_cap(spark):
     assert not {(1, 2), (1, 3), (2, 3)} & set(
         zip(capped["doc_a"], capped["doc_b"])
     )
+
+
+def test_ivf_recall_at_nprobe4(spark):
+    """Sampled-k-means centroid training must hold recall@10 >= 0.9 at
+    nprobe=4 of nlist=16 on clustered data (IVF's operating regime) — the
+    guard against degenerate id-ordered seeding, where all centroids come
+    from one corner of the space and nprobe<nlist recall collapses."""
+    rng = np.random.default_rng(23)
+    centers = rng.standard_normal((8, 16)) * 4.0
+    mat = np.vstack(
+        [centers[i % 8] + rng.standard_normal(16) for i in range(200)]
+    )
+    pdf = pd.DataFrame(
+        {"vec_id": range(200), "embedding": [m.tolist() for m in mat]}
+    )
+    df = spark.createDataFrame(pdf)
+    queries = df.filter(F.col("vec_id") < 5)
+    ivf = ann.ivf_topk(df, queries, k=10, nlist=16, nprobe=4).collect()
+    bf = ann.brute_force_topk(df, queries, k=10).collect()
+    got = {}
+    true = {}
+    for r in ivf:
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in bf:
+        true.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(got.get(q, set()) & true[q]) / len(true[q]) for q in true
+    ]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_blocked_cosine_matches_broadcast(spark, emb_df):
+    """method='block' (distributed block-pair matmul) is exact: identical
+    pair set and scores to the broadcast matmul at any threshold."""
+    df, mat = emb_df
+    blk = dedup.embedding_neardup_pairs(
+        df, threshold=0.3, method="block", n_blocks=4
+    ).collect()
+    brd = dedup.embedding_neardup_pairs(
+        df, threshold=0.3, method="broadcast"
+    ).collect()
+    key = lambda r: (r["vec_a"], r["vec_b"])  # noqa: E731
+    assert sorted(map(key, blk)) == sorted(map(key, brd))
+    assert {key(r): r["cosine"] for r in blk} == {key(r): r["cosine"] for r in brd}
