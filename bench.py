@@ -9,7 +9,7 @@ Prints ONE JSON line on stdout:
 Environment:
     SPARK_GRAFT_SF_DIR   parquet table dir (default /root/testdata/sf0.1)
     SPARK_GRAFT_CPUS     local[*] parallelism (default 32)
-    SPARK_GRAFT_BENCH_DOCS  flagship corpus rows (default 2_000_000)
+    SPARK_GRAFT_BENCH_DOCS  flagship corpus rows (default 10_000_000)
     SPARK_GRAFT_SKIP_FLAGSHIP  set to 1 to skip the big corpus run
 
 The per-query timings execute each ``__spark_entry__.queries()`` plan with a

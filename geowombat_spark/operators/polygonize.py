@@ -122,6 +122,16 @@ def connected_components(
         lab = new_lab
         if changed == 0:
             break
+    else:
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — component ids are "
+            "incomplete; raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return lab.withColumnRenamed("label", "comp")
 
 

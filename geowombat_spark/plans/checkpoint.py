@@ -32,6 +32,7 @@ import json
 import os
 import time
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -80,10 +81,18 @@ def _manifest_path(path: str) -> str:
 
 
 def read_manifest(spark: SparkSession, path: str) -> DataFrame | None:
+    """Manifest frame, or None if no manifest exists yet.
+
+    Existence is probed by attempting the read and catching the missing-path
+    AnalysisException — filesystem-agnostic (works for HDFS/S3 URIs, where a
+    driver-local ``os.path.isdir`` would silently return False and a restart
+    would rewrite every tile instead of resuming)."""
     mp = _manifest_path(path)
-    if not os.path.isdir(mp) or not os.listdir(mp):
+    try:
+        # the file index is built eagerly, so a missing path raises here
+        return spark.read.schema(MANIFEST_SCHEMA).parquet(mp)
+    except AnalysisException:
         return None
-    return spark.read.schema(MANIFEST_SCHEMA).parquet(mp)
 
 
 def completed_tiles(spark: SparkSession, path: str) -> set[int]:
@@ -141,7 +150,6 @@ def write_tiled_checkpointed(
         hot = hot_tiles(df.filter(F.col("tile_id").isin(pending)), salt_threshold)
 
     mp = _manifest_path(path)
-    os.makedirs(mp, exist_ok=True)
     batches = [
         pending[i : i + batch_tiles] for i in range(0, len(pending), batch_tiles)
     ]
@@ -179,7 +187,16 @@ def write_tiled_checkpointed(
             .partitionBy("tile_id")
             .parquet(path)
         )
-        metrics = tile_metrics(df.filter(F.col("tile_id").isin(batch)), id_col)
+        # Metrics come from the files just committed, not a re-execution of
+        # the upstream plan: (a) the batch input is scanned exactly once per
+        # batch (the write), (b) with a nondeterministic upstream (e.g.
+        # partition-seeded sampling) the manifest checksum describes the
+        # rows actually on disk, so verify_against_manifest can never
+        # disagree with a healthy dataset or mask real corruption.
+        written = spark.read.option("basePath", path).parquet(
+            *[os.path.join(path, f"tile_id={t}") for t in batch]
+        )
+        metrics = tile_metrics(written, id_col)
         wall = time.time() - t0
         manifest_rows = metrics.select(
             "tile_id",
