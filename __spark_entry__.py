@@ -840,6 +840,74 @@ def q_tile_manifest(spark, sf_dir):
     )
 
 
+def q_sensor_ndvi(spark, sf_dir):
+    """gw.open sensor band-name resolution (backends/xarray_.py:349-382):
+    generic positional columns band_1..band_4 renamed through the l8bgrn
+    LUT (blue, green, red, nir), then NDVI computed over the *named*
+    bands. The rename is a metadata-only select — free at any scale."""
+    from geowombat_spark.sensors import rename_bands
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        (1 + F.col("n_chars") % 255).cast("double").alias("band_1"),
+        (1 + (F.col("doc_id") * 7) % 255).cast("double").alias("band_2"),
+        (1 + (F.col("doc_id") * 13 + 5) % 255).cast("double").alias("band_3"),
+        (1 + (F.col("doc_id") * 29 + 11) % 511).cast("double").alias("band_4"),
+    )
+    d = rename_bands(d, sensor="l8bgrn")
+    d = vi.ndvi(d, "band_red", "band_nir", out="ndvi")
+    return d.select(
+        "doc_id",
+        F.col("band_red").alias("red"),
+        F.col("band_nir").alias("nir"),
+        F.round("ndvi", 6).alias("ndvi"),
+    )
+
+
+def q_focal_wmean(spark, sf_dir):
+    """Inverse-distance weighted focal mean (moving(..., weights=True);
+    util.py:384, kernel _moving.pyx:374-383): w=3, weight
+    1 - dist/(sqrt(2)*hw), so corners weigh 0 and the center 1."""
+    gd = grid_docs(spark, sf_dir)
+    out = focal.moving(
+        gd, GRID, stat="mean", w=3, band="band_blue", nodata=None,
+        weights=True, keep=("doc_id",),
+    )
+    return out.select(
+        "doc_id", F.round("band_blue_mean", 6).alias("blue_wmean")
+    )
+
+
+def q_dn_sr(spark, sf_dir):
+    """DN → surface reflectance via the SREM chain (sr.py:615-800,
+    950-1160): sun-corrected TOAR, Rayleigh path reflectance, two-way
+    transmittance, backscatter ratio — all whole-stage-codegen Column
+    math. Per-pixel angles derived deterministically; um_scale=1.0 uses
+    the formula's physical µm input so the Rayleigh terms are exercised
+    (the reference's x1000 scaling stays the parity default)."""
+    from geowombat_spark.functions import radiometry as rad
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        (1 + F.col("n_chars") % 255).cast("double").alias("band_blue"),
+        (3000 + F.col("doc_id") % 1500).cast("double").alias("sza"),
+        ((F.col("doc_id") * 3) % 36000).cast("double").alias("saa"),
+        (500 + F.col("doc_id") % 800).cast("double").alias("vza"),
+        ((F.col("doc_id") * 7) % 36000).cast("double").alias("vaa"),
+    )
+    out = rad.dn_to_sr(
+        d,
+        coeffs={"band_blue": (2e-05, -0.1)},
+        wavelengths={"band_blue": 0.48},
+        solar_za="sza",
+        solar_az="saa",
+        sensor_za="vza",
+        sensor_az="vaa",
+        um_scale=1.0,
+    )
+    return out.select("doc_id", F.round("band_blue", 6).alias("sr_blue"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_extract_points": q_extract_points,
@@ -895,6 +963,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_polygonize": q_polygonize,
         "q_warp_nearest": q_warp_nearest,
         "q_warp_avg": q_warp_avg,
+        "q_sensor_ndvi": q_sensor_ndvi,
+        "q_focal_wmean": q_focal_wmean,
+        "q_dn_sr": q_dn_sr,
     }
 
 
@@ -1660,6 +1731,66 @@ SELECT row, col,
   15.0 - (CAST(row AS DOUBLE) + 0.5) * 60.0 AS y,
   round(avg(band_blue), 6) AS band_blue
 FROM fwd GROUP BY row, col
+"""
+
+
+    o["q_sensor_ndvi"] = """
+SELECT doc_id, red, nir,
+  round(least(greatest((nir - red) / (nir + red), -1.0), 1.0), 6) AS ndvi
+FROM (
+  SELECT doc_id,
+    CAST(1 + (doc_id * 13 + 5) % 255 AS DOUBLE) AS red,
+    CAST(1 + (doc_id * 29 + 11) % 511 AS DOUBLE) AS nir
+  FROM documents)
+"""
+
+    o["q_focal_wmean"] = f"""
+WITH {G_SQL}
+SELECT a.doc_id,
+  round(
+    sum((1.0 - sqrt((a.row - b.row) * (a.row - b.row) + (a.col - b.col) * (a.col - b.col)) / sqrt(2.0)) * b.band_blue)
+    / sum(1.0 - sqrt((a.row - b.row) * (a.row - b.row) + (a.col - b.col) * (a.col - b.col)) / sqrt(2.0)),
+  6) AS blue_wmean
+FROM g a JOIN g b ON abs(a.row - b.row) <= 1 AND abs(a.col - b.col) <= 1
+GROUP BY a.doc_id
+"""
+
+    # SREM constants (radiometry.py): tau at 0.48 um (um_scale=1),
+    # backscatter ratio, Rayleigh phase coefficient
+    _SR_R = 0.17329308005199442
+    _SR_S = 0.134062964843092
+    _SR_P = 0.7117004477597463
+    o["q_dn_sr"] = f"""
+WITH d AS (
+  SELECT doc_id,
+    CAST(1 + n_chars % 255 AS DOUBLE) AS dn,
+    CAST(3000 + doc_id % 1500 AS DOUBLE) * 0.01 AS sza_deg,
+    CAST((doc_id * 3) % 36000 AS DOUBLE) * 0.01 AS saa_deg,
+    CAST(500 + doc_id % 800 AS DOUBLE) * 0.01 AS vza_deg,
+    CAST((doc_id * 7) % 36000 AS DOUBLE) * 0.01 AS vaa_deg
+  FROM documents),
+t AS (
+  SELECT doc_id,
+    (dn * 2e-05 + -0.1) / cos(radians(sza_deg)) AS toar,
+    cos(radians(sza_deg)) AS cs, sin(radians(sza_deg)) AS ss,
+    cos(radians(vza_deg)) AS cv, sin(radians(vza_deg)) AS sv,
+    cos(radians(saa_deg - vaa_deg)) AS cr
+  FROM d),
+u AS (
+  SELECT doc_id, toar, cs, cv,
+    1.0 / cs + 1.0 / cv AS m,
+    (-cs * cv - ss * sv * cr) AS xx
+  FROM t),
+v AS (
+  SELECT doc_id,
+    toar - {_SR_P} * (1.0 + xx * xx)
+      * ((1.0 - exp(-m * {_SR_R})) / (4.0 * (cs + cv))) AS td,
+    (exp(-{_SR_R} / cs) + exp(-{_SR_R} / cs) * (exp({0.52 * _SR_R} / cs) - 1.0))
+    * (exp(-{_SR_R} / cv) + exp(-{_SR_R} / cv) * (exp({0.52 * _SR_R} / cv) - 1.0)) AS trans
+  FROM u)
+SELECT doc_id,
+  round(least(greatest(td / (td * {_SR_S} + trans), 0.0), 1.0), 6) AS sr_blue
+FROM v
 """
 
     return o

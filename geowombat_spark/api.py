@@ -76,4 +76,80 @@ from .operators.transform import match_layout, transform_grid as transform_crs  
 from .plans.checkpoint import (  # noqa: F401
     write_tiled_checkpointed as save,
 )
-from .sources.tables import get_spark, load_documents as open  # noqa: F401,A001
+from .sensors import (  # noqa: F401
+    CENTRAL_WAVELENGTH,
+    SENSOR_BANDS,
+    SENSOR_NAMES,
+    avail_sensors,
+    rename_bands,
+)
+from .sources.tables import get_spark, load_documents  # noqa: F401
+from .sources.vrt import open_vrt, to_vrt  # noqa: F401
+
+
+def parse_wildcard(pattern: str) -> list[str]:
+    """Expand a filesystem wildcard to a sorted path list
+    (``core/util.py:106-131``). Raises if nothing matches, like the
+    reference."""
+    import glob as _glob
+
+    matches = sorted(_glob.glob(pattern))
+    if not matches:
+        raise NameError(f"{pattern} matched no files.")
+    return matches
+
+
+def open(  # noqa: A001  (mirrors the reference's gw.open name)
+    spark,
+    path,
+    sensor: str | None = None,
+    band_names: tuple[str, ...] | None = None,
+    time_names: list[str] | None = None,
+    stack_dim: str = "time",
+    mosaic: bool = False,
+    overlap: str = "max",
+    nodata: float | None = None,
+):
+    """``gw.open`` dispatch (``core/api.py:449-655``).
+
+    - single path → tile-partitioned scan (partition-pruned reads);
+    - wildcard path → expanded via :func:`parse_wildcard`, then list rules;
+    - list of paths + ``mosaic=True`` → spatial :func:`mosaic`;
+    - list of paths (default) → :func:`concat` stack along time, one layer
+      per source (``time_names`` labels them);
+    - ``sensor`` / ``band_names`` rename band columns at plan time
+      (precedence: explicit ``band_names`` > ``sensor`` kwarg > active
+      ``config(sensor=...)``; ``backends/xarray_.py:349-382``). The rename
+      is a metadata-only select — free at any scale.
+    """
+    from .config import resolve as _resolve
+    from .operators import mosaic as _mosaic
+
+    if isinstance(path, str) and any(ch in path for ch in "*?["):
+        path = parse_wildcard(path)
+
+    sensor = _resolve("sensor", sensor)
+
+    def _one(p):
+        df = load_documents(spark, p)
+        return rename_bands(df, sensor=sensor, band_names=band_names)
+
+    if isinstance(path, (list, tuple)):
+        sources = [_one(p) for p in path]
+        if len(sources) == 1:
+            return sources[0]
+        bands = tuple(
+            c for c in sources[0].columns if c.startswith("band_")
+        )
+        if mosaic or stack_dim == "band":
+            return _mosaic.mosaic(
+                sources, overlap=overlap, nodata=nodata, bands=bands
+            )
+        return _mosaic.concat(
+            sources,
+            time_names=time_names,
+            overlap=overlap,
+            nodata=nodata,
+            bands=bands,
+        )
+    return _one(path)

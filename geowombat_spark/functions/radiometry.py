@@ -119,3 +119,133 @@ def qa_mask(
         cond = cond & (F.col("clear") == 1)
     cond = cond & (F.col("fill") == 0)
     return df.withColumn("qa_ok", F.when(cond, F.lit(1)).otherwise(F.lit(0)))
+
+
+# ---------------------------------------------------------------------------
+# Surface reflectance (SREM) — toar_to_sr / dn_to_sr
+# ---------------------------------------------------------------------------
+
+RAYLEIGH_A = 0.9587256  # sr.py:1116 — Rayleigh phase constants
+
+
+def rayleigh_optical_depth(um: float, um_scale: float = 1000.0) -> float:
+    """Rayleigh optical depth for a central wavelength (Hansen & Travis
+    1974 eq. 2.30; ``sr.py:1098-1103``). The reference feeds the central
+    wavelength scaled by 1000 (``sr.py:1049``) — that scaling is the
+    default for bit parity; pass ``um_scale=1.0`` for the formula's
+    physical µm input (τ ≈ 0.16 at 0.48 µm instead of ≈ 0)."""
+    u = um * um_scale
+    return 0.008569 * u**-4 * (1.0 + 0.0113 * u**-2 + 0.0013 * u**-4)
+
+
+def _ang(v, angle_factor: float):
+    """Angle operand → degrees Column: a column name scales per pixel, a
+    number becomes a plan-time literal (scene-constant angles fold into
+    codegen constants)."""
+    if isinstance(v, str):
+        return F.col(v).cast("double") * F.lit(float(angle_factor))
+    return F.lit(float(v) * float(angle_factor))
+
+
+def toar_to_sr(
+    df: DataFrame,
+    bands: dict[str, float],
+    solar_za,
+    solar_az,
+    sensor_za,
+    sensor_az,
+    angle_factor: float = 0.01,
+    src_nodata: float | None = None,
+    dst_nodata: float | None = None,
+    um_scale: float = 1000.0,
+) -> DataFrame:
+    """TOAR → surface reflectance via SREM (``sr.py:950-1160``; Bilal et
+    al. 2019). ``bands`` maps band column → central wavelength (µm).
+
+    Angle args are column names (per-pixel angle bands, scaled by
+    ``angle_factor`` like the reference's int×100 storage) or plain
+    numbers (scene constants). Every step is Column arithmetic — air
+    mass, Rayleigh phase, path reflectance, two-way transmittance,
+    backscatter ratio — so the whole correction runs in whole-stage
+    codegen with zero Python in the executor path.
+
+    Notes on exact parity: ``cos(scattering_angle)² = x²`` for
+    ``x = -cosθs·cosθv - sinθs·sinθv·cos(Δφ)`` (cos∘arccos), and the
+    reference's azimuth wrap + abs (``angles.py:252-275``) is a no-op
+    under cosine, so ``cos(Δφ)`` is computed directly.
+    """
+    sza = F.radians(_ang(solar_za, angle_factor))
+    vza = F.radians(_ang(sensor_za, angle_factor))
+    saa = _ang(solar_az, angle_factor)
+    vaa = _ang(sensor_az, angle_factor)
+    cos_sza, sin_sza = F.cos(sza), F.sin(sza)
+    cos_vza, sin_vza = F.cos(vza), F.sin(vza)
+    cos_raa = F.cos(F.radians(saa - vaa))
+    air_mass = 1.0 / cos_sza + 1.0 / cos_vza
+    x = -cos_sza * cos_vza - sin_sza * sin_vza * cos_raa
+    rphase = ((3.0 * RAYLEIGH_A) / (4.0 + (1.0 - RAYLEIGH_A))) * (
+        F.lit(1.0) + x * x
+    )
+
+    def t_sv(r: float, cos_z):
+        e1 = F.exp(-F.lit(r) / cos_z)
+        e2 = F.exp(F.lit(0.52 * r) / cos_z)
+        return e1 + e1 * (e2 - F.lit(1.0))
+
+    for b, um in bands.items():
+        r = rayleigh_optical_depth(float(um), um_scale)
+        toar = F.col(b).cast("double")
+        if src_nodata is not None:
+            toar = F.nullif(toar, F.lit(float(src_nodata)))
+        p_r = rphase * (
+            (F.lit(1.0) - F.exp(-air_mass * F.lit(r)))
+            / (F.lit(4.0) * (cos_sza + cos_vza))
+        )
+        toar_diff = toar - p_r
+        transmission = t_sv(r, cos_sza) * t_sv(r, cos_vza)
+        s_atm = 0.92 * r * math.exp(-r)
+        sr = toar_diff / (toar_diff * F.lit(s_atm) + transmission)
+        sr = F.least(F.greatest(sr, F.lit(0.0)), F.lit(1.0))
+        if dst_nodata is not None:
+            sr = F.coalesce(sr, F.lit(float(dst_nodata)))
+        df = df.withColumn(b, sr)
+    return df
+
+
+def dn_to_sr(
+    df: DataFrame,
+    coeffs: dict[str, tuple[float, float]],
+    wavelengths: dict[str, float],
+    solar_za,
+    solar_az,
+    sensor_za,
+    sensor_az,
+    angle_factor: float = 0.01,
+    src_nodata: float | None = None,
+    dst_nodata: float | None = None,
+    um_scale: float = 1000.0,
+) -> DataFrame:
+    """DN → surface reflectance, the SREM chain (``sr.py:615-800``):
+    ``dn_to_toar`` with sun-angle correction (ρ = (mp·DN + ap)/cosθs,
+    ``sr.py:846-862``) then :func:`toar_to_sr`. ``coeffs`` maps band →
+    (mp gain, ap bias); ``wavelengths`` maps band → central µm."""
+    cos_sza = F.cos(F.radians(_ang(solar_za, angle_factor)))
+    for b, (mp, ap) in coeffs.items():
+        dn = F.col(b).cast("double")
+        if src_nodata is not None:
+            dn = F.nullif(dn, F.lit(float(src_nodata)))
+        df = df.withColumn(
+            b, (dn * F.lit(float(mp)) + F.lit(float(ap))) / cos_sza
+        )
+    return toar_to_sr(
+        df,
+        wavelengths,
+        solar_za,
+        solar_az,
+        sensor_za,
+        sensor_az,
+        angle_factor=angle_factor,
+        src_nodata=None,  # already nulled above
+        dst_nodata=dst_nodata,
+        um_scale=um_scale,
+    )

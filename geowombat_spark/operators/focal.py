@@ -79,6 +79,49 @@ def halo_assignments(df: DataFrame, grid: GridSpec, hw: int) -> DataFrame:
     )
 
 
+#: stats that support inverse-distance weighting (the reference's Cython
+#: kernels carry weights only for mean/std/var — _moving.pyx:183-292,51-112)
+_WEIGHTED_STATS = ("mean", "std", "var")
+
+
+def window_weights(w: int) -> np.ndarray:
+    """Inverse-distance weight matrix (``_moving.pyx:374-383``):
+    ``1 - dist((m, n), center)/dist(corner, center)`` — 1 at the center,
+    0 at the corners."""
+    hw = w // 2
+    m, n = np.mgrid[0:w, 0:w].astype(np.float64)
+    dist = np.sqrt((n - hw) ** 2 + (m - hw) ** 2)
+    return 1.0 - dist / np.sqrt(2.0 * hw * hw)
+
+
+def _weighted_stat(stat: str, w: int):
+    """Weighted kernels, bit-matching the reference math
+    (``_moving.pyx:183-228`` mean, ``:51-112`` var/std):
+    mean = Σwv/Σw; var = Σ(wv - mean)²/Σw over valid cells."""
+    wflat = window_weights(w).ravel()
+
+    def kernel(win: np.ndarray) -> np.ndarray:
+        flat = win.reshape(win.shape[0], win.shape[1], -1)
+        valid = ~np.isnan(flat)
+        wv = np.where(valid, flat * wflat, 0.0)
+        wsum = (valid * wflat).sum(axis=2)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = wv.sum(axis=2) / wsum
+            if stat == "mean":
+                return mean
+            var = (
+                np.where(valid, (flat * wflat - mean[..., None]) ** 2, 0.0).sum(
+                    axis=2
+                )
+                / wsum
+            )
+            if stat == "var":
+                return var
+            return np.sqrt(var)
+
+    return kernel
+
+
 def _window_stat(stat: str, perc: int | None):
     def kernel(win: np.ndarray) -> np.ndarray:
         # win shape (H, W, w, w) — NaN-padded sliding view
@@ -113,6 +156,7 @@ def moving(
     perc: int | None = 50,
     out: str | None = None,
     keep: tuple[str, ...] = (),
+    weights: bool = False,
 ) -> DataFrame:
     """w×w focal statistic (``util.py:376-469``; w odd).
 
@@ -120,13 +164,21 @@ def moving(
     exchange (the tile shuffle). Payload columns a caller needs alongside
     the stat go in ``keep``: they ride through the kernel, avoiding a
     second corpus-wide join after the applyInPandas shuffle.
+
+    ``weights=True`` applies the reference's inverse-distance window
+    weighting (``util.py:384,405``; kernel math ``_moving.pyx:374-383``) —
+    supported for mean/std/var, like the reference kernels.
     """
     assert w % 2 == 1, "window size must be odd"
     if stat not in _STATS:
         raise ValueError(f"stat must be one of {_STATS}")
+    if weights and stat not in _WEIGHTED_STATS:
+        raise ValueError(
+            f"weights=True supports {_WEIGHTED_STATS}, not {stat!r}"
+        )
     hw = w // 2
     out = out or f"{band}_{stat}"
-    kern = _window_stat(stat, perc)
+    kern = _weighted_stat(stat, w) if weights else _window_stat(stat, perc)
     g = grid.as_dict()
 
     keep = tuple(k for k in keep if k not in ("row", "col", "cell_id"))

@@ -105,8 +105,13 @@ def write_tiled_parquet(
 def load_documents(spark: SparkSession, path: str) -> DataFrame:
     """Read the tile-partitioned corpus. ``tile_id`` comes back as a
     partition column, so ``WHERE tile_id IN (...)`` prunes directories
-    before any row is read."""
-    return spark.read.option("basePath", path).parquet(path)
+    before any row is read. A plain parquet file (no partition dirs) reads
+    without the basePath pin, which Spark requires to be a directory."""
+    import os
+
+    if os.path.isdir(path):
+        return spark.read.option("basePath", path).parquet(path)
+    return spark.read.parquet(path)
 
 
 def corpus_df(spark: SparkSession, table: pa.Table, tmp_path: str) -> DataFrame:

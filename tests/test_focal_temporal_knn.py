@@ -194,3 +194,40 @@ def test_knn_join(spark):
     queries = _pts(spark, [(101.0, 100.0)], id_col="qid")
     out = knn_join(queries, targets, SMALL, k_neighbors=2, k_ring=4).toPandas()
     assert list(out.sort_values("rank")["doc_id"]) == ["p0", "p1"]
+
+
+def test_moving_weighted_matches_numpy(spark, small_docs):
+    """weights=True: inverse-distance weighted mean matches a hand numpy
+    computation of sum(w*v)/sum(w) with the reference's weight matrix
+    (_moving.pyx:374-383)."""
+    from geowombat_spark.operators.focal import moving, window_weights
+
+    w = 3
+    out = moving(
+        small_docs, SMALL, stat="mean", w=w, nodata=0.0, weights=True
+    ).toPandas()
+    pdf = _small_pdf()
+    arr = np.full((256, 256), np.nan)
+    arr[pdf["row"], pdf["col"]] = pdf["band_blue"].values
+    arr[arr == 0.0] = np.nan
+    hw = w // 2
+    pad = np.full((256 + 2 * hw, 256 + 2 * hw), np.nan)
+    pad[hw:-hw, hw:-hw] = arr
+    win = np.lib.stride_tricks.sliding_window_view(pad, (w, w)).reshape(
+        256, 256, -1
+    )
+    wt = window_weights(w).ravel()
+    valid = ~np.isnan(win)
+    num = np.where(valid, win * wt, 0.0).sum(axis=2)
+    den = (valid * wt).sum(axis=2)
+    expected = num / den
+    got = np.full((256, 256), np.nan)
+    got[out["row"], out["col"]] = out["band_blue_mean"].values
+    np.testing.assert_allclose(got, expected, rtol=1e-12, equal_nan=True)
+
+
+def test_moving_weighted_rejects_unweighted_stats(spark, small_docs):
+    from geowombat_spark.operators.focal import moving
+
+    with pytest.raises(ValueError, match="weights=True"):
+        moving(small_docs, SMALL, stat="max", w=3, weights=True)

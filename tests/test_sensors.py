@@ -1,0 +1,115 @@
+"""Sensor band-name LUT, gw.open dispatch (wildcard/list/sensor), VRT view."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import geowombat_spark.api as gw
+from geowombat_spark.config import config
+from geowombat_spark.grid import GridSpec
+from geowombat_spark.sensors import SENSOR_BANDS, band_columns, rename_bands
+
+
+def _generic(spark, n=8):
+    cols = {f"band_{i + 1}": (F.col("id") * (i + 2)).cast("double") for i in range(n)}
+    return spark.range(10).select(F.col("id").alias("doc_id"), *[
+        v.alias(k) for k, v in cols.items()
+    ])
+
+
+def test_rename_bands_l8(spark):
+    df = rename_bands(_generic(spark, 8), sensor="l8")
+    assert band_columns(df) == [f"band_{b}" for b in SENSOR_BANDS["l8"]]
+    # values ride along positionally: band_1 -> band_coastal
+    a = _generic(spark, 8).select("band_1").collect()
+    b = df.select("band_coastal").collect()
+    assert [r[0] for r in a] == [r[0] for r in b]
+
+
+def test_rename_bands_explicit_wins_over_sensor(spark):
+    df = rename_bands(
+        _generic(spark, 3), sensor="l8", band_names=("b", "g", "r")
+    )
+    assert band_columns(df) == ["band_b", "band_g", "band_r"]
+
+
+def test_rename_bands_unknown_sensor_warns_and_noops(spark):
+    src = _generic(spark, 3)
+    with pytest.warns(UserWarning, match="not currently supported"):
+        df = rename_bands(src, sensor="not_a_sensor")
+    assert df.columns == src.columns
+
+
+def test_rename_bands_count_mismatch_warns_and_noops(spark):
+    src = _generic(spark, 3)
+    with pytest.warns(UserWarning, match="do not match"):
+        df = rename_bands(src, sensor="l8")
+    assert df.columns == src.columns
+
+
+def test_open_single_with_sensor(spark, corpus_dir, docs):
+    # corpus has 3 band columns (blue, green, red order) -> 'bgr' fits
+    out = gw.open(spark, corpus_dir + "/t1", sensor="bgr")
+    assert band_columns(out) == ["band_blue", "band_green", "band_red"]
+    # config(sensor=...) wins when no kwarg given (reference precedence)
+    with config(sensor="rgb"):
+        out2 = gw.open(spark, corpus_dir + "/t1")
+    assert band_columns(out2) == ["band_red", "band_green", "band_blue"]
+
+
+def test_open_wildcard_and_list_stack(spark, corpus_dir, docs):
+    # the corpus_dir holds one time dir 't1'; the wildcard resolves to it
+    out = gw.open(spark, corpus_dir + "/t*")
+    assert out.count() == docs.count()
+    # a two-element list concat-stacks along time
+    stacked = gw.open(
+        spark,
+        [corpus_dir + "/t1", corpus_dir + "/t1"],
+        time_names=["a", "b"],
+        nodata=0.0,
+    )
+    assert stacked.select("t").distinct().count() == 2
+
+
+def test_parse_wildcard_no_match_raises():
+    with pytest.raises(NameError):
+        gw.parse_wildcard("/nonexistent/prefix*")
+
+
+def test_vrt_roundtrip(spark, corpus_dir, docs, tmp_path):
+    from geowombat_spark.fixtures import L8_GRID
+
+    vrt_file = str(tmp_path / "view.vrt")
+    # identity VRT: open_vrt == bare scan of the selected bands
+    desc = gw.to_vrt(
+        corpus_dir + "/t1", vrt_file, L8_GRID, bands=("band_blue",)
+    )
+    assert desc["resampling"] == "nearest"
+    assert json.load(open(vrt_file))["source"] == corpus_dir + "/t1"
+    view = gw.open_vrt(spark, vrt_file)
+    assert view.count() == docs.count()
+    assert "band_blue" in view.columns
+
+    # existing file without overwrite: warn + no write
+    with pytest.warns(UserWarning, match="already exists"):
+        assert gw.to_vrt(corpus_dir + "/t1", vrt_file, L8_GRID) is None
+
+    # warped VRT: 2x downsample by average replays lazily
+    g = L8_GRID
+    dst = GridSpec(
+        left=g.left, top=g.top, cellx=g.cellx * 2, celly=g.celly * 2,
+        nrows=g.nrows // 2, ncols=g.ncols // 2,
+        tile_rows=g.tile_rows, tile_cols=g.tile_cols, crs=g.crs,
+        nodata=g.nodata,
+    )
+    vrt2 = str(tmp_path / "warp.vrt")
+    gw.to_vrt(
+        corpus_dir + "/t1", vrt2, g, dst_grid=dst,
+        bands=("band_blue",), resampling="average", overwrite=True,
+    )
+    warped = gw.open_vrt(spark, vrt2)
+    # every emitted destination cell aggregates >= 1 source cell
+    n = warped.count()
+    assert 0 < n <= docs.count()
