@@ -908,6 +908,31 @@ def q_dn_sr(spark, sf_dir):
     return out.select("doc_id", F.round("band_blue", 6).alias("sr_blue"))
 
 
+def q_rings(spark, sf_dir):
+    """Polygon ring reconstruction (array_to_polygon geometry step,
+    conversion.py:495-568): connected components, then the per-component
+    boundary tracer (one groupBy(comp) exchange, O(perimeter) local work).
+    The oracle validates ring topology without re-tracing: perimeter =
+    4C - 2A, ring count = 2 - chi with chi = C - A + Q (digital-topology
+    Euler characteristic; A = same-comp 4-adjacent pairs, Q = solid 2x2
+    blocks), corners from the 2x2 lattice-vertex patterns (1 corner for
+    1- or 3-cell patterns, 2 for diagonal pairs)."""
+    from geowombat_spark.operators import polygonize as pz
+
+    gd = grid_docs(spark, sf_dir).withColumn(
+        "cls", (F.col("n_chars") % 4).cast("long")
+    )
+    comps = pz.connected_components(
+        gd.select("row", "col", F.col("cls").alias("value")), "value"
+    )
+    rings = pz.trace_rings(comps)
+    return rings.groupBy("comp", "value").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rings"),
+        F.sum("n_vertices").cast("long").alias("n_corners"),
+        F.sum("n_edges").cast("long").alias("perimeter"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_extract_points": q_extract_points,
@@ -966,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sensor_ndvi": q_sensor_ndvi,
         "q_focal_wmean": q_focal_wmean,
         "q_dn_sr": q_dn_sr,
+        "q_rings": q_rings,
     }
 
 
@@ -1791,6 +1817,63 @@ v AS (
 SELECT doc_id,
   round(least(greatest(td / (td * {_SR_S} + trans), 0.0), 1.0), 6) AS sr_blue
 FROM v
+"""
+
+
+    o["q_rings"] = f"""
+WITH RECURSIVE {G_SQL.strip().lstrip()},
+c AS (
+  SELECT doc_id, row, col, n_chars % 4 AS value,
+         row * 4294967296 + col AS lab
+  FROM g),
+adj0 AS (
+  SELECT a.lab AS u, b.lab AS v FROM c a JOIN c b
+  ON a.value = b.value
+  AND ((abs(a.row - b.row) = 1 AND a.col = b.col)
+    OR (a.row = b.row AND abs(a.col - b.col) = 1))),
+reach(u, v) AS (
+  SELECT lab, lab FROM c
+  UNION
+  SELECT r.u, a.v FROM reach r JOIN adj0 a ON a.u = r.v),
+comp AS (SELECT u AS lab, min(v) AS comp FROM reach GROUP BY u),
+cc AS (
+  SELECT comp.comp, c.value, c.row, c.col
+  FROM c JOIN comp ON comp.lab = c.lab),
+counts AS (
+  SELECT comp, value, count(*) AS n_c FROM cc GROUP BY comp, value),
+apairs AS (
+  SELECT a.comp, count(*) AS n_a
+  FROM cc a JOIN cc b ON a.comp = b.comp
+  AND ((b.row = a.row + 1 AND b.col = a.col)
+    OR (b.row = a.row AND b.col = a.col + 1))
+  GROUP BY a.comp),
+quads AS (
+  SELECT a.comp, count(*) AS n_q
+  FROM cc a
+  JOIN cc b ON b.comp = a.comp AND b.row = a.row AND b.col = a.col + 1
+  JOIN cc d ON d.comp = a.comp AND d.row = a.row + 1 AND d.col = a.col
+  JOIN cc e ON e.comp = a.comp AND e.row = a.row + 1 AND e.col = a.col + 1
+  GROUP BY a.comp),
+vbits AS (
+  SELECT comp, vr, vc, sum(bit) AS mask FROM (
+    SELECT comp, row AS vr, col AS vc, 8 AS bit FROM cc
+    UNION ALL SELECT comp, row, col + 1, 4 FROM cc
+    UNION ALL SELECT comp, row + 1, col, 2 FROM cc
+    UNION ALL SELECT comp, row + 1, col + 1, 1 FROM cc)
+  GROUP BY comp, vr, vc),
+corners AS (
+  SELECT comp,
+    sum(CASE WHEN mask IN (1, 2, 4, 8, 7, 11, 13, 14) THEN 1
+             WHEN mask IN (6, 9) THEN 2 ELSE 0 END) AS n_corners
+  FROM vbits GROUP BY comp)
+SELECT counts.comp, counts.value,
+  CAST(2 - (counts.n_c - coalesce(apairs.n_a, 0) + coalesce(quads.n_q, 0)) AS BIGINT) AS n_rings,
+  CAST(corners.n_corners AS BIGINT) AS n_corners,
+  CAST(4 * counts.n_c - 2 * coalesce(apairs.n_a, 0) AS BIGINT) AS perimeter
+FROM counts
+LEFT JOIN apairs ON apairs.comp = counts.comp
+LEFT JOIN quads ON quads.comp = counts.comp
+JOIN corners ON corners.comp = counts.comp
 """
 
     return o

@@ -145,3 +145,148 @@ def region_summary(comps: DataFrame) -> DataFrame:
         F.min("col").alias("col_min"),
         F.max("col").alias("col_max"),
     )
+
+
+def trace_rings(
+    comps: DataFrame,
+    grid=None,
+    max_cells: int | None = None,
+) -> DataFrame:
+    """Reconstruct polygon rings per component — the ``features.shapes``
+    geometry step (``conversion.py:495-568``), distributed by component.
+
+    One exchange: ``groupBy(comp).applyInPandas`` ships each component's
+    cells to one task; the tracer is O(perimeter) local work. Boundary
+    convention: walk with the interior on the RIGHT, preferring the
+    sharpest right turn at pinch vertices (two regions meeting diagonally
+    split into simple rings — GDAL's 4-connectivity behavior). Exterior
+    rings come out with positive shoelace area in (col, row) coordinates,
+    holes negative. Collinear runs are merged, so ``n_vertices`` counts
+    polygon corners.
+
+    ``max_cells`` is the at-scale hot-key guard: a component larger than
+    the cap (think: the background/ocean class) emits one row with
+    ``ring_idx = -1`` and empty geometry instead of shipping the whole
+    component through one task. ``grid`` (a GridSpec) converts ring
+    vertices from (col, row) lattice corners to map coordinates.
+
+    Output: one row per ring —
+    (comp, value, ring_idx, is_hole, n_vertices, n_edges, area, xs, ys).
+    """
+    import numpy as np
+    import pandas as pd
+
+    g = grid.as_dict() if grid is not None else None
+
+    def compute(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        comp = int(key[0])
+        value = pdf["value"].iloc[0]
+        if max_cells is not None and len(pdf) > max_cells:
+            return pd.DataFrame(
+                {
+                    "comp": [comp], "value": [value], "ring_idx": [-1],
+                    "is_hole": [False], "n_vertices": [0], "n_edges": [0],
+                    "area": [float("nan")], "xs": [[]], "ys": [[]],
+                }
+            )
+        cells = set(zip(pdf["row"].astype(int), pdf["col"].astype(int)))
+        # directed boundary edges, interior on the right
+        # vertices are (vr, vc) lattice corners
+        edges: dict[tuple[int, int], list[tuple[int, int]]] = {}
+
+        def add(a, b):
+            edges.setdefault(a, []).append(b)
+
+        for (r, c) in cells:
+            if (r - 1, c) not in cells:  # top side, walk +c
+                add((r, c), (r, c + 1))
+            if (r + 1, c) not in cells:  # bottom side, walk -c
+                add((r + 1, c + 1), (r + 1, c))
+            if (r, c - 1) not in cells:  # left side, walk -r
+                add((r + 1, c), (r, c))
+            if (r, c + 1) not in cells:  # right side, walk +r
+                add((r, c + 1), (r + 1, c + 1))
+
+        rings = []
+        while edges:
+            start = min(edges)
+            cur = start
+            nxt = edges[start].pop(0)
+            if not edges[start]:
+                del edges[start]
+            ring = [start]
+            din = (nxt[0] - cur[0], nxt[1] - cur[1])
+            cur = nxt
+            while cur != start:
+                ring.append(cur)
+                outs = edges.get(cur)
+                if not outs:  # open boundary: malformed input
+                    raise ValueError(f"boundary walk stuck at {cur}")
+                if len(outs) == 1:
+                    nxt = outs.pop(0)
+                else:
+                    # pinch vertex: sharpest right turn first
+                    # right of din=(dr,dc) in (row-down, col-right) frame
+                    pref = [
+                        (din[1], -din[0]),   # right turn
+                        din,                 # straight
+                        (-din[1], din[0]),   # left turn
+                    ]
+                    nxt = None
+                    for d in pref:
+                        cand = (cur[0] + d[0], cur[1] + d[1])
+                        if cand in outs:
+                            nxt = cand
+                            outs.remove(cand)
+                            break
+                    if nxt is None:
+                        nxt = outs.pop(0)
+                if not outs:
+                    edges.pop(cur, None)
+                din = (nxt[0] - cur[0], nxt[1] - cur[1])
+                cur = nxt
+            n_edges = len(ring)
+            # merge collinear runs (keep corners only)
+            merged = []
+            m = len(ring)
+            for i in range(m):
+                p0, p1, p2 = ring[i - 1], ring[i], ring[(i + 1) % m]
+                if (p1[0] - p0[0], p1[1] - p0[1]) != (
+                    p2[0] - p1[0],
+                    p2[1] - p1[1],
+                ):
+                    merged.append(p1)
+            # shoelace in (x=col, y=row): exterior positive
+            xs = np.array([p[1] for p in merged], dtype=np.float64)
+            ys = np.array([p[0] for p in merged], dtype=np.float64)
+            area = 0.5 * float(
+                np.sum(xs * np.roll(ys, -1) - np.roll(xs, -1) * ys)
+            )
+            rings.append((merged, n_edges, area))
+
+        # deterministic ring order: exterior-first (area desc), then first vertex
+        rings.sort(key=lambda t: (-t[2], t[0][0] if t[0] else (0, 0)))
+        rows = []
+        for idx, (merged, n_edges, area) in enumerate(rings):
+            if g is not None:
+                oxs = [g["left"] + p[1] * g["cellx"] for p in merged]
+                oys = [g["top"] - p[0] * g["celly"] for p in merged]
+            else:
+                oxs = [float(p[1]) for p in merged]
+                oys = [float(p[0]) for p in merged]
+            rows.append(
+                {
+                    "comp": comp, "value": value, "ring_idx": idx,
+                    "is_hole": area < 0, "n_vertices": len(merged),
+                    "n_edges": n_edges, "area": abs(area),
+                    "xs": oxs, "ys": oys,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    schema = (
+        "comp bigint, value bigint, ring_idx int, is_hole boolean, "
+        "n_vertices bigint, n_edges bigint, area double, "
+        "xs array<double>, ys array<double>"
+    )
+    return comps.groupBy("comp").applyInPandas(compute, schema)

@@ -97,3 +97,92 @@ def test_components_snake(spark):
     seven = s[s["value"] == 7]
     assert len(seven) == 1
     assert int(seven["n_cells"].iloc[0]) == len(path)
+
+
+# ---------------------------------------------------------------------------
+# trace_rings
+# ---------------------------------------------------------------------------
+
+
+def _rings_for(spark, cells, value=1):
+    import pandas as pd
+    from geowombat_spark.operators.polygonize import trace_rings
+
+    pdf = pd.DataFrame(
+        {
+            "row": [r for r, c in cells],
+            "col": [c for r, c in cells],
+            "value": value,
+            "comp": 0,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    return trace_rings(df).orderBy("ring_idx").collect()
+
+
+def test_trace_single_cell(spark):
+    rings = _rings_for(spark, [(2, 3)])
+    assert len(rings) == 1
+    r = rings[0]
+    assert not r["is_hole"] and r["n_vertices"] == 4 and r["n_edges"] == 4
+    assert r["area"] == 1.0
+    # exterior ring corners of cell (2,3): walk starts at min vertex (2,3)
+    assert list(zip(r["ys"], r["xs"])) == [
+        (2.0, 3.0), (2.0, 4.0), (3.0, 4.0), (3.0, 3.0)
+    ]
+
+
+def test_trace_rect_merges_collinear(spark):
+    # 2x3 rectangle: 4 corners after collinear merge, perimeter 10 edges
+    cells = [(r, c) for r in (0, 1) for c in (0, 1, 2)]
+    rings = _rings_for(spark, cells)
+    assert len(rings) == 1
+    r = rings[0]
+    assert r["n_vertices"] == 4 and r["n_edges"] == 10 and r["area"] == 6.0
+
+
+def test_trace_hole(spark):
+    # 3x3 ring with center missing: exterior + one hole
+    cells = [(r, c) for r in range(3) for c in range(3) if (r, c) != (1, 1)]
+    rings = _rings_for(spark, cells)
+    assert len(rings) == 2
+    ext, hole = rings
+    assert not ext["is_hole"] and ext["n_vertices"] == 4 and ext["area"] == 9.0
+    assert hole["is_hole"] and hole["n_vertices"] == 4 and hole["area"] == 1.0
+    assert hole["n_edges"] == 4
+
+
+def test_trace_diagonal_pinch_single_ring(spark):
+    # cavity opening to the outside through a diagonal gap: GDAL's
+    # 4-connected-region / 8-connected-background convention means NO hole
+    # — one exterior ring threading the pinch vertex (visited twice).
+    #   XXX
+    #   X.X
+    #   XX.
+    cells = [
+        (0, 0), (0, 1), (0, 2),
+        (1, 0), (1, 2),
+        (2, 0), (2, 1),
+    ]
+    rings = _rings_for(spark, cells)
+    assert len(rings) == 1
+    r = rings[0]
+    assert not r["is_hole"]
+    # Euler: C=7, A=6, Q=0 -> chi=1 -> rings = 2 - chi = 1; area = 7
+    assert r["area"] == 7.0
+    # pinch vertex (2,2) appears twice among corners
+    corners = list(zip(r["ys"], r["xs"]))
+    assert corners.count((2.0, 2.0)) == 2
+
+
+def test_trace_max_cells_guard(spark):
+    rings = _rings_for(spark, [(r, c) for r in range(4) for c in range(4)])
+    assert len(rings) == 1 and rings[0]["n_vertices"] == 4
+    import pandas as pd
+    from geowombat_spark.operators.polygonize import trace_rings
+
+    pdf = pd.DataFrame(
+        {"row": [0, 0, 1, 1], "col": [0, 1, 0, 1], "value": 1, "comp": 0}
+    )
+    out = trace_rings(spark.createDataFrame(pdf), max_cells=2).collect()
+    assert len(out) == 1 and out[0]["ring_idx"] == -1
