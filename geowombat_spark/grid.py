@@ -338,6 +338,92 @@ def polygon_local_grid(
     return int((maxy - miny) / resy), int((maxx - minx) / resx)
 
 
+def rects_touch_rings(
+    cx: np.ndarray,
+    cy: np.ndarray,
+    hx: float,
+    hy: float,
+    rings: list[np.ndarray],
+) -> np.ndarray:
+    """Exact per-cell "boundary touches cell rect" mask (vectorized SAT).
+
+    A segment overlaps an axis-aligned rect iff the x-extents overlap, the
+    y-extents overlap, and the rect straddles the segment's support line
+    (``|n·(c-p1)| ≤ hx·|nx| + hy·|ny|`` for the edge normal n) — the
+    separating-axis test. Broadcast cells × edges; callers bbox-prefilter
+    cells so the product stays small.
+    """
+    cx = np.asarray(cx, dtype=np.float64)[:, None]
+    cy = np.asarray(cy, dtype=np.float64)[:, None]
+    out = np.zeros(cx.shape[0], dtype=bool)
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        xs, ys = r[0::2], r[1::2]
+        if xs.shape[0] < 2:
+            continue
+        if xs[0] != xs[-1] or ys[0] != ys[-1]:
+            xs = np.concatenate([xs, xs[:1]])
+            ys = np.concatenate([ys, ys[:1]])
+        x1, y1, x2, y2 = xs[:-1][None], ys[:-1][None], xs[1:][None], ys[1:][None]
+        ox = (np.minimum(x1, x2) <= cx + hx) & (np.maximum(x1, x2) >= cx - hx)
+        oy = (np.minimum(y1, y2) <= cy + hy) & (np.maximum(y1, y2) >= cy - hy)
+        nx, ny = -(y2 - y1), x2 - x1
+        straddle = np.abs(nx * (cx - x1) + ny * (cy - y1)) <= (
+            hx * np.abs(nx) + hy * np.abs(ny)
+        )
+        out |= (ox & oy & straddle).any(axis=1)
+    return out
+
+
+def segment_supercover(
+    c0: float, r0: float, c1: float, r1: float
+) -> set[tuple[int, int]]:
+    """All grid cells a segment touches (supercover DDA).
+
+    Coordinates are continuous local cell units: cell (row, col) spans
+    ``col ≤ c < col+1``, ``row ≤ r < row+1``. Exact lattice-corner
+    crossings conservatively include both side-adjacent cells (GDAL's
+    any-touch counts a corner graze as touched).
+    """
+    import math
+
+    cc, cr = math.floor(c0), math.floor(r0)
+    ec, er = math.floor(c1), math.floor(r1)
+    cells = {(cr, cc)}
+    dc, dr = c1 - c0, r1 - r0
+    step_c = 1 if dc > 0 else -1
+    step_r = 1 if dr > 0 else -1
+
+    def t_next(p, cp, d, step):
+        if d == 0:
+            return math.inf
+        boundary = cp + (1 if step > 0 else 0)
+        return (boundary - p) / d
+
+    t_max_c = t_next(c0, cc, dc, step_c)
+    t_max_r = t_next(r0, cr, dr, step_r)
+    t_delta_c = abs(1.0 / dc) if dc != 0 else math.inf
+    t_delta_r = abs(1.0 / dr) if dr != 0 else math.inf
+    guard = 2 * (abs(ec - cc) + abs(er - cr)) + 8
+    while (cc, cr) != (ec, er) and guard > 0:
+        guard -= 1
+        if t_max_c < t_max_r:
+            cc += step_c
+            t_max_c += t_delta_c
+        elif t_max_r < t_max_c:
+            cr += step_r
+            t_max_r += t_delta_r
+        else:  # exact corner crossing: both side neighbors are grazed
+            cells.add((cr, cc + step_c))
+            cells.add((cr + step_r, cc))
+            cc += step_c
+            cr += step_r
+            t_max_c += t_delta_c
+            t_max_r += t_delta_r
+        cells.add((cr, cc))
+    return cells
+
+
 def polygon_sample_centers(
     rings: list[np.ndarray],
     resx: float,
@@ -351,9 +437,13 @@ def polygon_sample_centers(
     rasterize-by-center (all_touched=False ⇒ center-in-polygon, GDAL's
     default), centers at local affine + half-cell shift, row-major emission.
 
-    ``all_touched=True`` approximates GDAL's any-touch by testing the four
-    cell corners and center (sufficient for convex fixtures; documented
-    approximation).
+    ``all_touched=True`` is GDAL's exact any-touch predicate: a cell is in
+    iff the polygon intersects its rectangle. Decomposition — a cell whose
+    center is inside is touched; every other touched cell is crossed by
+    the polygon *boundary*, so the boundary edges are walked with a
+    supercover grid traversal (Amanatides–Woo DDA, corner crossings
+    conservatively include both neighbors). Cost O(interior cells +
+    boundary length) — no cells×edges product.
     """
     allx = np.concatenate([np.asarray(r, dtype=np.float64)[0::2] for r in rings])
     ally = np.concatenate([np.asarray(r, dtype=np.float64)[1::2] for r in rings])
@@ -370,9 +460,25 @@ def polygon_sample_centers(
     cx = minx + (cc.ravel() + 0.5) * resx
     cy = maxy - (rr.ravel() + 0.5) * resy
     if all_touched:
-        hit = point_in_rings(cx, cy, rings)
-        for dx, dy in ((-0.5, -0.5), (-0.5, 0.5), (0.5, -0.5), (0.5, 0.5)):
-            hit |= point_in_rings(cx + dx * resx, cy + dy * resy, rings)
+        hit = point_in_rings(cx, cy, rings).reshape(nrows, ncols)
+        for ring in rings:
+            r = np.asarray(ring, dtype=np.float64)
+            xs, ys = r[0::2], r[1::2]
+            if xs.shape[0] == 0:
+                continue
+            if xs[0] != xs[-1] or ys[0] != ys[-1]:
+                xs = np.concatenate([xs, xs[:1]])
+                ys = np.concatenate([ys, ys[:1]])
+            # to local continuous cell coords: col along +x, row along -y
+            lc = (xs - minx) / resx
+            lr = (maxy - ys) / resy
+            for i in range(lc.shape[0] - 1):
+                for rr_i, cc_i in segment_supercover(
+                    lc[i], lr[i], lc[i + 1], lr[i + 1]
+                ):
+                    if 0 <= rr_i < nrows and 0 <= cc_i < ncols:
+                        hit[rr_i, cc_i] = True
+        hit = hit.ravel()
     else:
         hit = point_in_rings(cx, cy, rings)
     return cx[hit], cy[hit]

@@ -16,7 +16,13 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..grid import GridSpec, bbox_cover_tiles, point_in_rings, round_window
+from ..grid import (
+    GridSpec,
+    bbox_cover_tiles,
+    point_in_rings,
+    rects_touch_rings,
+    round_window,
+)
 
 BAND_COLS = ("band_blue", "band_green", "band_red")
 
@@ -40,7 +46,10 @@ def pip_flag(polygons: pd.DataFrame, all_touched: bool = False, cellx: float = 0
 
     The kernel bbox-prefilters candidates in numpy before edge tests, so the
     UDF stays cheap even when applied to a whole tile. ``all_touched=True``
-    additionally tests the four cell corners (GDAL any-touch approximation).
+    is GDAL's exact any-touch: center-in-polygon OR the polygon boundary
+    overlaps the cell rect (separating-axis segment-vs-rect test,
+    ``grid.rects_touch_rings`` — a cell intersecting the polygon either
+    contains its center inside or is crossed by the boundary).
     """
     ring_sets = _rings_arrays(polygons)
     minx, miny, maxx, maxy = _total_bounds(polygons)
@@ -63,8 +72,9 @@ def pip_flag(polygons: pd.DataFrame, all_touched: bool = False, cellx: float = 0
             for rings in ring_sets:
                 hit |= point_in_rings(cx, cy, rings)
                 if all_touched:
-                    for dx, dy in ((-0.5, -0.5), (-0.5, 0.5), (0.5, -0.5), (0.5, 0.5)):
-                        hit |= point_in_rings(cx + dx * cellx, cy + dy * celly, rings)
+                    hit |= rects_touch_rings(
+                        cx, cy, abs(cellx) / 2.0, abs(celly) / 2.0, rings
+                    )
             out[cand] = hit
         return pd.Series(out)
 

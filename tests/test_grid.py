@@ -142,3 +142,46 @@ def test_round_window_and_tile_cover():
     assert tiles == [4]  # rows 40-49 → tile row 1, cols 10-19 → tile col 0... (tiles_x=4)
     tiles = bbox_cover_tiles(g, 0.0, 0.0, 1000.0, 1000.0)
     assert len(tiles) == 16
+
+
+def test_all_touched_exact_matches_sat_bruteforce():
+    """polygon_sample_centers(all_touched=True) — supercover DDA over
+    boundary edges — must equal the independent separating-axis
+    rect-vs-polygon test on every cell of the bbox grid (exact GDAL
+    any-touch semantics, replacing the old corner-sample approximation)."""
+    import numpy as np
+    from geowombat_spark.grid import (
+        point_in_rings,
+        polygon_local_grid,
+        polygon_sample_centers,
+        rects_touch_rings,
+    )
+
+    # concave polygon with a hole, vertices off-lattice
+    exterior = np.array(
+        [0.3, 0.2, 9.7, 0.6, 9.1, 8.8, 5.2, 4.1, 1.1, 9.3, 0.3, 0.2]
+    )
+    hole = np.array([2.1, 2.2, 3.9, 2.4, 3.1, 3.8, 2.1, 2.2])
+    rings = [exterior, hole]
+    resx = resy = 1.0
+
+    cx, cy = polygon_sample_centers(rings, resx, resy, all_touched=True)
+    got = set(zip(np.round(cx, 9), np.round(cy, 9)))
+
+    # brute force over the full bbox lattice
+    allx = np.concatenate([r[0::2] for r in rings])
+    ally = np.concatenate([r[1::2] for r in rings])
+    minx, maxx = allx.min(), allx.max()
+    miny, maxy = ally.min(), ally.max()
+    nrows, ncols = polygon_local_grid(minx, miny, maxx, maxy, resx, resy)
+    rr, cc = np.meshgrid(np.arange(nrows), np.arange(ncols), indexing="ij")
+    px = minx + (cc.ravel() + 0.5) * resx
+    py = maxy - (rr.ravel() + 0.5) * resy
+    hit = point_in_rings(px, py, rings) | rects_touch_rings(
+        px, py, resx / 2.0, resy / 2.0, rings
+    )
+    want = set(zip(np.round(px[hit], 9), np.round(py[hit], 9)))
+    assert got == want
+    # sanity: any-touch strictly grows the center-only set
+    cx0, cy0 = polygon_sample_centers(rings, resx, resy, all_touched=False)
+    assert len(got) > len(cx0)
