@@ -933,6 +933,15 @@ def q_rings(spark, sf_dir):
     )
 
 
+def q_dedup_groups(spark, sf_dir):
+    """Near-dup pair graph -> duplicate groups (the corpus-dedup step):
+    connected components over Jaccard >= 0.5 pairs via distributed
+    min-label propagation + pointer jumping (pipeline/dedup.dedup_groups).
+    survivor = min doc id per group."""
+    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+    return dedup.dedup_groups(pairs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_extract_points": q_extract_points,
@@ -992,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_focal_wmean": q_focal_wmean,
         "q_dn_sr": q_dn_sr,
         "q_rings": q_rings,
+        "q_dedup_groups": q_dedup_groups,
     }
 
 
@@ -1874,6 +1884,22 @@ FROM counts
 LEFT JOIN apairs ON apairs.comp = counts.comp
 LEFT JOIN quads ON quads.comp = counts.comp
 JOIN corners ON corners.comp = counts.comp
+"""
+
+
+    o["q_dedup_groups"] = f"""
+WITH RECURSIVE {LTOKS},
+{SH},
+{JAC.strip()},
+pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v)
+SELECT u AS doc_id, min(v) AS group_id FROM reach GROUP BY u
 """
 
     return o

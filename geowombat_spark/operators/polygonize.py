@@ -107,19 +107,18 @@ def connected_components(
                 "row",
                 "col",
                 "value",
+                F.col("label").alias("_old"),
                 F.least(
                     F.col("new_label"), F.coalesce("jlabel", "new_label")
                 ).alias("label"),
             )
         )
+        # the old label rides along to the checkpoint so the convergence
+        # test is a filter-count over checkpointed partitions — no extra
+        # join per round
         new_lab = stepped.localCheckpoint()
-        changed = (
-            new_lab.alias("n")
-            .join(lab.alias("o"), ["row", "col"])
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        lab = new_lab
+        changed = new_lab.filter(F.col("label") != F.col("_old")).count()
+        lab = new_lab.drop("_old")
         if changed == 0:
             break
     else:
@@ -151,12 +150,17 @@ def trace_rings(
     comps: DataFrame,
     grid=None,
     max_cells: int | None = None,
+    n_buckets: int = 256,
 ) -> DataFrame:
     """Reconstruct polygon rings per component — the ``features.shapes``
     geometry step (``conversion.py:495-568``), distributed by component.
 
-    One exchange: ``groupBy(comp).applyInPandas`` ships each component's
-    cells to one task; the tracer is O(perimeter) local work. Boundary
+    One exchange: components hash into ``n_buckets`` processing groups
+    (``groupBy(pmod(hash(comp)))``) so one kernel invocation traces many
+    small components — per-group Arrow/pandas overhead amortizes over the
+    bucket instead of being paid once per (typically tiny) component,
+    while a component's cells still land in exactly one task. The tracer
+    is O(perimeter) local work per component. Boundary
     convention: walk with the interior on the RIGHT, preferring the
     sharpest right turn at pinch vertices (two regions meeting diagonally
     split into simple rings — GDAL's 4-connectivity behavior). Exterior
@@ -178,8 +182,18 @@ def trace_rings(
 
     g = grid.as_dict() if grid is not None else None
 
-    def compute(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        comp = int(key[0])
+    def compute_bucket(key, bdf: pd.DataFrame) -> pd.DataFrame:
+        frames = [
+            _trace_one(int(comp), cpdf)
+            for comp, cpdf in bdf.groupby("comp", sort=True)
+        ]
+        return (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else _trace_one(0, bdf)
+        )
+
+    def _trace_one(comp: int, pdf: pd.DataFrame) -> pd.DataFrame:
         value = pdf["value"].iloc[0]
         if max_cells is not None and len(pdf) > max_cells:
             return pd.DataFrame(
@@ -289,4 +303,7 @@ def trace_rings(
         "n_vertices bigint, n_edges bigint, area double, "
         "xs array<double>, ys array<double>"
     )
-    return comps.groupBy("comp").applyInPandas(compute, schema)
+    bucketed = comps.withColumn(
+        "_bkt", F.pmod(F.xxhash64(F.col("comp")), F.lit(int(n_buckets)))
+    )
+    return bucketed.groupBy("_bkt").applyInPandas(compute_bucket, schema)

@@ -310,3 +310,25 @@ def test_blocked_cosine_matches_broadcast(spark, emb_df):
     key = lambda r: (r["vec_a"], r["vec_b"])  # noqa: E731
     assert sorted(map(key, blk)) == sorted(map(key, brd))
     assert {key(r): r["cosine"] for r in blk} == {key(r): r["cosine"] for r in brd}
+
+
+def test_dedup_groups_and_deduplicate(spark):
+    """Pair-graph connected components: chains collapse to one group with
+    min-id survivor; deduplicate drops exactly the losers."""
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"doc_a": [1, 2, 7, 9], "doc_b": [2, 3, 8, 1]})
+    )
+    groups = {
+        r["doc_id"]: r["group_id"]
+        for r in dedup.dedup_groups(pairs).collect()
+    }
+    # component {1,2,3,9} -> 1; component {7,8} -> 7
+    assert groups == {1: 1, 2: 1, 3: 1, 9: 1, 7: 7, 8: 7}
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 5, 7, 8, 9], "text": list("abcdefg")})
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup.deduplicate(docs, pairs).collect()
+    )
+    assert kept == [1, 5, 7]
