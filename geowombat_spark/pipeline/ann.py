@@ -129,28 +129,60 @@ def hyperplane_lsh_pairs(
     (join back to the vectors, zip_with dot product — JVM-side).
     ``max_bucket_size`` drops pathological buckets (a bucket of m vectors
     emits m² pairs — same skew guard as ``dedup.lsh_candidate_pairs``).
+
+    One corpus pass computes every table's signature (one Arrow batch
+    transfer, n_tables matmuls against the same batch), and one self-join
+    on (table, bucket) replaces the per-table join+union — the shuffle
+    count is independent of n_tables. Per-table plane RNG matches the
+    single-table :func:`hyperplane_signatures` (seed + 1000·t), so
+    candidates are identical to the loop formulation.
     """
-    cands = None
-    for t in range(n_tables):
-        sig = hyperplane_signatures(
-            df, n_planes, seed + 1000 * t, id_col, vec_col
+
+    def _sig_all(it):
+        planes = None
+        for pdf in it:
+            m = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            if planes is None:
+                planes = [
+                    np.random.default_rng(seed + 1000 * t).standard_normal(
+                        (n_planes, m.shape[1])
+                    )
+                    for t in range(n_tables)
+                ]
+            ids = pdf[id_col].astype(np.int64)
+            frames = []
+            for t, pl in enumerate(planes):
+                bits = (m @ pl.T) >= 0
+                sig = np.zeros(len(pdf), dtype=np.int64)
+                for b in range(n_planes):
+                    sig |= bits[:, b].astype(np.int64) << b
+                frames.append(
+                    pd.DataFrame({"vec_id": ids, "table": t, "bucket": sig})
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    sig = df.select(id_col, vec_col).mapInPandas(
+        _sig_all, "vec_id bigint, table int, bucket bigint"
+    )
+    if max_bucket_size is not None:
+        sizes = sig.groupBy("table", "bucket").agg(
+            F.count(F.lit(1)).alias("_bn")
         )
-        if max_bucket_size is not None:
-            sizes = sig.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
-            sig = sig.join(
-                sizes.filter(F.col("_bn") <= max_bucket_size), "bucket", "inner"
-            ).drop("_bn")
-        a, b = sig.alias("a"), sig.alias("b")
-        c = (
-            a.join(b, "bucket")
-            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-            .select(
-                F.col("a.vec_id").alias("vec_a"),
-                F.col("b.vec_id").alias("vec_b"),
-            )
+        sig = sig.join(
+            sizes.filter(F.col("_bn") <= max_bucket_size),
+            ["table", "bucket"],
+            "inner",
+        ).drop("_bn")
+    a, b = sig.alias("a"), sig.alias("b")
+    cands = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
         )
-        cands = c if cands is None else cands.unionAll(c)
-    cands = cands.distinct()
+        .distinct()
+    )
     va = df.select(
         F.col(id_col).alias("vec_a"), F.col(vec_col).alias("emb_a")
     )
