@@ -942,6 +942,36 @@ def q_dedup_groups(spark, sf_dir):
     return dedup.dedup_groups(pairs)
 
 
+def q_warp_bilinear(spark, sf_dir):
+    """transform_crs, bilinear: destination centers -> fractional source
+    pixel coords; 4 weighted neighbors addressed by explode + one hash
+    equi-join, renormalized over present neighbors (GDAL rim behavior)."""
+    from geowombat_spark.operators import transform as tf
+
+    gd = grid_docs(spark, sf_dir)
+    out = tf.transform_grid(
+        spark, gd, GRID, DST_GRID, bands=("band_blue",), resampling="bilinear"
+    )
+    return out.select(
+        "row", "col", "x", "y", F.round("band_blue", 6).alias("band_blue")
+    )
+
+
+def q_warp_mode(spark, sf_dir):
+    """transform_crs, mode: categorical downsample with deterministic
+    (count desc, value asc) tie-break — SQL-replicable, unlike engine
+    mode() tie behavior."""
+    from geowombat_spark.operators import transform as tf
+
+    gd = grid_docs(spark, sf_dir).withColumn(
+        "band_cls", (F.col("n_chars") % 4).cast("double")
+    )
+    out = tf.transform_grid(
+        spark, gd, GRID, DST_GRID, bands=("band_cls",), resampling="mode"
+    )
+    return out.select("row", "col", "x", "y", "band_cls")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_extract_points": q_extract_points,
@@ -1002,6 +1032,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dn_sr": q_dn_sr,
         "q_rings": q_rings,
         "q_dedup_groups": q_dedup_groups,
+        "q_warp_bilinear": q_warp_bilinear,
+        "q_warp_mode": q_warp_mode,
     }
 
 
@@ -1900,6 +1932,57 @@ reach(u, v) AS (
   UNION
   SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v)
 SELECT u AS doc_id, min(v) AS group_id FROM reach GROUP BY u
+"""
+
+
+    o["q_warp_bilinear"] = f"""
+WITH {G_SQL},
+lat AS (
+  SELECT CAST(i AS BIGINT) AS row, CAST(j AS BIGINT) AS col,
+         -15.0 + (CAST(j AS DOUBLE) + 0.5) * 60.0 AS x,
+         15.0 - (CAST(i AS DOUBLE) + 0.5) * 60.0 AS y
+  FROM UNNEST(range(12)) AS t1(i), UNNEST(range(14)) AS t2(j)),
+f AS (
+  SELECT row, col, x, y,
+         x / 30.0 - 0.5 AS fc,
+         (0.0 - y) / 30.0 - 0.5 AS fr
+  FROM lat),
+e AS (
+  SELECT row, col, x, y,
+         CAST(floor(fr) AS BIGINT) + o.dr AS _sr,
+         CAST(floor(fc) AS BIGINT) + o.dc AS _sc,
+         (CASE WHEN o.dr = 1 THEN fr - floor(fr) ELSE 1.0 - (fr - floor(fr)) END)
+         * (CASE WHEN o.dc = 1 THEN fc - floor(fc) ELSE 1.0 - (fc - floor(fc)) END) AS w
+  FROM f CROSS JOIN (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) AS o(dr, dc)),
+j AS (
+  SELECT e.row, e.col, e.x, e.y, e.w, g.band_blue
+  FROM e LEFT JOIN g ON g.row = e._sr AND g.col = e._sc)
+SELECT row, col, x, y,
+  round(sum(CASE WHEN band_blue IS NOT NULL THEN w * band_blue END)
+      / sum(CASE WHEN band_blue IS NOT NULL THEN w END), 6) AS band_blue
+FROM j GROUP BY row, col, x, y
+"""
+
+    o["q_warp_mode"] = f"""
+WITH {G_SQL},
+fwd AS (
+  SELECT CAST(floor((15.0 - y) / 60.0) AS BIGINT) AS _dr,
+         CAST(floor((x - (-15.0)) / 60.0) AS BIGINT) AS _dc,
+         CAST(n_chars % 4 AS DOUBLE) AS band_cls
+  FROM g
+  WHERE floor((15.0 - y) / 60.0) >= 0 AND floor((15.0 - y) / 60.0) < 12
+    AND floor((x - (-15.0)) / 60.0) >= 0 AND floor((x - (-15.0)) / 60.0) < 14),
+counts AS (
+  SELECT _dr, _dc, band_cls, count(*) AS _n FROM fwd GROUP BY _dr, _dc, band_cls),
+ranked AS (
+  SELECT _dr, _dc, band_cls,
+         row_number() OVER (PARTITION BY _dr, _dc ORDER BY _n DESC, band_cls ASC) AS _rk
+  FROM counts)
+SELECT _dr AS row, _dc AS col,
+  -15.0 + (CAST(_dc AS DOUBLE) + 0.5) * 60.0 AS x,
+  15.0 - (CAST(_dr AS DOUBLE) + 0.5) * 60.0 AS y,
+  band_cls
+FROM ranked WHERE _rk = 1
 """
 
     return o

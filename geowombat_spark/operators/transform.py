@@ -13,9 +13,18 @@ adds one pandas-UDF coordinate transform in front, same plan otherwise):
   (``spark.range`` — codegen), map each destination center back to the
   source (row, col) with the inverse affine, equi-join the source table.
   Warp IS "extract at the destination lattice centers".
-- **average** (aggregating downsample): forward-map every source center to
-  its destination cell, ``groupBy(dst_cell).avg(bands)`` — one partial-
-  aggregated shuffle.
+- **average / min / max / sum / med / q1 / q3** (aggregating downsample):
+  forward-map every source center to its destination cell,
+  ``groupBy(dst_cell).agg(bands)`` — one partial-aggregated shuffle
+  (percentile family uses Spark's exact interpolated ``percentile``,
+  bit-matching DuckDB's ``quantile_cont``).
+- **mode** (categorical downsample): forward map + count per (cell,
+  value) + window rank — deterministic tie-break (count desc, value asc).
+- **bilinear**: destination center → fractional source pixel coords; the
+  4 surrounding source centers are addressed by an explode of weighted
+  neighbor offsets and one hash equi-join, then
+  ``sum(w·v)/sum(w)`` per destination cell renormalizes over the
+  neighbors that exist (GDAL's edge behavior at the raster rim).
 - identity fast path: if the grids are equal, return the input unchanged
   (the reference's no-op VRT check).
 """
@@ -81,7 +90,17 @@ def transform_grid(
         )
         return lat.join(srcside, ["_sr", "_sc"], "left").drop("_sr", "_sc")
 
-    if resampling == "average":
+    agg_fns = {
+        "average": F.avg,
+        "min": F.min,
+        "max": F.max,
+        "sum": F.sum,
+        "med": lambda c: F.percentile(F.col(c), F.lit(0.5)),
+        "q1": lambda c: F.percentile(F.col(c), F.lit(0.25)),
+        "q3": lambda c: F.percentile(F.col(c), F.lit(0.75)),
+    }
+    if resampling in agg_fns or resampling == "mode":
+        fn = agg_fns.get(resampling)
         fwd = docs.withColumns(
             {
                 "_dr": F.floor((F.lit(dst.top) - F.col("y")) / dst.celly).cast("long"),
@@ -93,9 +112,12 @@ def transform_grid(
             & (F.col("_dc") >= 0)
             & (F.col("_dc") < dst.ncols)
         )
-        out = fwd.groupBy(
-            F.col("_dr").alias("row"), F.col("_dc").alias("col")
-        ).agg(*[F.avg(b).alias(b) for b in bands])
+        if resampling == "mode":
+            out = _mode_agg(fwd, bands)
+        else:
+            out = fwd.groupBy(
+                F.col("_dr").alias("row"), F.col("_dc").alias("col")
+            ).agg(*[fn(b).alias(b) for b in bands])
         return out.withColumns(
             {
                 "x": F.lit(dst.left) + (F.col("col").cast("double") + 0.5) * dst.cellx,
@@ -103,7 +125,87 @@ def transform_grid(
             }
         ).select("row", "col", "x", "y", *bands)
 
+    if resampling == "bilinear":
+        n = dst.nrows * dst.ncols
+        lat = spark.range(n).select(
+            F.expr(f"id div {dst.ncols}").cast("long").alias("row"),
+            (F.col("id") % dst.ncols).cast("long").alias("col"),
+        )
+        lat = lat.withColumns(
+            {
+                "x": F.lit(dst.left) + (F.col("col").cast("double") + 0.5) * dst.cellx,
+                "y": F.lit(dst.top) - (F.col("row").cast("double") + 0.5) * dst.celly,
+            }
+        )
+        # fractional source pixel coords of the destination center
+        fc = (F.col("x") - F.lit(src.left)) / src.cellx - 0.5
+        fr = (F.lit(src.top) - F.col("y")) / src.celly - 0.5
+        lat = lat.withColumns(
+            {
+                "_c0": F.floor(fc).cast("long"),
+                "_r0": F.floor(fr).cast("long"),
+                "_wc": fc - F.floor(fc),
+                "_wr": fr - F.floor(fr),
+            }
+        )
+        # 4 weighted neighbor addresses, one equi-join, renormalizing agg
+        nbrs = F.array(
+            *[
+                F.struct(
+                    (F.col("_r0") + dr).alias("_sr"),
+                    (F.col("_c0") + dc).alias("_sc"),
+                    (
+                        (F.col("_wr") if dr else (1.0 - F.col("_wr")))
+                        * (F.col("_wc") if dc else (1.0 - F.col("_wc")))
+                    ).alias("_w"),
+                )
+                for dr in (0, 1)
+                for dc in (0, 1)
+            ]
+        )
+        expl = lat.select(
+            "row", "col", "x", "y", F.explode(nbrs).alias("_n")
+        ).select("row", "col", "x", "y", "_n._sr", "_n._sc", "_n._w")
+        srcside = docs.select(
+            F.col("row").alias("_sr"), F.col("col").alias("_sc"), *bands
+        )
+        joined = expl.join(srcside, ["_sr", "_sc"], "left")
+        aggs = []
+        for b in bands:
+            w_ok = F.when(F.col(b).isNotNull(), F.col("_w"))
+            aggs.append((F.sum(w_ok * F.col(b)) / F.sum(w_ok)).alias(b))
+        return (
+            joined.groupBy("row", "col", "x", "y")
+            .agg(*aggs)
+            .select("row", "col", "x", "y", *bands)
+        )
+
     raise ValueError(f"unknown resampling {resampling!r}")
+
+
+def _mode_agg(fwd: DataFrame, bands: tuple[str, ...]) -> DataFrame:
+    """Deterministic modal downsample: per (cell, value) counts + window
+    rank with (count desc, value asc) tie-break — SQL-replicable, unlike
+    engine-specific ``mode()`` tie behavior."""
+    from pyspark.sql import Window
+
+    out = None
+    for b in bands:
+        counts = fwd.groupBy("_dr", "_dc", b).agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        w = Window.partitionBy("_dr", "_dc").orderBy(
+            F.desc("_n"), F.asc(b)
+        )
+        top = (
+            counts.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select(
+                F.col("_dr").alias("row"), F.col("_dc").alias("col"), b
+            )
+        )
+        out = top if out is None else out.join(top, ["row", "col"])
+    return out
 
 
 def match_layout(df: DataFrame, grid: GridSpec, x: str = "x", y: str = "y") -> DataFrame:
