@@ -128,3 +128,92 @@ def test_running_tile_stats_stateful(spark, stream_dirs):
     assert rows[-1]["n"] == 3
     assert rows[-1]["total"] == 70.0
     assert abs(rows[-1]["mean"] - round(70.0 / 3, 6)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# streaming dedup
+# ---------------------------------------------------------------------------
+
+TEXT_SCHEMA = "doc_id bigint, text string, event_ts timestamp"
+
+
+def _text_batch(spark, path, docs, name):
+    import glob as _glob
+
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text", "event_ts"])
+    pdf["event_ts"] = pd.to_datetime(pdf["event_ts"])
+    sdf = spark.createDataFrame(pdf)
+    tmp = os.path.join(os.path.dirname(path), f"_stage_{name}")
+    sdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    shutil.copy(part, os.path.join(path, f"{name}.parquet"))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_exact_dedup(spark, stream_dirs):
+    from geowombat_spark.streaming import dedup as sdedup
+
+    _text_batch(
+        spark,
+        stream_dirs["in"],
+        [
+            (1, "the quick brown fox", "2026-01-01 00:00:10"),
+            (2, "THE QUICK BROWN FOX  ", "2026-01-01 00:00:20"),  # dup (norm)
+            (3, "a different document", "2026-01-01 00:00:30"),
+        ],
+        "t1",
+    )
+    stream = (
+        spark.readStream.schema(TEXT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dirs["in"])
+    )
+    out = sdedup.stream_exact_dedup(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("exact_dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = {r["doc_id"] for r in spark.sql("select * from exact_dedup_test").collect()}
+    assert kept == {1, 3}
+
+
+def test_stream_lsh_neardup_flags(spark, stream_dirs):
+    """Bucket state carries across micro-batches: a later document whose
+    bands were all seen is flagged with the earlier doc's id; streaming
+    band hashes are the batch banding expressions, so flags agree with
+    batch LSH candidates."""
+    from geowombat_spark.streaming import dedup as sdedup
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    _text_batch(
+        spark, stream_dirs["in"], [(1, text, "2026-01-01 00:00:10")], "t1"
+    )
+    _text_batch(
+        spark, stream_dirs["in"], [(7, text, "2026-01-01 00:01:10")], "t2"
+    )
+    stream = (
+        spark.readStream.schema(TEXT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dirs["in"])
+    )
+    banded = sdedup.band_stream(stream)
+    flags = sdedup.stream_lsh_neardup_flags(banded)
+    q = (
+        flags.writeStream.format("memory")
+        .queryName("lsh_flags_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from lsh_flags_test").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["seen_min"])
+    # doc 1: all 4 bands fresh; doc 7: all 4 bands previously held by doc 1
+    assert sorted(by_doc[1]) == [-1, -1, -1, -1]
+    assert sorted(by_doc[7]) == [1, 1, 1, 1]
