@@ -74,6 +74,11 @@ from .operators.temporal import (  # noqa: F401
 )
 from .operators.temporal import group_dates, series_apply, series_stats  # noqa: F401
 from .operators.transform import match_layout, transform_grid as transform_crs  # noqa: F401
+from .plans.bucketing import (  # noqa: F401
+    assert_no_shuffle_join,
+    read_bucketed,
+    write_bucketed,
+)
 from .plans.checkpoint import (  # noqa: F401
     write_tiled_checkpointed as save,
 )

@@ -1,0 +1,73 @@
+"""Bucketed storage layout — exchange-free co-located joins.
+
+The tile-partitioned layout (``sources/tables.py``) gives partition-pruned
+*scans*; bucketing gives shuffle-free *joins*: two tables written with
+``bucketBy(n, tile_id)`` hash their rows into the same bucket files, so a
+join on ``tile_id`` (or any key prefixed by it) reads matching buckets
+side-by-side — the physical plan has a SortMergeJoin with **no Exchange on
+either side**. At 100 TB this converts the biggest repeated cost of the
+raster↔vector workload (re-shuffling the corpus for every tile-keyed
+join: extract results vs corpus, manifest audits, multi-epoch stacks)
+into a one-time layout decision, exactly the role Iceberg's bucket
+partition transform plays in production.
+
+Reference analogue: the windowed read/write layout of ``gw.to_raster``
+(``backends/rasterio_.py:131-135``) fixes the on-disk unit to the window;
+bucketing fixes the *join unit* to it too.
+
+Usage is write-side only — readers get co-location for free:
+
+    write_bucketed(docs, "corpus", n_buckets=64)
+    write_bucketed(stats, "tile_stats", n_buckets=64)
+    spark.table("corpus").join(spark.table("tile_stats"), "tile_id")
+    # -> SortMergeJoin, zero Exchange (verify with assert_no_shuffle_join)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    n_buckets: int = 64,
+    bucket_col: str = "tile_id",
+    sort_col: str = "cell_id",
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Persist ``df`` as a bucketed (+ in-bucket sorted) managed table.
+
+    Sorting within buckets by ``sort_col`` additionally removes the Sort
+    below a SortMergeJoin on (bucket_col, sort_col) prefixes and gives
+    row-group locality for range predicates on ``sort_col``."""
+    sort_cols = [bucket_col] + ([sort_col] if sort_col != bucket_col else [])
+    (
+        df.write.format(fmt)
+        .mode(mode)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(*sort_cols)
+        .saveAsTable(table)
+    )
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
+
+
+def plan_has_shuffle(df: DataFrame) -> bool:
+    """True if the *executed* plan contains any Exchange (shuffle)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return "Exchange" in plan
+
+
+def assert_no_shuffle_join(joined: DataFrame) -> None:
+    """Guard used in tests/CI: a join between co-bucketed tables must not
+    re-shuffle either side. Raises with the physical plan if it does."""
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    if "Exchange" in plan:
+        raise AssertionError(
+            "bucketed join re-shuffled — layout/bucket-count mismatch?\n"
+            + plan
+        )
