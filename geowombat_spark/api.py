@@ -73,7 +73,11 @@ from .operators.temporal import (  # noqa: F401
     apply_blocks as apply,
 )
 from .operators.temporal import group_dates, series_apply, series_stats  # noqa: F401
-from .operators.transform import match_layout, transform_grid as transform_crs  # noqa: F401
+from .operators.transform import (  # noqa: F401
+    match_layout,
+    transform_crs_grid,
+    transform_grid as transform_crs,
+)
 from .plans.bucketing import (  # noqa: F401
     assert_no_shuffle_join,
     read_bucketed,
@@ -159,3 +163,43 @@ def open(  # noqa: A001  (mirrors the reference's gw.open name)
             bands=bands,
         )
     return _one(path)
+
+
+def load(
+    spark,
+    image_list,
+    time_names,
+    band_names: tuple[str, ...] | None = None,
+    sensor: str | None = None,
+    nodata: float = 65535,
+    in_range: tuple[float, float] | None = None,
+    out_range: tuple[float, float] | None = None,
+):
+    """``gw.load`` analogue (``core/api.py:697-830``): open a list of
+    images as a time stack, null the nodata value, and linearly rescale
+    ``in_range`` → ``out_range`` (defaults (0, 10000) → (0, 1), clipped,
+    like the reference). Returns the lazy stacked DataFrame — the
+    reference materializes to a numpy array; here the 'load' is the plan,
+    and any composite (e.g. ``groupBy(cell).max``) stays distributed."""
+    from pyspark.sql import functions as F
+
+    in0, in1 = in_range or (0.0, 10000.0)
+    out0, out1 = out_range or (0.0, 1.0)
+    df = open(
+        spark,
+        list(image_list),
+        time_names=list(time_names),
+        band_names=band_names,
+        sensor=sensor,
+        nodata=float(nodata),
+    )
+    scale = (out1 - out0) / (in1 - in0)
+    for b in [c for c in df.columns if c.startswith("band_")]:
+        scaled = (F.col(b) - F.lit(in0)) * F.lit(scale) + F.lit(out0)
+        clipped = F.least(F.greatest(scaled, F.lit(out0)), F.lit(out1))
+        # greatest/least SKIP nulls, which would resurrect nodata as out0 —
+        # guard so nulled nodata cells stay null through the rescale
+        df = df.withColumn(
+            b, F.when(F.col(b).isNotNull(), clipped)
+        )
+    return df

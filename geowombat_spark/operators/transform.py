@@ -217,3 +217,103 @@ def match_layout(df: DataFrame, grid: GridSpec, x: str = "x", y: str = "y") -> D
 
     clean = df.drop("row", "col", "cell_id", "tile_id")
     return encode_cells(clean, grid, x=x, y=y).repartition(F.col("tile_id"))
+
+
+def transform_crs_grid(
+    spark: SparkSession,
+    docs: DataFrame,
+    src: GridSpec,
+    dst: GridSpec,
+    src_epsg: int,
+    dst_epsg: int,
+    bands: tuple[str, ...] = ("band_blue",),
+    resampling: str = "nearest",
+) -> DataFrame:
+    """True CRS-changing warp (``rasterio_.py:1087-1284`` with an actual
+    reprojection): the affine plans of :func:`transform_grid` with ONE
+    Arrow-batched coordinate transform (``crs.reproject_points`` — Karney
+    TM series, no pyproj) inserted in front.
+
+    - ``nearest``: destination lattice centers (in dst CRS) reproject to
+      the source CRS inside ``mapInPandas``, then the inverse source
+      affine + the same hash equi-join. The corpus is never reprojected
+      or shuffled — only the (small) destination lattice moves through
+      Python.
+    - aggregating modes (``average``/``min``/``max``/``sum``): every
+      source center forward-reprojects to the dst CRS (one corpus-wide
+      Arrow pass — unavoidable: the source is the data being re-gridded),
+      then the forward groupBy aggregate.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..crs import reproject_points
+
+    if src_epsg == dst_epsg:
+        return transform_grid(spark, docs, src, dst, bands, resampling)
+
+    if resampling == "nearest":
+        n = dst.nrows * dst.ncols
+        lat = spark.range(n).select(
+            F.expr(f"id div {dst.ncols}").cast("long").alias("row"),
+            (F.col("id") % dst.ncols).cast("long").alias("col"),
+        ).withColumns(
+            {
+                "x": F.lit(dst.left) + (F.col("col").cast("double") + 0.5) * dst.cellx,
+                "y": F.lit(dst.top) - (F.col("row").cast("double") + 0.5) * dst.celly,
+            }
+        )
+
+        def _inv(it):
+            for pdf in it:
+                sx, sy = reproject_points(
+                    pdf["x"].values, pdf["y"].values, dst_epsg, src_epsg
+                )
+                out = pdf[["row", "col", "x", "y"]].copy()
+                out["_sr"] = np.floor((src.top - sy) / src.celly).astype(np.int64)
+                out["_sc"] = np.floor((sx - src.left) / src.cellx).astype(np.int64)
+                yield out
+
+        lat2 = lat.mapInPandas(
+            _inv,
+            "row bigint, col bigint, x double, y double, _sr bigint, _sc bigint",
+        )
+        srcside = docs.select(
+            F.col("row").alias("_sr"), F.col("col").alias("_sc"), *bands
+        )
+        return lat2.join(srcside, ["_sr", "_sc"], "left").drop("_sr", "_sc")
+
+    agg_fns = {"average": F.avg, "min": F.min, "max": F.max, "sum": F.sum}
+    if resampling in agg_fns:
+        fn = agg_fns[resampling]
+
+        def _fwd(it):
+            for pdf in it:
+                dx, dy = reproject_points(
+                    pdf["x"].values, pdf["y"].values, src_epsg, dst_epsg
+                )
+                out = pdf.copy()
+                out["_dr"] = np.floor((dst.top - dy) / dst.celly).astype(np.int64)
+                out["_dc"] = np.floor((dx - dst.left) / dst.cellx).astype(np.int64)
+                yield out
+
+        cols = ", ".join(f"{b} double" for b in bands)
+        fwd = docs.select("x", "y", *bands).mapInPandas(
+            _fwd, f"x double, y double, {cols}, _dr bigint, _dc bigint"
+        ).filter(
+            (F.col("_dr") >= 0)
+            & (F.col("_dr") < dst.nrows)
+            & (F.col("_dc") >= 0)
+            & (F.col("_dc") < dst.ncols)
+        )
+        out = fwd.groupBy(
+            F.col("_dr").alias("row"), F.col("_dc").alias("col")
+        ).agg(*[fn(b).alias(b) for b in bands])
+        return out.withColumns(
+            {
+                "x": F.lit(dst.left) + (F.col("col").cast("double") + 0.5) * dst.cellx,
+                "y": F.lit(dst.top) - (F.col("row").cast("double") + 0.5) * dst.celly,
+            }
+        ).select("row", "col", "x", "y", *bands)
+
+    raise ValueError(f"unknown resampling {resampling!r}")

@@ -72,3 +72,84 @@ def test_api_facade_names():
         "near_pairs", "set_nodata", "qa_mask", "prepare_points",
     ):
         assert callable(getattr(gw, req)), req
+
+
+def test_transform_crs_grid_nearest_golden(spark):
+    """True CRS-changing warp: UTM 21N source -> EPSG:4326 destination.
+    Expected values computed independently in numpy with the same Karney
+    TM reprojection + inverse affine."""
+    import numpy as np
+    import pandas as pd
+
+    from geowombat_spark.crs import reproject_points, utm_to_lonlat
+
+    src = GridSpec(left=717585.0, top=-2776995.0, cellx=30.0, celly=30.0,
+                   nrows=64, ncols=64, tile_rows=64, tile_cols=64,
+                   crs="EPSG:32621", nodata=0.0)
+    rr, cc = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    rr, cc = rr.ravel(), cc.ravel()
+    pdf = pd.DataFrame(
+        {
+            "row": rr, "col": cc,
+            "x": src.left + (cc + 0.5) * 30.0,
+            "y": src.top - (rr + 0.5) * 30.0,
+            "band_blue": (rr * 1000 + cc).astype(np.float64),
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+
+    # destination lon/lat frame over the source footprint
+    lon0, lat0 = utm_to_lonlat(src.left, src.top, 21, south=False)
+    lon1, lat1 = utm_to_lonlat(src.right, src.bottom, 21, south=False)
+    dst = GridSpec(
+        left=float(min(lon0, lon1)), top=float(max(lat0, lat1)),
+        cellx=0.0005, celly=0.0005, nrows=30, ncols=40,
+        tile_rows=30, tile_cols=40, crs="EPSG:4326", nodata=0.0,
+    )
+    out = tf.transform_crs_grid(
+        spark, docs, src, dst, src_epsg=32621, dst_epsg=4326,
+        bands=("band_blue",), resampling="nearest",
+    ).toPandas().sort_values(["row", "col"]).reset_index(drop=True)
+
+    # independent expectation
+    drr, dcc = np.meshgrid(np.arange(30), np.arange(40), indexing="ij")
+    drr, dcc = drr.ravel(), dcc.ravel()
+    dx = dst.left + (dcc + 0.5) * dst.cellx
+    dy = dst.top - (drr + 0.5) * dst.celly
+    sx, sy = reproject_points(dx, dy, 4326, 32621)
+    sr = np.floor((src.top - sy) / 30.0).astype(np.int64)
+    sc = np.floor((sx - src.left) / 30.0).astype(np.int64)
+    inside = (sr >= 0) & (sr < 64) & (sc >= 0) & (sc < 64)
+    expected = np.where(inside, sr * 1000 + sc, np.nan).astype(np.float64)
+
+    got = out.sort_values(["row", "col"])["band_blue"].values
+    order = np.lexsort((dcc, drr))
+    np.testing.assert_allclose(got, expected[order], equal_nan=True)
+    assert inside.sum() > 100  # the frames genuinely overlap
+
+
+def test_transform_crs_grid_average_runs(spark):
+    import numpy as np
+    import pandas as pd
+
+    from geowombat_spark.crs import utm_to_lonlat
+
+    src = GridSpec(left=717585.0, top=-2776995.0, cellx=30.0, celly=30.0,
+                   nrows=32, ncols=32, tile_rows=32, tile_cols=32,
+                   crs="EPSG:32621", nodata=0.0)
+    rr, cc = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+    rr, cc = rr.ravel(), cc.ravel()
+    docs = spark.createDataFrame(pd.DataFrame(
+        {"x": src.left + (cc + 0.5) * 30.0, "y": src.top - (rr + 0.5) * 30.0,
+         "band_blue": np.ones(len(rr))}
+    ))
+    lon0, lat0 = utm_to_lonlat(src.left, src.top, 21, south=False)
+    dst = GridSpec(left=float(lon0), top=float(lat0), cellx=0.002,
+                   celly=0.002, nrows=10, ncols=10, tile_rows=10,
+                   tile_cols=10, crs="EPSG:4326", nodata=0.0)
+    out = tf.transform_crs_grid(
+        spark, docs, src, dst, 32621, 4326,
+        bands=("band_blue",), resampling="average",
+    ).toPandas()
+    assert len(out) > 0
+    assert (out["band_blue"] == 1.0).all()

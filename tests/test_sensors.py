@@ -113,3 +113,30 @@ def test_vrt_roundtrip(spark, corpus_dir, docs, tmp_path):
     # every emitted destination cell aggregates >= 1 source cell
     n = warped.count()
     assert 0 < n <= docs.count()
+
+
+def test_gw_load_stack_rescale_nodata(spark, corpus_dir, docs):
+    """gw.load: time-stacked open + nodata nulling + in->out range rescale
+    with clipping (core/api.py:697-830 semantics)."""
+    out = gw.load(
+        spark,
+        [corpus_dir + "/t1", corpus_dir + "/t1"],
+        time_names=["2020-01-01", "2020-02-01"],
+        nodata=0.0,
+        in_range=(0.0, 200.0),
+        out_range=(0.0, 1.0),
+    )
+    assert out.select("t").distinct().count() == 2
+    import pyspark.sql.functions as F
+
+    stats = out.agg(
+        F.min("band_blue").alias("lo"), F.max("band_blue").alias("hi")
+    ).collect()[0]
+    assert stats["lo"] is not None and stats["lo"] >= 0.0
+    assert stats["hi"] <= 1.0
+    # nodata (0.0) became NULL before scaling: no exact-zero raw zeros remain
+    src = gw.open(spark, corpus_dir + "/t1")
+    n_zeros = src.filter(F.col("band_blue") == 0.0).count()
+    if n_zeros:
+        n_null = out.filter(F.col("band_blue").isNull()).count()
+        assert n_null > 0
