@@ -702,14 +702,15 @@ def q_focal_p25(spark, sf_dir):
 
 def q_polygonize(spark, sf_dir):
     """array_to_polygon: connected same-valued regions (4-connectivity) via
-    iterative min-label propagation + pointer jumping
-    (conversion.py:495-568); regions reported as (comp, value, count, bbox)."""
+    the two-phase tiled CC (tile-local union-find, then min-label merge on
+    the boundary label graph; conversion.py:495-568); regions reported as
+    (comp, value, count, bbox)."""
     from geowombat_spark.operators import polygonize as pz
 
     gd = grid_docs(spark, sf_dir).withColumn(
         "cls", (F.col("n_chars") % 4).cast("long")
     )
-    comps = pz.connected_components(
+    comps = pz.connected_components_tiled(
         gd.select("row", "col", F.col("cls").alias("value")), "value"
     )
     s = pz.region_summary(comps)
@@ -922,7 +923,7 @@ def q_rings(spark, sf_dir):
     gd = grid_docs(spark, sf_dir).withColumn(
         "cls", (F.col("n_chars") % 4).cast("long")
     )
-    comps = pz.connected_components(
+    comps = pz.connected_components_tiled(
         gd.select("row", "col", F.col("cls").alias("value")), "value"
     )
     rings = pz.trace_rings(comps)

@@ -307,3 +307,125 @@ def trace_rings(
         "_bkt", F.pmod(F.xxhash64(F.col("comp")), F.lit(int(n_buckets)))
     )
     return bucketed.groupBy("_bkt").applyInPandas(compute_bucket, schema)
+
+
+def connected_components_tiled(
+    cells: DataFrame,
+    value_col: str = "value",
+    tile_rows: int = 64,
+    tile_cols: int = 64,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Two-phase connected components — the at-scale formulation.
+
+    Phase 1 (no global rounds): ``groupBy(tile).applyInPandas`` runs a
+    local union-find per tile, labeling every cell with the min cell key
+    of its *tile-local* component. All intra-tile structure resolves in
+    one exchange.
+
+    Phase 2 (global merge on a graph that is orders of magnitude smaller
+    than the cell set): only labels whose components touch a tile border
+    can merge. Border cells scatter to their cross-border neighbor
+    addresses; one equi-join yields (label_a, label_b) merge edges, and
+    :func:`geowombat_spark.pipeline.dedup.dedup_groups` (min-label +
+    pointer jumping) resolves them over the LABEL graph. Cells then join
+    the label→component map (broadcast-able: one row per local component,
+    not per cell).
+
+    Same output contract as :func:`connected_components` (comp = min cell
+    key ``row·2^32+col`` of the global component), so callers and oracles
+    are interchangeable; the iterative cell-graph loop remains for
+    reference/fallback.
+    """
+    import numpy as np
+    import pandas as pd
+
+    src = cells.select(
+        "row",
+        "col",
+        F.col(value_col).alias("value"),
+        (F.floor(F.col("row") / tile_rows) * F.lit(1 << 20)
+         + F.floor(F.col("col") / tile_cols)).alias("_tile"),
+    )
+
+    def local_cc(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = pdf["row"].to_numpy()
+        cols = pdf["col"].to_numpy()
+        vals = pdf["value"].to_numpy()
+        key_of = {}
+        for i in range(len(pdf)):
+            key_of[(int(rows[i]), int(cols[i]))] = i
+        parent = list(range(len(pdf)))
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        for i in range(len(pdf)):
+            r, c = int(rows[i]), int(cols[i])
+            for nr, nc in ((r + 1, c), (r, c + 1)):
+                j = key_of.get((nr, nc))
+                if j is not None and vals[j] == vals[i]:
+                    union(i, j)
+        # label = min cell key in the local component
+        cellkey = rows.astype(np.int64) * (1 << 32) + cols.astype(np.int64)
+        roots = np.fromiter((find(i) for i in range(len(pdf))), dtype=np.int64)
+        lab = np.full(len(pdf), np.iinfo(np.int64).max, dtype=np.int64)
+        order = np.argsort(cellkey)
+        for i in order:
+            rt = roots[i]
+            if lab[rt] == np.iinfo(np.int64).max:
+                lab[rt] = cellkey[i]
+        out = pdf[["row", "col", "value"]].copy()
+        out["label"] = lab[roots]
+        return out
+
+    labeled = src.groupBy("_tile").applyInPandas(
+        local_cc, "row bigint, col bigint, value bigint, label bigint"
+    ).localCheckpoint()
+
+    # phase 2: merge edges across tile borders only
+    on_border = (
+        (F.col("row") % tile_rows == 0)
+        | (F.col("row") % tile_rows == tile_rows - 1)
+        | (F.col("col") % tile_cols == 0)
+        | (F.col("col") % tile_cols == tile_cols - 1)
+    )
+    border = labeled.filter(on_border)
+    contrib = border.select(
+        F.explode(
+            F.array(
+                F.struct((F.col("row") + 1).alias("row"), F.col("col").alias("col")),
+                F.struct((F.col("row") - 1).alias("row"), F.col("col").alias("col")),
+                F.struct(F.col("row").alias("row"), (F.col("col") + 1).alias("col")),
+                F.struct(F.col("row").alias("row"), (F.col("col") - 1).alias("col")),
+            )
+        ).alias("tgt"),
+        F.col("value"),
+        F.col("label").alias("nlabel"),
+    ).select(F.col("tgt.row"), F.col("tgt.col"), "value", "nlabel")
+    edges = (
+        border.join(contrib, ["row", "col", "value"])
+        .filter(F.col("label") != F.col("nlabel"))
+        .select(F.col("label").alias("doc_a"), F.col("nlabel").alias("doc_b"))
+        .distinct()
+    )
+    from ..pipeline.dedup import dedup_groups
+
+    groups = dedup_groups(edges, max_iter=max_iter).withColumnsRenamed(
+        {"doc_id": "label", "group_id": "comp"}
+    )
+    out = labeled.join(groups, "label", "left").select(
+        "row",
+        "col",
+        "value",
+        F.coalesce("comp", "label").alias("comp"),
+    )
+    return out

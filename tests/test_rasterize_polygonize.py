@@ -186,3 +186,36 @@ def test_trace_max_cells_guard(spark):
     )
     out = trace_rings(spark.createDataFrame(pdf), max_cells=2).collect()
     assert len(out) == 1 and out[0]["ring_idx"] == -1
+
+
+def test_tiled_cc_matches_iterative(spark):
+    """Two-phase (tile-local union-find + boundary label merge) CC must
+    produce the identical labeling to the iterative cell-graph loop."""
+    import numpy as np
+    import pandas as pd
+    from geowombat_spark.operators.polygonize import (
+        connected_components,
+        connected_components_tiled,
+    )
+
+    rng = np.random.default_rng(5)
+    rr, cc = np.meshgrid(np.arange(40), np.arange(40), indexing="ij")
+    pdf = pd.DataFrame(
+        {
+            "row": rr.ravel(),
+            "col": cc.ravel(),
+            "value": rng.integers(0, 3, rr.size),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    a = {
+        (r["row"], r["col"]): r["comp"]
+        for r in connected_components(df, "value").collect()
+    }
+    b = {
+        (r["row"], r["col"]): r["comp"]
+        for r in connected_components_tiled(
+            df, "value", tile_rows=16, tile_cols=16
+        ).collect()
+    }
+    assert a == b
