@@ -973,6 +973,20 @@ def q_warp_mode(spark, sf_dir):
     return out.select("row", "col", "x", "y", "band_cls")
 
 
+def q_extract_touched(spark, sf_dir):
+    """extract_polygons with exact GDAL all_touched (any-touch): cells
+    whose rect the triangle intersects — center-in-polygon plus a
+    supercover walk of the boundary edges (grid.segment_supercover). The
+    oracle derives the same set independently via the separating-axis
+    segment-vs-rect test per edge."""
+    gd = grid_docs(spark, sf_dir)
+    tri = pd.DataFrame([{"fid": 2, "rings": TRI_RINGS}])
+    out = ex.extract_polygons(
+        spark, gd, tri, GRID, bands=("blue",), all_touched=True
+    )
+    return out.select("fid", "point", "x", "y", "blue")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_extract_points": q_extract_points,
@@ -1035,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_groups": q_dedup_groups,
         "q_warp_bilinear": q_warp_bilinear,
         "q_warp_mode": q_warp_mode,
+        "q_extract_touched": q_extract_touched,
     }
 
 
@@ -1984,6 +1999,39 @@ SELECT _dr AS row, _dc AS col,
   15.0 - (CAST(_dr AS DOUBLE) + 0.5) * 60.0 AS y,
   band_cls
 FROM ranked WHERE _rk = 1
+"""
+
+
+    o["q_extract_touched"] = f"""
+WITH {G_SQL},
+cand AS (
+  SELECT CAST(2 AS BIGINT) AS fid, i, j,
+         {_T_MINX} + (CAST(j AS DOUBLE) + 0.5) * {CELL} AS sx,
+         {_T_MAXY} - (CAST(i AS DOUBLE) + 0.5) * {CELL} AS sy
+  FROM UNNEST(range({_T_NR})) AS t1(i), UNNEST(range({_T_NC})) AS t2(j)),
+hit AS (
+  SELECT fid, i, j, sx, sy FROM cand
+  WHERE ({_TRI_INSIDE})
+     OR (least(300.1, 520.7) <= sx + 15.0 AND greatest(300.1, 520.7) >= sx - 15.0
+      AND least(-50.2, -80.3) <= sy + 15.0 AND greatest(-50.2, -80.3) >= sy - 15.0
+      AND abs(-((-80.3) - (-50.2)) * (sx - (300.1)) + ((520.7) - (300.1)) * (sy - (-50.2)))
+          <= 15.0 * abs((-80.3) - (-50.2)) + 15.0 * abs((520.7) - (300.1)))
+     OR (least(520.7, 400.4) <= sx + 15.0 AND greatest(520.7, 400.4) >= sx - 15.0
+      AND least(-80.3, -280.9) <= sy + 15.0 AND greatest(-80.3, -280.9) >= sy - 15.0
+      AND abs(-((-280.9) - (-80.3)) * (sx - (520.7)) + ((400.4) - (520.7)) * (sy - (-80.3)))
+          <= 15.0 * abs((-280.9) - (-80.3)) + 15.0 * abs((400.4) - (520.7)))
+     OR (least(400.4, 300.1) <= sx + 15.0 AND greatest(400.4, 300.1) >= sx - 15.0
+      AND least(-280.9, -50.2) <= sy + 15.0 AND greatest(-280.9, -50.2) >= sy - 15.0
+      AND abs(-((-50.2) - (-280.9)) * (sx - (400.4)) + ((300.1) - (400.4)) * (sy - (-280.9)))
+          <= 15.0 * abs((-50.2) - (-280.9)) + 15.0 * abs((300.1) - (400.4)))),
+pts AS (
+  SELECT fid, sx, sy,
+         CAST(row_number() OVER (PARTITION BY fid ORDER BY i, j) - 1 AS BIGINT) AS point
+  FROM hit)
+SELECT p.fid, p.point, p.sx AS x, p.sy AS y, g.band_blue AS blue
+FROM pts p
+JOIN g ON g.row = CAST(floor((0.0 - p.sy) / {CELL}) AS BIGINT)
+      AND g.col = CAST(floor(p.sx / {CELL}) AS BIGINT)
 """
 
     return o

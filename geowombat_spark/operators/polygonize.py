@@ -146,6 +146,97 @@ def region_summary(comps: DataFrame) -> DataFrame:
     )
 
 
+def trace_cell_rings(
+    cells: set[tuple[int, int]],
+) -> list[tuple[list[tuple[int, int]], int, float]]:
+    """Pure boundary tracer for ONE component's cell set (no Spark).
+
+    Returns rings sorted exterior-first: each as (corner vertices, unit
+    edge count, signed area in (x=col, y=row) — exterior positive). The
+    walk keeps the interior on the RIGHT; pinch vertices take the
+    sharpest right turn; collinear runs merge to corners. Factored out of
+    :func:`trace_rings` so property tests can drive it directly (the
+    Euler-characteristic invariants in tests/test_property.py).
+    """
+    import numpy as np
+
+    edges: dict[tuple[int, int], list[tuple[int, int]]] = {}
+
+    def add(a, b):
+        edges.setdefault(a, []).append(b)
+
+    for (r, c) in cells:
+        if (r - 1, c) not in cells:  # top side, walk +c
+            add((r, c), (r, c + 1))
+        if (r + 1, c) not in cells:  # bottom side, walk -c
+            add((r + 1, c + 1), (r + 1, c))
+        if (r, c - 1) not in cells:  # left side, walk -r
+            add((r + 1, c), (r, c))
+        if (r, c + 1) not in cells:  # right side, walk +r
+            add((r, c + 1), (r + 1, c + 1))
+
+    rings = []
+    while edges:
+        start = min(edges)
+        cur = start
+        nxt = edges[start].pop(0)
+        if not edges[start]:
+            del edges[start]
+        ring = [start]
+        din = (nxt[0] - cur[0], nxt[1] - cur[1])
+        cur = nxt
+        while cur != start:
+            ring.append(cur)
+            outs = edges.get(cur)
+            if not outs:  # open boundary: malformed input
+                raise ValueError(f"boundary walk stuck at {cur}")
+            if len(outs) == 1:
+                nxt = outs.pop(0)
+            else:
+                # pinch vertex: sharpest right turn first
+                # right of din=(dr,dc) in (row-down, col-right) frame
+                pref = [
+                    (din[1], -din[0]),   # right turn
+                    din,                 # straight
+                    (-din[1], din[0]),   # left turn
+                ]
+                nxt = None
+                for d in pref:
+                    cand = (cur[0] + d[0], cur[1] + d[1])
+                    if cand in outs:
+                        nxt = cand
+                        outs.remove(cand)
+                        break
+                if nxt is None:
+                    nxt = outs.pop(0)
+            if not outs:
+                edges.pop(cur, None)
+            din = (nxt[0] - cur[0], nxt[1] - cur[1])
+            cur = nxt
+        n_edges = len(ring)
+        # merge collinear runs (keep corners only)
+        merged = []
+        m = len(ring)
+        for i in range(m):
+            p0, p1, p2 = ring[i - 1], ring[i], ring[(i + 1) % m]
+            if (p1[0] - p0[0], p1[1] - p0[1]) != (
+                p2[0] - p1[0],
+                p2[1] - p1[1],
+            ):
+                merged.append(p1)
+        # shoelace in (x=col, y=row): exterior positive
+        xs = np.array([p[1] for p in merged], dtype=np.float64)
+        ys = np.array([p[0] for p in merged], dtype=np.float64)
+        area = 0.5 * float(
+            np.sum(xs * np.roll(ys, -1) - np.roll(xs, -1) * ys)
+        )
+        rings.append((merged, n_edges, area))
+
+    # deterministic ring order: exterior-first (area desc), then first vertex
+    rings.sort(key=lambda t: (-t[2], t[0][0] if t[0] else (0, 0)))
+    return rings
+
+
 def trace_rings(
     comps: DataFrame,
     grid=None,
@@ -204,82 +295,7 @@ def trace_rings(
                 }
             )
         cells = set(zip(pdf["row"].astype(int), pdf["col"].astype(int)))
-        # directed boundary edges, interior on the right
-        # vertices are (vr, vc) lattice corners
-        edges: dict[tuple[int, int], list[tuple[int, int]]] = {}
-
-        def add(a, b):
-            edges.setdefault(a, []).append(b)
-
-        for (r, c) in cells:
-            if (r - 1, c) not in cells:  # top side, walk +c
-                add((r, c), (r, c + 1))
-            if (r + 1, c) not in cells:  # bottom side, walk -c
-                add((r + 1, c + 1), (r + 1, c))
-            if (r, c - 1) not in cells:  # left side, walk -r
-                add((r + 1, c), (r, c))
-            if (r, c + 1) not in cells:  # right side, walk +r
-                add((r, c + 1), (r + 1, c + 1))
-
-        rings = []
-        while edges:
-            start = min(edges)
-            cur = start
-            nxt = edges[start].pop(0)
-            if not edges[start]:
-                del edges[start]
-            ring = [start]
-            din = (nxt[0] - cur[0], nxt[1] - cur[1])
-            cur = nxt
-            while cur != start:
-                ring.append(cur)
-                outs = edges.get(cur)
-                if not outs:  # open boundary: malformed input
-                    raise ValueError(f"boundary walk stuck at {cur}")
-                if len(outs) == 1:
-                    nxt = outs.pop(0)
-                else:
-                    # pinch vertex: sharpest right turn first
-                    # right of din=(dr,dc) in (row-down, col-right) frame
-                    pref = [
-                        (din[1], -din[0]),   # right turn
-                        din,                 # straight
-                        (-din[1], din[0]),   # left turn
-                    ]
-                    nxt = None
-                    for d in pref:
-                        cand = (cur[0] + d[0], cur[1] + d[1])
-                        if cand in outs:
-                            nxt = cand
-                            outs.remove(cand)
-                            break
-                    if nxt is None:
-                        nxt = outs.pop(0)
-                if not outs:
-                    edges.pop(cur, None)
-                din = (nxt[0] - cur[0], nxt[1] - cur[1])
-                cur = nxt
-            n_edges = len(ring)
-            # merge collinear runs (keep corners only)
-            merged = []
-            m = len(ring)
-            for i in range(m):
-                p0, p1, p2 = ring[i - 1], ring[i], ring[(i + 1) % m]
-                if (p1[0] - p0[0], p1[1] - p0[1]) != (
-                    p2[0] - p1[0],
-                    p2[1] - p1[1],
-                ):
-                    merged.append(p1)
-            # shoelace in (x=col, y=row): exterior positive
-            xs = np.array([p[1] for p in merged], dtype=np.float64)
-            ys = np.array([p[0] for p in merged], dtype=np.float64)
-            area = 0.5 * float(
-                np.sum(xs * np.roll(ys, -1) - np.roll(xs, -1) * ys)
-            )
-            rings.append((merged, n_edges, area))
-
-        # deterministic ring order: exterior-first (area desc), then first vertex
-        rings.sort(key=lambda t: (-t[2], t[0][0] if t[0] else (0, 0)))
+        rings = trace_cell_rings(cells)
         rows = []
         for idx, (merged, n_edges, area) in enumerate(rings):
             if g is not None:

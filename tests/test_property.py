@@ -115,3 +115,93 @@ def test_tm_roundtrip_property(lat, dlon, zone):
     lon2, lat2 = crs.utm_to_lonlat(E, N, zone)
     assert abs(lon2[0] - lon) < 1e-8
     assert abs(lat2[0] - lat) < 1e-8
+
+
+@given(
+    st.integers(0, 2**32 - 1),
+    st.integers(4, 10),
+    st.integers(4, 10),
+    st.floats(0.2, 0.8),
+)
+@settings(max_examples=150, deadline=None)
+def test_ring_tracer_satisfies_euler_topology(seed, h, w, density):
+    """For EVERY 4-connected component of a random boolean grid, the traced
+    rings must satisfy the digital-topology invariants:
+      n_rings        == 2 - chi,  chi = C - A + Q
+      sum(n_edges)   == 4C - 2A            (perimeter)
+      net area       == C                  (exterior - holes)
+      sum(corners)   == 2x2 vertex-pattern count (1 for k in {1,3},
+                        2 for diagonal pairs)
+    This is the same math the q_rings DuckDB oracle uses, checked here
+    against arbitrary shapes instead of the fixture corpus."""
+    from geowombat_spark.operators.polygonize import trace_cell_rings
+
+    rng = np.random.default_rng(seed)
+    grid = rng.random((h, w)) < density
+
+    # local CC (independent union-find)
+    parent = {}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for r in range(h):
+        for c in range(w):
+            if grid[r, c]:
+                parent[(r, c)] = (r, c)
+    for r in range(h):
+        for c in range(w):
+            if not grid[r, c]:
+                continue
+            for nr, nc in ((r + 1, c), (r, c + 1)):
+                if (nr, nc) in parent:
+                    ra, rb = find((r, c)), find((nr, nc))
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    comps = {}
+    for cell in parent:
+        comps.setdefault(find(cell), set()).add(cell)
+
+    for cells in comps.values():
+        C = len(cells)
+        A = sum(
+            1
+            for (r, c) in cells
+            for n in ((r + 1, c), (r, c + 1))
+            if n in cells
+        )
+        Q = sum(
+            1
+            for (r, c) in cells
+            if (r + 1, c) in cells
+            and (r, c + 1) in cells
+            and (r + 1, c + 1) in cells
+        )
+        chi = C - A + Q
+        # corner count from 2x2 lattice-vertex patterns
+        corners = 0
+        verts = set()
+        for (r, c) in cells:
+            verts |= {(r, c), (r, c + 1), (r + 1, c), (r + 1, c + 1)}
+        for (vr, vc) in verts:
+            quad = [
+                (vr - 1, vc - 1) in cells,  # NW
+                (vr - 1, vc) in cells,      # NE
+                (vr, vc - 1) in cells,      # SW
+                (vr, vc) in cells,          # SE
+            ]
+            k = sum(quad)
+            if k in (1, 3):
+                corners += 1
+            elif k == 2 and quad[0] == quad[3]:  # diagonal pair
+                corners += 2
+
+        rings = trace_cell_rings(cells)
+        assert len(rings) == 2 - chi, (cells, rings)
+        assert sum(n_edges for _, n_edges, _ in rings) == 4 * C - 2 * A
+        net = sum(area for _, _, area in rings)  # signed: holes negative
+        assert abs(net - C) < 1e-9
+        assert sum(len(m) for m, _, _ in rings) == corners
