@@ -987,6 +987,90 @@ def q_extract_touched(spark, sf_dir):
     return out.select("fid", "point", "x", "y", "blue")
 
 
+def _elev_col():
+    """Deterministic smooth elevation surface over the doc grid (shared by
+    the topo queries and their oracles)."""
+    rowd = F.col("row").cast("double")
+    cold = F.col("col").cast("double")
+    return (
+        F.lit(3.0) * rowd
+        + F.lit(0.02) * cold * cold
+        - F.lit(0.05) * rowd * cold
+        + F.lit(100.0)
+    )
+
+
+def q_slope_aspect(spark, sf_dir):
+    """Zevenbergen–Thorne slope/aspect over the elevation surface
+    (radiometry/topo.py:44-153 via GDAL DEMProcessing): 3×3 halo stencil,
+    one tile-keyed exchange. Oracle = neighbor self-joins with
+    edge-replicate COALESCE."""
+    from geowombat_spark.functions import topo
+
+    gd = grid_docs(spark, sf_dir).withColumn("elev", _elev_col())
+    out = topo.slope_aspect(gd, GRID, elev="elev", keep=("doc_id",))
+    return out.select(
+        "doc_id",
+        F.round("slope", 6).alias("slope"),
+        F.round("aspect", 6).alias("aspect"),
+    )
+
+
+def q_norm_topo(spark, sf_dir):
+    """Topo.norm_topo C-correction (radiometry/topo.py:271-340): slope/
+    aspect stencil → illumination → distributed closed-form OLS (one
+    aggregate, broadcast back) → per-pixel adjustment. The reference fits
+    the same regression driver-side with sklearn over materialized dask
+    arrays (topo.py:165-179)."""
+    from geowombat_spark.functions import topo
+
+    gd = grid_docs(spark, sf_dir).withColumns(
+        {
+            "elev": _elev_col(),
+            "solar_za": (3000 + F.col("doc_id") % 1500).cast("double"),
+            "solar_az": ((F.col("doc_id") * 3) % 36000).cast("double"),
+        }
+    )
+    out = topo.norm_topo(
+        gd,
+        GRID,
+        bands=("band_blue",),
+        method="c",
+        slope_thresh=5.0,
+        scale_factor=1.0 / 255.0,
+        min_samples=10,
+        keep=("doc_id",),
+    )
+    return out.select(
+        "doc_id", F.round("band_blue", 6).alias("topo_blue")
+    )
+
+
+def q_norm_brdf(spark, sf_dir):
+    """BRDF c-factor normalization (radiometry/brdf.py:403-605, Roy et
+    al. 2016): Ross-Thick + Li-Sparse-Reciprocal kernels as pure Column
+    trig — zero shuffle, whole-stage codegen. Nadir kernels are scene
+    constants (plan literals); the oracle re-derives them independently
+    in Python and the per-pixel kernel chain in SQL."""
+    from geowombat_spark.functions import brdf
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        (1 + (F.col("doc_id") * 13 + 5) % 255).cast("double").alias("band_red"),
+        (3000 + F.col("doc_id") % 1500).cast("double").alias("solar_za"),
+        ((F.col("doc_id") * 3) % 36000).cast("double").alias("solar_az"),
+        (500 + F.col("doc_id") % 800).cast("double").alias("sensor_za"),
+        ((F.col("doc_id") * 7) % 36000).cast("double").alias("sensor_az"),
+    )
+    out = brdf.norm_brdf(
+        d,
+        {"band_red": "red"},
+        central_latitude=45.0,
+        scale_factor=1.0 / 255.0,
+    )
+    return out.select("doc_id", F.round("band_red", 6).alias("brdf_red"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_extract_points": q_extract_points,
@@ -1050,6 +1134,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_warp_bilinear": q_warp_bilinear,
         "q_warp_mode": q_warp_mode,
         "q_extract_touched": q_extract_touched,
+        "q_slope_aspect": q_slope_aspect,
+        "q_norm_topo": q_norm_topo,
+        "q_norm_brdf": q_norm_brdf,
     }
 
 
@@ -2032,6 +2119,139 @@ SELECT p.fid, p.point, p.sx AS x, p.sy AS y, g.band_blue AS blue
 FROM pts p
 JOIN g ON g.row = CAST(floor((0.0 - p.sy) / {CELL}) AS BIGINT)
       AND g.col = CAST(floor(p.sx / {CELL}) AS BIGINT)
+"""
+
+    # --- topo: Zevenbergen–Thorne central differences with edge-replicate
+    # COALESCE (the SQL mirror of GDAL computeEdges), then compass aspect.
+    _TOPO_SA = f"""
+e AS (
+  SELECT doc_id, row, col, band_blue,
+    3.0 * CAST(row AS DOUBLE) + 0.02 * CAST(col AS DOUBLE) * CAST(col AS DOUBLE)
+      - 0.05 * CAST(row AS DOUBLE) * CAST(col AS DOUBLE) + 100.0 AS elev
+  FROM g),
+sl AS (
+  SELECT c.doc_id, c.row, c.col, c.band_blue,
+    (COALESCE(eE.elev, c.elev) - COALESCE(eW.elev, c.elev)) / (2.0 * {CELL}) AS dzdx,
+    (COALESCE(eN.elev, c.elev) - COALESCE(eS.elev, c.elev)) / (2.0 * {CELL}) AS dzdy,
+    degrees(atan(sqrt(dzdx * dzdx + dzdy * dzdy))) AS slope,
+    CASE WHEN slope = 0.0 THEN 0.0
+         ELSE fmod(degrees(atan2(-dzdx, -dzdy)) + 360.0, 360.0) END AS aspect
+  FROM e c
+  LEFT JOIN e eN ON eN.row = c.row - 1 AND eN.col = c.col
+  LEFT JOIN e eS ON eS.row = c.row + 1 AND eS.col = c.col
+  LEFT JOIN e eW ON eW.row = c.row AND eW.col = c.col - 1
+  LEFT JOIN e eE ON eE.row = c.row AND eE.col = c.col + 1)"""
+
+    o["q_slope_aspect"] = f"""
+WITH {G_SQL},
+{_TOPO_SA}
+SELECT doc_id, round(slope, 6) AS slope, round(aspect, 6) AS aspect
+FROM sl
+"""
+
+    # C-correction: illumination + closed-form OLS (covar_pop/var_pop) —
+    # the sklearn LinearRegression of reference topo.py:165-179 in SQL.
+    o["q_norm_topo"] = f"""
+WITH {G_SQL},
+{_TOPO_SA},
+v AS (
+  SELECT doc_id,
+    band_blue * {1.0 / 255.0!r} AS sr,
+    cos(radians(CAST(3000 + doc_id % 1500 AS DOUBLE) * 0.01)) AS cos_z,
+    cos(radians(slope)) * cos(radians(CAST(3000 + doc_id % 1500 AS DOUBLE) * 0.01))
+      + sin(radians(slope)) * sin(radians(CAST(3000 + doc_id % 1500 AS DOUBLE) * 0.01))
+        * cos(radians(CAST((doc_id * 3) % 36000 AS DOUBLE) * 0.01) - radians(aspect)) AS il,
+    CASE WHEN band_blue = 0.0 OR slope < 5.0 THEN 1 ELSE 0 END AS nd
+  FROM sl),
+coef AS (
+  SELECT count(*) FILTER (WHERE nd = 0) AS n_valid,
+    covar_pop(il, sr) FILTER (WHERE nd = 0) AS cov,
+    var_pop(il) FILTER (WHERE nd = 0) AS var_il,
+    avg(il) FILTER (WHERE nd = 0) AS avg_il,
+    avg(sr) FILTER (WHERE nd = 0) AS avg_sr
+  FROM v),
+f AS (
+  SELECT v.*, n_valid,
+    cov / var_il AS m,
+    avg_sr - m * avg_il AS b,
+    b / m AS c,
+    CASE WHEN isnan((cos_z + c) / (il + c)) THEN 1.0
+         ELSE (cos_z + c) / (il + c) END AS a
+  FROM v CROSS JOIN coef)
+SELECT doc_id,
+  CASE WHEN n_valid >= 10
+       THEN round(least(greatest(
+              CASE WHEN sr * a > 1.0 OR nd = 1 THEN sr ELSE sr * a END,
+              0.0), 1.0), 6)
+       ELSE round(sr, 6) END AS topo_blue
+FROM f
+"""
+
+    # BRDF c-factor: the Ross-Thick + Li-Sparse-Reciprocal per-pixel
+    # kernel chain re-derived in SQL (lateral aliases); the nadir
+    # normalization kernels are scene constants baked in as literals.
+    from geowombat_spark.functions.brdf import COEFF as _BCOEFF
+    from geowombat_spark.functions.brdf import _NUM as _BNUM
+    from geowombat_spark.functions.brdf import kernels as _bkernels
+    from geowombat_spark.functions.brdf import mean_sza as _bmean_sza
+
+    _geo_n, _vol_n = _bkernels(_BNUM, 0.0, _bmean_sza(45.0), 0.0)
+    _rc = _BCOEFF["red"]
+    # numerator = fiso + fvol*(vol_norm*vol_weight) + fgeo*geo_norm — the
+    # same float ops the Spark literals fold to
+    _bnum = _rc["fiso"] + _rc["fvol"] * (_vol_n * 1.0) + _rc["fgeo"] * _geo_n
+
+    o["q_norm_brdf"] = f"""
+WITH b1 AS (
+  SELECT doc_id,
+    CAST(1 + (doc_id * 13 + 5) % 255 AS DOUBLE) AS band_red,
+    CAST(3000 + doc_id % 1500 AS DOUBLE) * 0.01 AS sza_deg,
+    CAST((doc_id * 3) % 36000 AS DOUBLE) * 0.01 AS saa_deg,
+    CAST(500 + doc_id % 800 AS DOUBLE) * 0.01 AS vza_deg,
+    CAST((doc_id * 7) % 36000 AS DOUBLE) * 0.01 AS vaa_deg
+  FROM documents),
+b2 AS (
+  SELECT doc_id, band_red, vza_deg, sza_deg,
+    radians(saa_deg - vaa_deg) AS raa0,
+    CASE WHEN raa0 >= 2.0 * pi() THEN raa0 - 2.0 * pi()
+         WHEN raa0 < 0.0 THEN raa0 + 2.0 * pi()
+         ELSE raa0 END AS raa1,
+    abs(raa1 * (180.0 / pi())) AS raa_deg
+  FROM b1),
+k AS (
+  SELECT doc_id, band_red,
+    radians(vza_deg) AS vzr, radians(sza_deg) AS szr, radians(raa_deg) AS rar,
+    CASE WHEN vzr < 0.0 OR szr < 0.0 THEN pi() ELSE rar END AS raa_eff,
+    abs(vzr) AS vza, abs(szr) AS sza,
+    abs(raa_eff - 2.0 * pi() * floor(raa_eff / (2.0 * pi()))) AS phi,
+    cos(phi) AS cphi, sin(phi) AS sphi,
+    tan(sza) AS tanti, tan(vza) AS tantv,
+    CASE WHEN 1.0 * tantv < 0.0 THEN 0.0 ELSE 1.0 * tantv END AS tan1,
+    atan(tan1) AS ang1, sin(ang1) AS sin1,
+    CASE WHEN cos(ang1) = 0.0 THEN 1e-20 ELSE cos(ang1) END AS cos1,
+    CASE WHEN 1.0 * tanti < 0.0 THEN 0.0 ELSE 1.0 * tanti END AS tan2,
+    atan(tan2) AS ang2, sin(ang2) AS sin2,
+    CASE WHEN cos(ang2) = 0.0 THEN 1e-20 ELSE cos(ang2) END AS cos2,
+    least(greatest(cos1 * cos2 + sin1 * sin2 * cphi, -1.0), 1.0) AS cpp,
+    sqrt(greatest(tan1 * tan1 + tan2 * tan2 - 2.0 * tan1 * tan2 * cphi, 0.0)) AS dist,
+    1.0 / cos1 + 1.0 / cos2 AS tmp,
+    least(greatest(2.0 * sqrt(dist * dist + tan1 * tan1 * tan2 * tan2 * sphi * sphi) / tmp, -1.0), 1.0) AS cost,
+    acos(cost) AS tvar,
+    greatest((1.0 / pi()) * (tvar - sin(tvar) * cost) * tmp, 0.0) AS ovl,
+    ovl - tmp + 0.5 * (1.0 + cpp) / cos1 / cos2 AS li,
+    cos(vza) AS cv, cos(sza) AS cs, sin(vza) AS sv, sin(sza) AS ss,
+    cos(raa_eff) AS craa,
+    least(greatest(cv * cs + sv * ss * craa, -1.0), 1.0) AS cph,
+    acos(cph) AS ph, sin(ph) AS sph,
+    ((pi() / 2.0 - ph) * cph + sph) / (cv + cs) - pi() / 4.0 AS ross
+  FROM b2)
+SELECT doc_id,
+  round(least(greatest(band_red * {1.0 / 255.0!r}, 0.0), 1.0)
+    * (CAST({_bnum!r} AS DOUBLE)
+       / (CAST({_rc["fiso"]!r} AS DOUBLE)
+          + CAST({_rc["fvol"]!r} AS DOUBLE) * (ross * 1.0)
+          + CAST({_rc["fgeo"]!r} AS DOUBLE) * li)), 6) AS brdf_red
+FROM k
 """
 
     return o
