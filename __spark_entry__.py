@@ -1071,6 +1071,19 @@ def q_norm_brdf(spark, sf_dir):
     return out.select("doc_id", F.round("band_red", 6).alias("brdf_red"))
 
 
+def q_hilbert(spark, sf_dir):
+    """Hilbert-curve cell index (the north rule's fixed Hilbert/H3 grid):
+    per-bit rotation loop unrolled into staged JVM Columns — no UDF. Used
+    as the sink's write-locality sort key; consecutive indices are always
+    4-neighbors (pinned by the grid property tests). Oracle = the same
+    classic xy2d loop unrolled into chained SQL CTEs."""
+    from geowombat_spark.grid import with_hilbert_column
+
+    gd = grid_docs(spark, sf_dir)
+    out = with_hilbert_column(gd, order=12)
+    return out.select("doc_id", "hilbert_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_extract_points": q_extract_points,
@@ -1137,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_slope_aspect": q_slope_aspect,
         "q_norm_topo": q_norm_topo,
         "q_norm_brdf": q_norm_brdf,
+        "q_hilbert": q_hilbert,
     }
 
 
@@ -2253,5 +2267,31 @@ SELECT doc_id,
           + CAST({_rc["fgeo"]!r} AS DOUBLE) * li)), 6) AS brdf_red
 FROM k
 """
+
+    # Hilbert xy2d unrolled: one CTE per bit level, integer-exact.
+    _h_order = 12
+    _h_ctes = [
+        "h0 AS (SELECT doc_id, CAST(col AS BIGINT) AS hx,"
+        " CAST(row AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd FROM g)"
+    ]
+    for _i, _level in enumerate(range(_h_order - 1, -1, -1)):
+        _s = 1 << _level
+        _h_ctes.append(
+            f"""h{_i + 1} AS (
+  SELECT doc_id,
+    hd + {_s * _s} * xor(3 * ((hx >> {_level}) & 1), (hy >> {_level}) & 1) AS hd,
+    CASE WHEN ((hy >> {_level}) & 1) = 0
+         THEN (CASE WHEN ((hx >> {_level}) & 1) = 1 THEN {_s - 1} - hy ELSE hy END)
+         ELSE hx END AS hx,
+    CASE WHEN ((hy >> {_level}) & 1) = 0
+         THEN (CASE WHEN ((hx >> {_level}) & 1) = 1 THEN {_s - 1} - hx ELSE hx END)
+         ELSE hy END AS hy
+  FROM h{_i})"""
+        )
+    o["q_hilbert"] = (
+        f"WITH {G_SQL},\n"
+        + ",\n".join(_h_ctes)
+        + f"\nSELECT doc_id, hd AS hilbert_id FROM h{_h_order}\n"
+    )
 
     return o

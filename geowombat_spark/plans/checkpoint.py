@@ -32,6 +32,7 @@ import json
 import os
 import time
 
+import numpy as np
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -129,6 +130,8 @@ def write_tiled_checkpointed(
     n_salt: int = 8,
     sort_col: str = "cell_id",
     fail_after_batches: int | None = None,
+    tile_order: str = "id",
+    tiles_x: int | None = None,
 ) -> DataFrame:
     """Write ``df`` (must carry ``tile_id``) as a tile-partitioned dataset in
     resumable batches. Returns the manifest DataFrame.
@@ -137,11 +140,31 @@ def write_tiled_checkpointed(
     kill/restart test: the writer raises after that many committed batches,
     exactly as if the job died mid-run. A rerun with the same arguments
     resumes from the manifest.
+
+    ``tile_order='hilbert'`` (requires ``tiles_x``, the lattice width that
+    ``tile_id = tile_r * tiles_x + tile_c`` encodes) walks the tile batches
+    along the Hilbert curve instead of raw tile_id: each batch then covers
+    a spatially compact block, so bbox-scoped readers and mid-job resumes
+    touch the fewest batches, and file-level min/max stats on cell ids
+    stay tight for parquet data skipping. Ordering is computed driver-side
+    over the (tiny) distinct-tile list only.
     """
     spark = df.sparkSession
     all_tiles = sorted(
         int(r[0]) for r in df.select("tile_id").distinct().collect()
     )
+    if tile_order == "hilbert":
+        if tiles_x is None:
+            raise ValueError("tile_order='hilbert' requires tiles_x")
+        from ..grid import hilbert_encode
+
+        arr = np.asarray(all_tiles, dtype=np.int64)
+        tr, tc = arr // tiles_x, arr % tiles_x
+        order = int(max(int(tr.max()), int(tc.max())) + 1).bit_length()
+        hkey = hilbert_encode(tr, tc, max(order, 1))
+        all_tiles = [int(t) for _, t in sorted(zip(hkey.tolist(), all_tiles))]
+    elif tile_order != "id":
+        raise ValueError("tile_order must be 'id' or 'hilbert'")
     done = completed_tiles(spark, path)
     pending = [t for t in all_tiles if t not in done]
 

@@ -120,3 +120,36 @@ def test_hot_tile_salting_spreads_files(spark, corpus, sink_dir):
     got = _stored(spark, sink_dir)
     assert got.count() == corpus.count()
     assert cp.verify_against_manifest(corpus, spark, sink_dir).count() == 0
+
+
+def test_hilbert_tile_order_batches_are_compact(spark, corpus, sink_dir):
+    """tile_order='hilbert' writes the same complete dataset, and each
+    batch covers a Hilbert-contiguous (spatially compact) tile block."""
+    man = cp.write_tiled_checkpointed(
+        corpus, sink_dir, batch_tiles=4, tile_order="hilbert", tiles_x=4
+    )
+    got = _stored(spark, sink_dir)
+    assert got.count() == corpus.count()
+    assert man.count() == 12
+
+    from geowombat_spark.grid import hilbert_encode
+
+    # reconstruct the batch walk: tiles sorted by hilbert key, chunks of 4
+    import numpy as np
+
+    tiles = np.array(sorted(r[0] for r in corpus.select("tile_id").distinct().collect()))
+    hkey = hilbert_encode(tiles // 4, tiles % 4, 2)
+    walk = [t for _, t in sorted(zip(hkey.tolist(), tiles.tolist()))]
+    for i in range(0, len(walk), 4):
+        batch = walk[i : i + 4]
+        rows = tiles[np.isin(tiles, batch)] // 4
+        cols = tiles[np.isin(tiles, batch)] % 4
+        # compact: the bounding box of a 4-tile hilbert walk segment stays
+        # small even when the lattice has gaps (12 of 16 tiles exist)
+        area = (rows.max() - rows.min() + 1) * (cols.max() - cols.min() + 1)
+        assert area <= 8
+
+
+def test_hilbert_tile_order_requires_tiles_x(spark, corpus, sink_dir):
+    with pytest.raises(ValueError):
+        cp.write_tiled_checkpointed(corpus, sink_dir, tile_order="hilbert")

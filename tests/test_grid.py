@@ -185,3 +185,42 @@ def test_all_touched_exact_matches_sat_bruteforce():
     # sanity: any-touch strictly grows the center-only set
     cx0, cy0 = polygon_sample_centers(rings, resx, resy, all_touched=False)
     assert len(got) > len(cx0)
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve
+# ---------------------------------------------------------------------------
+
+
+def test_hilbert_bijection_and_adjacency():
+    """Defining Hilbert property: the index is a bijection on the 2^k grid
+    and consecutive indices are always 4-neighbors (no Z-order seam
+    jumps) — the write-locality guarantee the sink ordering relies on."""
+    from geowombat_spark.grid import hilbert_decode, hilbert_encode
+
+    order = 6
+    n = 1 << order
+    rr, cc = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    d = hilbert_encode(rr.ravel(), cc.ravel(), order)
+    assert sorted(d.tolist()) == list(range(n * n))
+    r2, c2 = hilbert_decode(np.arange(n * n), order)
+    assert (hilbert_encode(r2, c2, order) == np.arange(n * n)).all()
+    step = np.abs(np.diff(r2)) + np.abs(np.diff(c2))
+    assert (step == 1).all()
+
+
+def test_hilbert_column_matches_numpy(spark):
+    import pandas as pd
+
+    from geowombat_spark.grid import hilbert_encode, with_hilbert_column
+
+    rng = np.random.RandomState(11)
+    pdf = pd.DataFrame(
+        {
+            "row": rng.randint(0, 1 << 13, 2000),
+            "col": rng.randint(0, 1 << 13, 2000),
+        }
+    )
+    out = with_hilbert_column(spark.createDataFrame(pdf), order=13).toPandas()
+    expect = hilbert_encode(out["row"].values, out["col"].values, 13)
+    assert (out["hilbert_id"].values == expect).all()
