@@ -1071,6 +1071,32 @@ def q_norm_brdf(spark, sf_dir):
     return out.select("doc_id", F.round("band_red", 6).alias("brdf_red"))
 
 
+def q_cloud_shadows(spark, sf_dir):
+    """estimate_shadows (radiometry/mask.py:22-114): per-height scene
+    shift scalars from one tiny aggregate (the reference's eager
+    .min().compute()), cloud cells exploded into shifted positions,
+    broadcast-joined back, dark-pixel norm_diff test. Oracle = the same
+    geometry via SQL window-free shifted joins."""
+    from geowombat_spark.functions import cloudmask
+
+    gd = _docs_with_swir(spark, sf_dir).withColumns(
+        {
+            "cloud": (F.col("n_chars") % 11 == 0).cast("int"),
+            "sza_rad": F.lit(0.3)
+            + (F.col("doc_id") % 100).cast("double") / F.lit(300.0),
+            "saa_rad": F.lit(2.0)
+            + (F.col("doc_id") % 100).cast("double") / F.lit(500.0),
+        }
+    )
+    out = cloudmask.estimate_shadows(
+        gd, GRID, solar_za="sza_rad", solar_az="saa_rad"
+    )
+    return out.select(
+        "doc_id", F.col("cloud").cast("long").alias("cloud"),
+        F.col("shadow").cast("long").alias("shadow"),
+    )
+
+
 def q_hilbert(spark, sf_dir):
     """Hilbert-curve cell index (the north rule's fixed Hilbert/H3 grid):
     per-bit rotation loop unrolled into staged JVM Columns — no UDF. Used
@@ -1151,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_norm_topo": q_norm_topo,
         "q_norm_brdf": q_norm_brdf,
         "q_hilbert": q_hilbert,
+        "q_cloud_shadows": q_cloud_shadows,
     }
 
 
@@ -2266,6 +2293,43 @@ SELECT doc_id,
           + CAST({_rc["fvol"]!r} AS DOUBLE) * (ross * 1.0)
           + CAST({_rc["fgeo"]!r} AS DOUBLE) * li)), 6) AS brdf_red
 FROM k
+"""
+
+    # cloud-shadow projection: per-height scene shift scalars from an
+    # aggregate, shifted cloud positions, dark-pixel norm_diff gate.
+    _CS_H = [500.0, 1000.0, 1500.0]
+    _cs_aggs = ",\n    ".join(
+        f"CAST(min(round(cos(az) * (tan(za) * {h} / {CELL}))) AS BIGINT) AS y{i},\n"
+        f"    CAST(-min(round(sin(az) * (tan(za) * {h} / {CELL}))) AS BIGINT) AS x{i}"
+        for i, h in enumerate(_CS_H)
+    )
+    _cs_union = "\n    UNION ALL\n".join(
+        f"    SELECT c.row + sc.y{i} AS row, c.col + sc.x{i} AS col"
+        f" FROM d c, sc WHERE c.cloud = 1"
+        for i in range(len(_CS_H))
+    )
+    o["q_cloud_shadows"] = f"""
+WITH {G_SQL},
+d AS (
+  SELECT doc_id, row, col, band_green,
+    CAST(1 + (doc_id * 23 + 9) % 255 AS DOUBLE) AS band_swir2,
+    CASE WHEN n_chars % 11 = 0 THEN 1 ELSE 0 END AS cloud,
+    0.3 + CAST(doc_id % 100 AS DOUBLE) / 300.0 AS za,
+    2.0 + CAST(doc_id % 100 AS DOUBLE) / 500.0 AS az
+  FROM g),
+sc AS (
+  SELECT
+    {_cs_aggs}
+  FROM d),
+pot AS (
+  SELECT DISTINCT row, col FROM (
+{_cs_union}
+  ))
+SELECT d.doc_id, CAST(d.cloud AS BIGINT) AS cloud,
+  CAST(CASE WHEN p.row IS NOT NULL AND d.cloud <> 1
+        AND least(greatest((band_green - band_swir2) / (band_green + band_swir2), -1.0), 1.0) >= 0.1
+       THEN 1 ELSE 0 END AS BIGINT) AS shadow
+FROM d LEFT JOIN pot p ON p.row = d.row AND p.col = d.col
 """
 
     # Hilbert xy2d unrolled: one CTE per bit level, integer-exact.

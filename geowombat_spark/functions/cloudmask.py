@@ -1,0 +1,107 @@
+"""Cloud-shadow estimation — geometric projection of a cloud mask.
+
+Reference: ``/root/reference/src/geowombat/radiometry/mask.py`` —
+``estimate_shadows`` (:22-114): for each candidate cloud height, shift
+the cloud mask along the per-scene shadow vector (derived from the solar
+zenith/azimuth), take the max across heights, and keep only dark pixels
+(``norm_diff(swir2, green) >= 0.1``) that are not themselves cloud. The
+surrounding ``CloudShadowMasker.mask_s2`` (:117-310) depends on the
+external s2cloudless ML detector and is out of scope; this operator takes
+any 0/1 cloud column (a QA-derived mask, ``functions.radiometry.qa_mask``,
+or an external product).
+
+Spark shape: the per-height shift offsets are **scene scalars** (the
+reference computes them with an eager ``.min().compute()``, :62-79 — here
+one tiny aggregate job, two ints per height). The shifted cloud
+positions are the cloud subset exploded into ``len(cloud_heights)``
+offset structs → ``distinct`` → joined back to the corpus (broadcast by
+default: the potential-shadow set is |cloud cells| × heights, sparse for
+real scenes). The dark-pixel test is the existing ``vi.norm_diff``
+Column. Total: one scalar agg + one join — no corpus shuffle when the
+shadow set broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..grid import GridSpec
+from .vi import norm_diff
+
+
+def estimate_shadows(
+    docs: DataFrame,
+    grid: GridSpec,
+    cloud: str = "cloud",
+    solar_za: str = "solar_za",
+    solar_az: str = "solar_az",
+    swir2: str = "band_swir2",
+    green: str = "band_green",
+    cloud_heights: tuple[float, ...] = (500.0, 1000.0, 1500.0),
+    nodata: float | None = None,
+    scale_factor: float = 1.0,
+    out: str = "shadow",
+    broadcast_shadows: bool = True,
+) -> DataFrame:
+    """Adds ``out`` ∈ {0, 1} (1 = estimated shadow), reference
+    ``mask.py:22-114``. Angle columns are in **radians** (the reference
+    applies ``np.tan`` / ``np.cos`` directly to its angle rasters).
+
+    Per height ``h`` the scene shift is the reference's
+    ``y = int(min(round(cos(az)·tan(za)·h / celly)))``,
+    ``x = -int(min(round(sin(az)·tan(za)·h / celly)))`` (both divided by
+    ``celly``, as in the reference), and a cloud cell at (r, c) casts a
+    potential shadow at (r + y, c + x). Default heights follow
+    ``mask_s2``'s ``range(500, 2000, 500)`` (:179-180).
+    """
+    sv = F.tan(F.col(solar_za))
+    aggs = []
+    for i, h in enumerate(cloud_heights):
+        vec = sv * F.lit(float(h)) / F.lit(float(grid.celly))
+        aggs.append(F.min(F.round(F.cos(F.col(solar_az)) * vec, 0)).alias(f"_y{i}"))
+        aggs.append(F.min(F.round(F.sin(F.col(solar_az)) * vec, 0)).alias(f"_x{i}"))
+    row = docs.agg(*aggs).first()
+    shifts = [
+        (int(row[f"_y{i}"]), -int(row[f"_x{i}"]))
+        for i in range(len(cloud_heights))
+    ]
+
+    clouds = docs.filter(F.col(cloud) == 1).select("row", "col")
+    shadow_cells = (
+        clouds.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            (F.col("row") + F.lit(int(y))).alias("row"),
+                            (F.col("col") + F.lit(int(x))).alias("col"),
+                        )
+                        for (y, x) in shifts
+                    ]
+                )
+            ).alias("_s")
+        )
+        .select("_s.row", "_s.col")
+        .distinct()
+        .withColumn("_pot", F.lit(1))
+    )
+    if broadcast_shadows:
+        shadow_cells = F.broadcast(shadow_cells)
+
+    d = docs.join(shadow_cells, ["row", "col"], "left")
+    d = norm_diff(
+        d, swir2, green, out="_dark", nodata=nodata, scale_factor=scale_factor
+    )
+    d = d.withColumn(
+        out,
+        F.when(
+            F.col("_pot").isNotNull()
+            & (F.col(cloud) != 1)
+            & (F.col("_dark") >= 0.1),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    return d.drop("_pot", "_dark")
