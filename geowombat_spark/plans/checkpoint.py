@@ -132,6 +132,7 @@ def write_tiled_checkpointed(
     fail_after_batches: int | None = None,
     tile_order: str = "id",
     tiles_x: int | None = None,
+    metrics_from: str = "files",
 ) -> DataFrame:
     """Write ``df`` (must carry ``tile_id``) as a tile-partitioned dataset in
     resumable batches. Returns the manifest DataFrame.
@@ -199,6 +200,20 @@ def write_tiled_checkpointed(
         else:
             sub = sub.repartition(F.col("tile_id"))
         sub = sub.sortWithinPartitions(sort_col)
+        # Metrics must describe the rows actually committed — never a
+        # re-execution of the upstream plan (a nondeterministic upstream,
+        # e.g. partition-seeded sampling, would let the manifest disagree
+        # with the data). Two ways to guarantee that, both one upstream
+        # scan per batch:
+        #   'files' (default): read the just-written parquet back —
+        #     additionally round-trips the committed bytes (audit-grade),
+        #     at the cost of re-reading the batch from disk.
+        #   'cache': persist the batch; the write and the metrics
+        #     aggregate observe the same materialized rows. Wins when the
+        #     batch is narrow; measured slower than read-back for wide
+        #     span-carrying rows (cache serialization dominates).
+        if metrics_from == "cache":
+            sub = sub.persist()
         # Dynamic partition overwrite: the batch replaces exactly the tile
         # directories it touches. A job killed between the data commit and
         # the manifest commit leaves orphan tile files — the resumed run
@@ -210,16 +225,13 @@ def write_tiled_checkpointed(
             .partitionBy("tile_id")
             .parquet(path)
         )
-        # Metrics come from the files just committed, not a re-execution of
-        # the upstream plan: (a) the batch input is scanned exactly once per
-        # batch (the write), (b) with a nondeterministic upstream (e.g.
-        # partition-seeded sampling) the manifest checksum describes the
-        # rows actually on disk, so verify_against_manifest can never
-        # disagree with a healthy dataset or mask real corruption.
-        written = spark.read.option("basePath", path).parquet(
-            *[os.path.join(path, f"tile_id={t}") for t in batch]
-        )
-        metrics = tile_metrics(written, id_col)
+        if metrics_from == "cache":
+            metrics = tile_metrics(sub, id_col)
+        else:
+            written = spark.read.option("basePath", path).parquet(
+                *[os.path.join(path, f"tile_id={t}") for t in batch]
+            )
+            metrics = tile_metrics(written, id_col)
         wall = time.time() - t0
         manifest_rows = metrics.select(
             "tile_id",
@@ -232,6 +244,8 @@ def write_tiled_checkpointed(
             F.lit(time.time()).alias("ts"),
         )
         manifest_rows.coalesce(1).write.mode("append").parquet(mp)
+        if metrics_from == "cache":
+            sub.unpersist()
         if fail_after_batches is not None and bi + 1 >= fail_after_batches:
             raise RuntimeError(
                 f"fault injection: killed after batch {bi} "
