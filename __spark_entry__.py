@@ -1071,6 +1071,33 @@ def q_norm_brdf(spark, sf_dir):
     return out.select("doc_id", F.round("band_red", 6).alias("brdf_red"))
 
 
+def q_ml_predict(spark, sf_dir):
+    """ml.fit_predict (ml/classifiers.py:296-600): polygon labels burn
+    onto the grid, broadcast-join to the corpus, MLlib LogisticRegression
+    trains distributed, predict is one transform map stage. Rows-only by
+    design: model training is not SQL-expressible (like the declared
+    rows-only RNG queries, the driver records the weaker check)."""
+    from pyspark.ml.classification import LogisticRegression
+
+    from geowombat_spark import ml as gml
+
+    gd = grid_docs(spark, sf_dir)
+    labels = pd.DataFrame(
+        [
+            {"fid": 1, "cls": 1.0,
+             "rings": [[35.0, -35.0, 325.0, -35.0, 325.0, -145.0, 35.0, -145.0, 35.0, -35.0]]},
+            {"fid": 2, "cls": 2.0,
+             "rings": [[395.0, -215.0, 725.0, -215.0, 725.0, -385.0, 395.0, -385.0, 395.0, -215.0]]},
+        ]
+    )
+    out = gml.fit_predict(
+        spark, gd, GRID, LogisticRegression(maxIter=20),
+        labels=labels, col="cls",
+        bands=("band_blue", "band_green", "band_red", "band_nir"),
+    )
+    return out.select("doc_id", F.col("pred").cast("long").alias("pred"))
+
+
 def q_cloud_shadows(spark, sf_dir):
     """estimate_shadows (radiometry/mask.py:22-114): per-height scene
     shift scalars from one tiny aggregate (the reference's eager
@@ -1178,6 +1205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_norm_brdf": q_norm_brdf,
         "q_hilbert": q_hilbert,
         "q_cloud_shadows": q_cloud_shadows,
+        "q_ml_predict": q_ml_predict,
     }
 
 
