@@ -18,6 +18,7 @@ Cross-engine parity rules used throughout (see geowombat_spark/pipeline):
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 import pandas as pd
@@ -819,11 +820,17 @@ def q_dn_toar(spark, sf_dir):
     gd = gd.withColumn(
         "band_red", F.col("band_red") * F.lit(float(TOAR_FACTOR))
     )
+    # round-trip leg: TOAR -> TOA radiance (sr.py:895-948)
+    gd = gd.withColumn("rad_blue", F.col("band_blue"))
+    gd = rad.toar_to_rad(
+        gd, {"rad_blue": (1536.0, 4.3)}, julian_day=18100
+    )
     return gd.select(
         "doc_id",
         F.round("band_blue", 6).alias("toar_blue"),
         F.round("band_green", 6).alias("toar_green"),
         F.round("band_red", 6).alias("toar_red"),
+        F.round("rad_blue", 6).alias("rad_blue"),
     )
 
 
@@ -1912,12 +1919,19 @@ SELECT doc_id,
 FROM q
 """
 
+    _RAD_FACTOR = (
+        10000.0
+        * math.cos(math.radians(4.3))
+        * 1536.0
+        / (math.pi * (1.0 / ((1.0 - 0.0167 * math.cos(0.0172 * (18100 - 2.0))) ** 2)))
+    ) * 0.0001
     o["q_dn_toar"] = f"""
 WITH {G_SQL}
 SELECT doc_id,
   round(least(greatest(band_blue * 2e-05 + -0.1, 0.0), 1.0), 6) AS toar_blue,
   round(least(greatest(band_green * 3e-05 + -0.05, 0.0), 1.0), 6) AS toar_green,
-  round((band_red * 0.01 + 1.0) * {TOAR_FACTOR!r}, 6) AS toar_red
+  round((band_red * 0.01 + 1.0) * {TOAR_FACTOR!r}, 6) AS toar_red,
+  round(least(greatest(band_blue * 2e-05 + -0.1, 0.0), 1.0) * {_RAD_FACTOR!r}, 6) AS rad_blue
 FROM g
 """
 

@@ -249,3 +249,26 @@ def dn_to_sr(
         dst_nodata=dst_nodata,
         um_scale=um_scale,
     )
+
+
+def toar_to_rad(
+    df,
+    bands: dict[str, tuple[float, float]],
+    julian_day: int,
+) -> DataFrame:
+    """TOA reflectance → TOA radiance (``sr.py:895-948``):
+    ``L = toar·10000 · cos(vza) · esun / (π·d2) · 0.0001`` with the ESA
+    earth–sun distance term ``d2 = 1/(1 - 0.0167·cos(0.0172·(jd-2)))²``.
+    ``bands`` maps column → (esun solar irradiance, mean view zenith in
+    degrees — the reference's per-band nanmean of the VZA grid). All terms
+    are scene constants, so each band folds to one literal multiply."""
+    d2 = 1.0 / ((1.0 - 0.0167 * math.cos(0.0172 * (julian_day - 2.0))) ** 2)
+    for b, (esun, vza_deg) in bands.items():
+        factor = (
+            10000.0
+            * math.cos(math.radians(float(vza_deg)))
+            * float(esun)
+            / (math.pi * d2)
+        ) * 0.0001
+        df = df.withColumn(b, F.col(b).cast("double") * F.lit(factor))
+    return df
