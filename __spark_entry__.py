@@ -475,6 +475,18 @@ def q_ann_ivf(spark, sf_dir):
     return ann.ivf_topk(e, e.filter(F.col("vec_id") < 5), k=10, nlist=16, nprobe=4)
 
 
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (FAISS ADC recipe as DataFrame plans):
+    bounded-sample codebook training, one compressed-scan shortlist pass,
+    exact cosine rescore of candidates only. Rows-only: codebooks are
+    engine-internal (recall ≥0.9 + exact-score agreement pinned in
+    tests/test_pipeline.py)."""
+    e = _emb(spark, sf_dir)
+    return ann.pq_topk(
+        e, e.filter(F.col("vec_id") < 5), k=10, m_sub=4, ksub=16, refine=4
+    )
+
+
 def q_lsh_cosine_pairs(spark, sf_dir):
     # rows-only check: hyperplane RNG is engine-internal
     return ann.hyperplane_lsh_pairs(_emb(spark, sf_dir), threshold=0.45, n_planes=8)
@@ -1213,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hilbert": q_hilbert,
         "q_cloud_shadows": q_cloud_shadows,
         "q_ml_predict": q_ml_predict,
+        "q_ann_pq": q_ann_pq,
     }
 
 

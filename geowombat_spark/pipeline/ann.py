@@ -336,3 +336,188 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-scan ANN with exact rescore
+# ---------------------------------------------------------------------------
+#
+# The FAISS ADC recipe re-expressed as DataFrame plans: train per-subspace
+# codebooks on a bounded hash-ordered sample (driver work independent of
+# corpus size), encode the corpus once into m_sub small codes (one
+# mapInPandas scan — at 100 TB the scan-side working set shrinks ~dim·4 /
+# m_sub bytes per vector, e.g. 32x for 64-dim float vs 8 codes), score all
+# queries against the codes via per-query lookup tables (asymmetric
+# distance), then exact-rescore only the ADC candidates. No index build
+# shuffle; the only wide op is the per-query top-k window, which runs on
+# |Q|·k·refine rows, not the corpus.
+
+
+def _train_centroids_l2(sample: np.ndarray, ksub: int, iters: int = 12) -> np.ndarray:
+    """Deterministic euclidean k-means for one PQ subspace (farthest-point
+    init + Lloyd; empty clusters re-seed from the worst-served point)."""
+    n = sample.shape[0]
+    if n <= ksub:
+        return sample.copy()
+    d2 = ((sample - sample[0]) ** 2).sum(axis=1)
+    chosen = [0]
+    for _ in range(1, ksub):
+        nxt = int(np.argmax(d2))
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((sample - sample[nxt]) ** 2).sum(axis=1))
+    cents = sample[chosen].copy()
+    for _ in range(iters):
+        dist = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(dist, axis=1)
+        for c in range(ksub):
+            mask = assign == c
+            if not mask.any():
+                cents[c] = sample[int(np.argmax(np.min(dist, axis=1)))]
+            else:
+                cents[c] = sample[mask].mean(axis=0)
+    return cents
+
+
+def train_pq_codebooks(
+    sample: np.ndarray, m_sub: int, ksub: int
+) -> np.ndarray:
+    """(m_sub, ksub, dim/m_sub) codebooks from a normalized sample."""
+    dim = sample.shape[1]
+    assert dim % m_sub == 0, "dim must divide by m_sub"
+    ds = dim // m_sub
+    return np.stack(
+        [
+            _train_centroids_l2(
+                np.ascontiguousarray(sample[:, m * ds : (m + 1) * ds]), ksub
+            )
+            for m in range(m_sub)
+        ]
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m_sub: int = 4,
+    ksub: int = 16,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """PQ-ADC candidate scan + exact cosine rescore.
+
+    Output matches :func:`brute_force_topk`: (query_id, vec_id, cosine,
+    rank). ``refine`` controls the ADC shortlist size (``k·refine`` per
+    query) that gets exact-rescored against the original vectors — the
+    accuracy/IO dial (refine=1 is pure ADC ranking).
+    """
+    from .text import md5_int
+
+    query_id_col = query_id_col or id_col
+    spark = corpus.sparkSession
+
+    # 1. bounded-sample codebook training (hash order — uncorrelated with
+    #    id order, same rationale as ivf_topk's seeding)
+    sample_rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(md5_int(F.col(id_col).cast("string")), id_col)
+        .limit(max(ksub * 32, 512))
+        .collect()
+    )
+    sample = _normalize([r[1] for r in sample_rows])
+    books = train_pq_codebooks(sample, m_sub, ksub)
+    dim = sample.shape[1]
+    ds = dim // m_sub
+
+    qrows = queries.select(query_id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    q_mat = _normalize([r[1] for r in qrows])
+    # per-query ADC lookup tables: LUT[q, m, c] = ||q_sub - codeword||^2
+    lut = np.stack(
+        [
+            ((q_mat[:, None, m * ds : (m + 1) * ds] - books[m][None, :, :]) ** 2).sum(
+                axis=2
+            )
+            for m in range(m_sub)
+        ],
+        axis=1,
+    )  # (nq, m_sub, ksub)
+    bb = spark.sparkContext.broadcast((books, q_ids, lut))
+    shortlist = k * max(int(refine), 1)
+
+    def _adc(it):
+        bks, ids, tables = bb.value
+        for pdf in it:
+            c = _normalize(list(pdf[vec_col]))
+            # encode the batch
+            codes = np.stack(
+                [
+                    np.argmin(
+                        ((c[:, None, m * ds : (m + 1) * ds] - bks[m][None, :, :]) ** 2).sum(
+                            axis=2
+                        ),
+                        axis=1,
+                    )
+                    for m in range(m_sub)
+                ],
+                axis=1,
+            )  # (batch, m_sub)
+            # ADC distance per query: sum of LUT entries at the codes
+            d = np.zeros((len(ids), c.shape[0]))
+            for m in range(m_sub):
+                d += tables[:, m, :][:, codes[:, m]]
+            cids = pdf[id_col].values.astype(np.int64)
+            take = min(shortlist, c.shape[0])
+            part = np.argpartition(d, take - 1, axis=1)[:, :take]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids, take),
+                    "vec_id": cids[part.ravel()],
+                    "adc": np.take_along_axis(d, part, axis=1).ravel(),
+                }
+            )
+
+    local = corpus.select(id_col, vec_col).mapInPandas(
+        _adc, "query_id bigint, vec_id bigint, adc double"
+    )
+    w0 = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    cand = (
+        local.withColumn("r0", F.row_number().over(w0))
+        .filter(F.col("r0") <= shortlist)
+        .select("query_id", "vec_id")
+    )
+
+    # 2. exact rescore: semi-join the (tiny) candidate set to the corpus
+    #    vectors, exact cosine against the broadcast query matrix
+    cand_vec = corpus.select(id_col, vec_col).join(
+        F.broadcast(cand.withColumnRenamed("vec_id", id_col)), id_col
+    )
+    bq = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def _rescore(it):
+        ids, qm = bq.value
+        pos = {int(q): i for i, q in enumerate(ids)}
+        for pdf in it:
+            c = _normalize(list(pdf[vec_col]))
+            qi = pdf["query_id"].values.astype(np.int64)
+            rowsel = np.array([pos[int(q)] for q in qi])
+            cos = np.round((qm[rowsel] * c).sum(axis=1), 6)
+            yield pd.DataFrame(
+                {
+                    "query_id": qi,
+                    "vec_id": pdf[id_col].values.astype(np.int64),
+                    "cosine": cos,
+                }
+            )
+
+    scored = cand_vec.mapInPandas(
+        _rescore, "query_id bigint, vec_id bigint, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

@@ -332,3 +332,43 @@ def test_dedup_groups_and_deduplicate(spark):
         r["doc_id"] for r in dedup.deduplicate(docs, pairs).collect()
     )
     assert kept == [1, 5, 7]
+
+
+def test_pq_topk_recall_with_rescore(spark):
+    """PQ-ADC shortlist + exact rescore holds recall@10 >= 0.9 on
+    clustered embeddings (m_sub=4, ksub=16, refine=4)."""
+    rng = np.random.default_rng(29)
+    centers = rng.standard_normal((8, 16)) * 4.0
+    mat = np.vstack(
+        [centers[i % 8] + rng.standard_normal(16) for i in range(200)]
+    )
+    pdf = pd.DataFrame(
+        {"vec_id": range(200), "embedding": [m.tolist() for m in mat]}
+    )
+    df = spark.createDataFrame(pdf)
+    queries = df.filter(F.col("vec_id") < 5)
+    pq = ann.pq_topk(df, queries, k=10, m_sub=4, ksub=16, refine=4).collect()
+    bf = ann.brute_force_topk(df, queries, k=10).collect()
+    got, true = {}, {}
+    for r in pq:
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in bf:
+        true.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(got.get(q, set()) & true[q]) / len(true[q]) for q in true]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+    # rescored scores are exact: every overlapping (q, id) pair agrees
+    bf_scores = {(r["query_id"], r["vec_id"]): r["cosine"] for r in bf}
+    for r in pq:
+        key = (r["query_id"], r["vec_id"])
+        if key in bf_scores:
+            assert abs(r["cosine"] - bf_scores[key]) < 1e-9
+
+
+def test_pq_codebooks_shape_and_determinism():
+    rng = np.random.default_rng(31)
+    sample = rng.standard_normal((300, 16))
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    b1 = ann.train_pq_codebooks(sample, 4, 8)
+    b2 = ann.train_pq_codebooks(sample, 4, 8)
+    assert b1.shape == (4, 8, 4)
+    np.testing.assert_array_equal(b1, b2)
