@@ -22,13 +22,19 @@ from __future__ import annotations
 from .config import config  # noqa: F401  (gw.config.update analogue)
 from .crs import lonlat_to_utm, reproject_points, utm_to_lonlat  # noqa: F401
 from .functions.nodata import band_mask, mask_nodata, set_nodata  # noqa: F401
+from .functions.brdf import norm_brdf  # noqa: F401
+from .functions.cloudmask import estimate_shadows  # noqa: F401
 from .functions.radiometry import (  # noqa: F401
     bandpass,
     dn_to_radiance,
+    dn_to_sr,
     dn_to_toar,
     qa_mask,
     radiance_to_toar,
+    toar_to_rad,
+    toar_to_sr,
 )
+from .functions.topo import norm_topo, slope_aspect  # noqa: F401
 from .functions.vi import (  # noqa: F401
     avi,
     compare,
@@ -43,7 +49,13 @@ from .functions.vi import (  # noqa: F401
     tasseled_cap,
     wi,
 )
-from .grid import GridSpec, align_bounds  # noqa: F401
+from .grid import (  # noqa: F401
+    GridSpec,
+    align_bounds,
+    with_hilbert_column,
+    with_zorder_column,
+)
+from .ml import fit, fit_predict, predict  # noqa: F401
 from .operators.extract import (  # noqa: F401
     extract_points as extract,
 )

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -144,6 +144,8 @@ def _ang(v, angle_factor: float):
     codegen constants)."""
     if isinstance(v, str):
         return F.col(v).cast("double") * F.lit(float(angle_factor))
+    if isinstance(v, Column):
+        return v.cast("double") * F.lit(float(angle_factor))
     return F.lit(float(v) * float(angle_factor))
 
 
