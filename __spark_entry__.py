@@ -1156,8 +1156,82 @@ def q_hilbert(spark, sf_dir):
     return out.select("doc_id", "hilbert_id")
 
 
+#: q_coregister's planted misalignment, cells: target(r,c) = ref(r-2, c+3)
+COREG_DY, COREG_DX = 2, -3
+#: |COREG_DX| with sign folded: target samples source at col + 3
+COREG_DX_ABS = -COREG_DX
+
+
+def q_coregister(spark, sf_dir):
+    """Distributed AROSICS-style coregistration (operators/coregister):
+    per-tile FFT phase correlation -> robust global shift -> warp by the
+    detected shift (transform_grid bilinear on a virtually shifted source
+    grid). The target band is the reference hash-noise field displaced by
+    the integer shift (COREG_DY, COREG_DX); the oracle asserts BOTH the
+    detected shift (emitted as columns, snap=0.25 quantized) and the
+    corrected band, which must equal the reference wherever the shifted
+    sample exists. Value-level precisely because detection must land on
+    the planted shift for the hashes to match."""
+    from geowombat_spark.operators import coregister as cg
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    nr = d.count() // NCOLS
+    grid = GridSpec(
+        left=0.0, top=0.0, cellx=CELL, celly=CELL,
+        nrows=nr, ncols=NCOLS, tile_rows=nr, tile_cols=NCOLS,
+    )
+    ref = F.lit(1.0) + ((F.col("doc_id") * 131 + 17) % 997).cast("double")
+    src_id = (F.col("row") - COREG_DY) * NCOLS + (F.col("col") + COREG_DX_ABS)
+    frame = (
+        d.select("doc_id")
+        .withColumns(
+            {
+                "col": (F.col("doc_id") % NCOLS).cast("long"),
+                "row": F.expr(f"doc_id div {NCOLS}").cast("long"),
+            }
+        )
+        .filter(F.col("row") < nr)
+        .withColumns(
+            {
+                "x": (F.col("col").cast("double") + 0.5) * CELL,
+                "y": -((F.col("row").cast("double") + 0.5) * CELL),
+                "b_ref": ref,
+            }
+        )
+        .withColumn(
+            "b_tar",
+            F.when(
+                (F.col("row") - COREG_DY >= 0)
+                & (F.col("row") - COREG_DY < nr)
+                & (F.col("col") + COREG_DX_ABS >= 0)
+                & (F.col("col") + COREG_DX_ABS < NCOLS),
+                F.lit(1.0) + ((src_id * 131 + 17) % 997).cast("double"),
+            ),
+        )
+    )
+    corrected, meta = cg.coregister(
+        spark, frame, grid, "b_ref", "b_tar",
+        max_shift=6, snap=0.25, min_valid=16,
+    )
+    # only the region where the shifted sample exists: avoids NaN-vs-NULL
+    # divergence of 0-weight neighbors at the void rim
+    return (
+        corrected.filter(
+            (F.col("row") <= nr - 1 - COREG_DY) & (F.col("col") >= COREG_DX_ABS)
+        )
+        .select(
+            "row",
+            "col",
+            F.lit(float(meta["dy"])).alias("dy"),
+            F.lit(float(meta["dx"])).alias("dx"),
+            F.round("b_tar", 6).alias("b_fixed"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "q_coregister": q_coregister,
         "q_extract_points": q_extract_points,
         "q_extract_crs": q_extract_crs,
         "q_extract_polygons": q_extract_polygons,
@@ -2412,5 +2486,21 @@ FROM d LEFT JOIN pot p ON p.row = d.row AND p.col = d.col
         + ",\n".join(_h_ctes)
         + f"\nSELECT doc_id, hd AS hilbert_id FROM h{_h_order}\n"
     )
+
+    # coregister: the corrected target must equal the reference field in the
+    # region where the shifted sample exists, and the detected (snap=0.25)
+    # shift must land exactly on the planted (COREG_DY, COREG_DX).
+    o["q_coregister"] = f"""
+WITH n AS (SELECT CAST(count(*) // {NCOLS} AS BIGINT) AS nr FROM documents)
+SELECT CAST(doc_id // {NCOLS} AS BIGINT) AS row,
+       CAST(doc_id % {NCOLS} AS BIGINT) AS col,
+       CAST({COREG_DY} AS DOUBLE) AS dy,
+       CAST({COREG_DX} AS DOUBLE) AS dx,
+       round(1.0 + CAST((doc_id * 131 + 17) % 997 AS DOUBLE), 6) AS b_fixed
+FROM documents, n
+WHERE doc_id // {NCOLS} < nr
+  AND doc_id // {NCOLS} <= nr - 1 - {COREG_DY}
+  AND doc_id % {NCOLS} >= {COREG_DX_ABS}
+"""
 
     return o

@@ -56,6 +56,11 @@ from .grid import (  # noqa: F401
     with_zorder_column,
 )
 from .ml import fit, fit_predict, predict  # noqa: F401
+from .operators.coregister import (  # noqa: F401
+    apply_shift,
+    coregister,
+    detect_shifts,
+)
 from .operators.extract import (  # noqa: F401
     extract_points as extract,
 )

@@ -1,0 +1,165 @@
+"""Coregistration tests: shift detection accuracy, robust global
+aggregation, warp application round-trip.
+
+Mirrors the contract of the reference's AROSICS wrapper
+(/root/reference/src/geowombat/core/sops.py:1367-1546): a known synthetic
+misalignment must be recovered sub-pixel and corrected.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geowombat_spark.grid import GridSpec
+from geowombat_spark.operators.coregister import (
+    _phase_correlate,
+    apply_shift,
+    coregister,
+    detect_shifts,
+    global_shift,
+)
+
+G64 = GridSpec(
+    left=0.0, top=640.0, cellx=10.0, celly=10.0,
+    nrows=64, ncols=64, tile_rows=64, tile_cols=64,
+)
+
+G128 = GridSpec(
+    left=0.0, top=1280.0, cellx=10.0, celly=10.0,
+    nrows=128, ncols=128, tile_rows=64, tile_cols=64,
+)
+
+
+def _noise(h, w, seed=7):
+    return np.random.RandomState(seed).rand(h, w)
+
+
+def _textured(h, w, seed=7, fmax=0.3):
+    """Band-limited noise: broadband enough for sharp correlation peaks,
+    smooth enough that bilinear resampling preserves it (|f| < fmax)."""
+    spec = np.fft.fft2(np.random.RandomState(seed).rand(h, w))
+    fy = np.abs(np.fft.fftfreq(h))[:, None]
+    fx = np.abs(np.fft.fftfreq(w))[None, :]
+    return np.real(np.fft.ifft2(np.where((fy < fmax) & (fx < fmax), spec, 0)))
+
+
+def _fourier_shift(a, dy, dx):
+    """Exact periodic sub-pixel shift: out(r, c) = a(r - dy, c - dx)."""
+    ky = np.fft.fftfreq(a.shape[0])[:, None]
+    kx = np.fft.fftfreq(a.shape[1])[None, :]
+    return np.real(
+        np.fft.ifft2(np.fft.fft2(a) * np.exp(-2j * np.pi * (ky * dy + kx * dx)))
+    )
+
+
+def _frame(spark, grid, ref, tar):
+    h, w = ref.shape
+    rr, cc = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    pdf = pd.DataFrame(
+        {
+            "row": rr.ravel(),
+            "col": cc.ravel(),
+            "x": grid.left + (cc.ravel() + 0.5) * grid.cellx,
+            "y": grid.top - (rr.ravel() + 0.5) * grid.celly,
+            "b_ref": ref.ravel(),
+            "b_tar": tar.ravel(),
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_numpy_kernel_integer_and_fractional():
+    base = _noise(64, 64)
+    peak, dy, dx = _phase_correlate(base, _fourier_shift(base, 3, -2), 8)
+    assert abs(dy - 3) < 1 / 16 and abs(dx + 2) < 1 / 16
+    peak, dy, dx = _phase_correlate(base, _fourier_shift(base, 1.5, -0.75), 8)
+    assert abs(dy - 1.5) < 1 / 16 and abs(dx + 0.75) < 1 / 16
+    # plain cross-correlation path
+    peak, dy, dx = _phase_correlate(
+        base, _fourier_shift(base, -2.25, 0.5), 8, normalization=None
+    )
+    assert abs(dy + 2.25) < 1 / 16 and abs(dx - 0.5) < 1 / 16
+
+
+def test_numpy_kernel_nan_and_empty():
+    base = _noise(64, 64)
+    tar = _fourier_shift(base, 1.0, 1.0)
+    tar[10:20, 10:20] = np.nan
+    peak, dy, dx = _phase_correlate(base, tar, 4)
+    assert abs(dy - 1.0) < 0.2 and abs(dx - 1.0) < 0.2
+    peak, dy, dx = _phase_correlate(
+        np.full((8, 8), np.nan), np.full((8, 8), np.nan), 4
+    )
+    assert np.isnan(dy) and np.isnan(dx)
+
+
+def test_detect_shifts_single_tile(spark):
+    base = _noise(64, 64)
+    df = _frame(spark, G64, base, _fourier_shift(base, 1.5, -0.75))
+    out = detect_shifts(df, G64, "b_ref", "b_tar", max_shift=8).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["n_valid"] == 64 * 64
+    assert abs(row["dy"] - 1.5) < 1 / 16
+    assert abs(row["dx"] + 0.75) < 1 / 16
+
+
+def test_global_shift_median_filters_bad_tiles(spark):
+    base = _noise(128, 128, seed=11)
+    tar = _fourier_shift(base, 2.0, 1.0)
+    # corrupt one of the four tiles: unrelated noise → low peak
+    tar[0:64, 0:64] = _noise(64, 64, seed=99)
+    df = _frame(spark, G128, base, tar)
+    ties = detect_shifts(df, G128, "b_ref", "b_tar", max_shift=8)
+    got = global_shift(ties, min_peak=0.2, min_valid=16).collect()[0]
+    assert got["n_tiles"] >= 3
+    assert abs(got["dy"] - 2.0) < 1 / 8
+    assert abs(got["dx"] - 1.0) < 1 / 8
+
+
+def test_apply_shift_realigns(spark):
+    base = _textured(64, 64, seed=3)
+    dy, dx = 2.5, -1.25
+    tar = _fourier_shift(base, dy, dx)
+    df = _frame(spark, G64, base, tar)
+    fixed = apply_shift(spark, df, G64, dy, dx, bands=("b_tar",))
+    pdf = fixed.toPandas().set_index(["row", "col"]).sort_index()
+    arr = pdf["b_tar"].values.reshape(64, 64)
+    # interior cells (away from the rim the fractional shift voids)
+    interior = np.s_[8:-8, 8:-8]
+    rmse = np.sqrt(np.nanmean((arr[interior] - base[interior]) ** 2))
+    # bilinear resampling of white noise smooths; alignment is the point:
+    # the corrected field must correlate far better than the shifted one
+    cor_fixed = np.corrcoef(
+        arr[interior].ravel(), base[interior].ravel()
+    )[0, 1]
+    cor_raw = np.corrcoef(tar[interior].ravel(), base[interior].ravel())[0, 1]
+    assert cor_fixed > 0.95
+    assert cor_fixed > cor_raw + 0.2
+    assert rmse < 0.1
+
+
+def test_coregister_end_to_end_snap(spark):
+    base = _textured(128, 128, seed=5)
+    tar = _fourier_shift(base, 1.5, -0.75)
+    df = _frame(spark, G128, base, tar)
+    fixed, meta = coregister(
+        spark, df, G128, "b_ref", "b_tar",
+        max_shift=8, snap=0.25, min_valid=16, normalization=None,
+    )
+    assert meta["n_tiles"] == 4
+    assert meta["dy"] == pytest.approx(1.5)
+    assert meta["dx"] == pytest.approx(-0.75)
+    pdf = fixed.toPandas().set_index(["row", "col"]).sort_index()
+    arr = pdf["b_tar"].values.reshape(128, 128)
+    interior = np.s_[8:-8, 8:-8]
+    cor = np.corrcoef(arr[interior].ravel(), base[interior].ravel())[0, 1]
+    assert cor > 0.9
+
+
+def test_detect_shifts_max_tiles_prunes(spark):
+    base = _noise(128, 128, seed=13)
+    df = _frame(spark, G128, base, _fourier_shift(base, 1.0, 0.0))
+    ties = detect_shifts(df, G128, "b_ref", "b_tar", max_shift=4, max_tiles=2)
+    assert 0 < ties.count() < 4
