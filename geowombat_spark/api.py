@@ -52,6 +52,10 @@ from .functions.vi import (  # noqa: F401
 from .grid import (  # noqa: F401
     GridSpec,
     align_bounds,
+    coords_to_indices,
+    indices_to_coords,
+    polygon_sample_centers as polygons_to_points,
+    rowcol_to_center_coords,
     with_hilbert_column,
     with_zorder_column,
 )
@@ -81,6 +85,7 @@ from .operators.sample import (  # noqa: F401
 from .operators.sops import (  # noqa: F401
     calc_area,
     clip_by_polygon,
+    clip_by_polygon as clip,
     mask,
     recode,
     replace,
@@ -100,9 +105,15 @@ from .plans.bucketing import (  # noqa: F401
     read_bucketed,
     write_bucketed,
 )
+from .operators.temporal import (  # noqa: F401
+    TimeModule,
+    TimeModulePipeline,
+)
+from .operators.temporal import series_apply as series  # noqa: F401
 from .plans.checkpoint import (  # noqa: F401
     write_tiled_checkpointed as save,
 )
+from .plans.checkpoint import write_tiled_checkpointed as to_raster  # noqa: F401
 from .sensors import (  # noqa: F401
     CENTRAL_WAVELENGTH,
     SENSOR_BANDS,
@@ -220,3 +231,35 @@ def load(
             b, F.when(F.col(b).isNotNull(), clipped)
         )
     return df
+
+
+def lonlat_to_xy(lon, lat, zone: int, south: bool = False):
+    """Reference-parity name (``conversion.py:62-93``): lon/lat degrees →
+    projected x/y via the Karney TM series (:func:`crs.lonlat_to_utm`)."""
+    return lonlat_to_utm(lon, lat, zone, south=south)
+
+
+def xy_to_lonlat(x, y, zone: int, south: bool = False):
+    """Reference-parity name (``conversion.py:94-125``)."""
+    return utm_to_lonlat(x, y, zone, south=south)
+
+
+def bounds_to_coords(bounds, zone: int, south: bool = False):
+    """lon/lat bounds → native map coordinates (left, bottom, right, top)
+    (``conversion.py:36-59``)."""
+    left, bottom, right, top = bounds
+    xl, yb = lonlat_to_utm(left, bottom, zone, south=south)
+    xr_, yt = lonlat_to_utm(right, top, zone, south=south)
+    return float(xl), float(yb), float(xr_), float(yt)
+
+
+def sample(docs, method: str = "random", **kwargs):
+    """``gw.sample`` dispatch (``core/util.py:133-263``): ``random`` /
+    ``systematic`` / ``stratified`` route to the sampling operators."""
+    if method == "random":
+        return sample_random(docs, **kwargs)
+    if method == "systematic":
+        return sample_systematic(docs, **kwargs)
+    if method == "stratified":
+        return sample_stratified(docs, **kwargs)
+    raise ValueError(f"unknown sampling method {method!r}")

@@ -164,6 +164,28 @@ def rowcol_to_center_coords(
     return x, y
 
 
+def coords_to_indices(
+    x: np.ndarray, y: np.ndarray, grid: GridSpec
+) -> tuple[np.ndarray, np.ndarray]:
+    """Reference-parity wrapper (``conversion.py:165-203``): returns
+    ``(j, i)`` = (col, row) int64, truncation semantics of
+    :func:`coords_to_rowcol`."""
+    row, col = coords_to_rowcol(grid, x, y)
+    return col, row
+
+
+def indices_to_coords(
+    col: np.ndarray, row: np.ndarray, grid: GridSpec
+) -> tuple[np.ndarray, np.ndarray]:
+    """Reference-parity wrapper (``conversion.py:126-162``):
+    ``transform * (j, i)`` — the cell's TOP-LEFT corner (the reference does
+    not half-cell shift here; centers come from
+    :func:`rowcol_to_center_coords`)."""
+    col = np.asarray(col, dtype=np.float64)
+    row = np.asarray(row, dtype=np.float64)
+    return grid.left + col * grid.cellx, grid.top - row * grid.celly
+
+
 # ---------------------------------------------------------------------------
 # Z-order (Morton) cell ids — the packed spatial key
 # ---------------------------------------------------------------------------

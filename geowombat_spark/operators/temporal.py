@@ -116,10 +116,72 @@ def series_stats(
     return src.groupBy(*key_cols).agg(*aggs)
 
 
+class TimeModule:
+    """User time-series kernel protocol (``core/series.py:289-345``).
+
+    Subclass and implement ``calculate(cube) -> array[C, N]`` (or ``[N]``
+    for ``count == 1``) over the dense ``[T, N]`` time cube of one tile —
+    the tabular form of the reference's ``[T, B, H, W]`` block. ``count``
+    and ``out_names`` declare the output columns; ``module_a + module_b``
+    composes a :class:`TimeModulePipeline`, like the reference's
+    ``__add__``. Run with ``series_apply(docs, module)``.
+    """
+
+    count: int = 1
+    out_names: tuple[str, ...] | None = None
+
+    def calculate(self, data):
+        raise NotImplementedError
+
+    def _names(self) -> tuple[str, ...]:
+        if self.out_names is not None:
+            return tuple(self.out_names)
+        base = type(self).__name__.lower()
+        if self.count == 1:
+            return (base,)
+        return tuple(f"{base}_{i}" for i in range(self.count))
+
+    def __add__(self, other):
+        if isinstance(other, TimeModulePipeline):
+            return TimeModulePipeline([self] + other.modules)
+        return TimeModulePipeline([self, other])
+
+
+class TimeModulePipeline:
+    """Concatenation of :class:`TimeModule` outputs (``series.py:347-379``):
+    every module sees the SAME input cube; results stack as extra output
+    columns — so a pipeline still runs in the one tile-keyed shuffle of
+    ``series_apply``."""
+
+    def __init__(self, modules: list[TimeModule]):
+        self.modules = list(modules)
+        self.count = sum(m.count for m in self.modules)
+
+    def _names(self) -> tuple[str, ...]:
+        names: list[str] = []
+        for i, m in enumerate(self.modules):
+            names.extend(f"m{i}_{n}" if n in names else n for n in m._names())
+        return tuple(names)
+
+    def __add__(self, other):
+        if isinstance(other, TimeModulePipeline):
+            return TimeModulePipeline(self.modules + other.modules)
+        return TimeModulePipeline(self.modules + [other])
+
+    def calculate(self, data):
+        import numpy as np
+
+        outs = []
+        for m in self.modules:
+            res = np.asarray(m.calculate(data), dtype=np.float64)
+            outs.append(res[None, :] if res.ndim == 1 else res)
+        return np.vstack(outs)
+
+
 def series_apply(
     docs: DataFrame,
     kernel,
-    out_names: tuple[str, ...],
+    out_names: tuple[str, ...] | None = None,
     band: str = "band_blue",
     time_col: str = "t",
     group_col: str = "tile_id",
@@ -138,10 +200,24 @@ def series_apply(
     Spark shape: ``groupBy(tile_id).applyInPandas`` — all T timesteps of a
     tile are co-located by the one shuffle, then the kernel is a single
     vectorized numpy call per tile.
+
+    ``kernel`` may also be a :class:`TimeModule` / :class:`TimeModulePipeline`
+    instance — its ``calculate`` runs on the cube and ``out_names`` defaults
+    to the module's declared names.
     """
     import numpy as np
     import pandas as pd
 
+    if isinstance(kernel, (TimeModule, TimeModulePipeline)):
+        module = kernel
+        out_names = tuple(out_names) if out_names else module._names()
+
+        def kernel(cube, times, _m=module):  # noqa: F811
+            res = np.asarray(_m.calculate(cube), dtype=np.float64)
+            return res[None, :] if res.ndim == 1 else res
+
+    if not out_names:
+        raise ValueError("out_names required for a bare-callable kernel")
     out_schema = "row bigint, col bigint" + "".join(
         f", {n} double" for n in out_names
     )

@@ -76,3 +76,59 @@ def test_apply_blocks(spark):
     got = out.agg(F.sum("v2")).collect()[0][0]
     exp = docs.agg(F.sum(F.col("band_blue") * 2.0)).collect()[0][0]
     assert abs(got - exp) < 1e-6
+
+
+def test_time_module_protocol(spark):
+    """TimeModule / TimeModulePipeline (reference core/series.py:289-379):
+    modules declare count/out_names; `a + b` composes a pipeline that runs
+    in the same single tile-keyed shuffle."""
+    docs = _stack(spark)
+
+    class TMean(temporal.TimeModule):
+        out_names = ("tmean",)
+
+        def calculate(self, cube):
+            return np.nanmean(cube, axis=0)
+
+    class Amp(temporal.TimeModule):
+        out_names = ("amp",)
+
+        def calculate(self, cube):
+            return np.nanmax(cube, axis=0) - np.nanmin(cube, axis=0)
+
+    pipe = TMean() + Amp()
+    assert pipe.count == 2 and pipe._names() == ("tmean", "amp")
+
+    out = temporal.series_apply(docs, pipe).toPandas()
+    out = out.sort_values(["row", "col"]).reset_index(drop=True)
+    cells = out["row"] * 10 + out["col"]
+    assert np.allclose(out["tmean"], cells * 2 + 15)
+    assert np.allclose(out["amp"], 30.0)
+
+    # single module, default name derived from the class
+    class P75(temporal.TimeModule):
+        def calculate(self, cube):
+            return np.nanpercentile(cube, 75, axis=0)
+
+    out1 = temporal.series_apply(docs, P75()).toPandas()
+    assert "p75" in out1.columns and len(out1) == 60
+
+
+def test_facade_parity_names():
+    """Every public name of the reference's `gw.*` export list resolves on
+    the facade (to_netcdf excepted: format lib absent, SURVEY out of
+    scope)."""
+    import geowombat_spark.api as gw
+
+    ref = [
+        "apply", "array_to_polygon", "avi", "bounds_to_coords", "calc_area",
+        "clip", "clip_by_polygon", "coords_to_indices", "coregister", "evi",
+        "evi2", "extract", "indices_to_coords", "kndvi", "lonlat_to_xy",
+        "mask", "moving", "nbr", "ndvi", "norm_diff", "polygon_to_array",
+        "polygons_to_points", "recode", "replace", "sample", "save",
+        "subset", "tasseled_cap", "to_raster", "to_vrt", "transform_crs",
+        "wi", "xy_to_lonlat", "load", "open", "series", "TimeModule",
+        "TimeModulePipeline", "config",
+    ]
+    missing = [n for n in ref if not hasattr(gw, n)]
+    assert not missing, missing
