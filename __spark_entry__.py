@@ -1229,9 +1229,40 @@ def q_coregister(spark, sf_dir):
     )
 
 
+def q_qa_sensor_masks(spark, sf_dir):
+    """qa_masker sensor dispatch (QAMasker.to_mask, qa.py:68-344): the same
+    synthetic qa word masked under the Landsat C2-L2 bit layout, the HLS
+    Fmask layout, and (low 4 bits) the Sentinel-2 SCL class table — three
+    pure-Column codegen masks in one projection."""
+    from geowombat_spark.functions import radiometry as rad
+
+    gd = grid_docs(spark, sf_dir).withColumn(
+        "qa", ((F.col("doc_id") * 37 + 11) % 512).cast("long")
+    ).withColumn("scl", (F.col("qa") % 12).cast("long"))
+    out = rad.qa_masker(
+        gd, "qa", "landsat-c2-l2", ("cloud", "cloud_shadow", "fill"),
+        out="ok_c2",
+    )
+    out = rad.qa_masker(
+        out, "qa", "hls", ("cloud", "cirrus", "cloud_shadow"), out="ok_hls"
+    )
+    out = rad.qa_masker(
+        out, "scl", "s2a",
+        ("cloud_medium_prob", "cloud_high_prob", "cloud_shadow", "thin_cirrus"),
+        out="ok_scl",
+    )
+    return out.select(
+        "doc_id",
+        F.col("ok_c2").cast("long").alias("ok_c2"),
+        F.col("ok_hls").cast("long").alias("ok_hls"),
+        F.col("ok_scl").cast("long").alias("ok_scl"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_coregister": q_coregister,
+        "q_qa_sensor_masks": q_qa_sensor_masks,
         "q_extract_points": q_extract_points,
         "q_extract_crs": q_extract_crs,
         "q_extract_polygons": q_extract_polygons,
@@ -2501,6 +2532,21 @@ FROM documents, n
 WHERE doc_id // {NCOLS} < nr
   AND doc_id // {NCOLS} <= nr - 1 - {COREG_DY}
   AND doc_id % {NCOLS} >= {COREG_DX_ABS}
+"""
+
+    o["q_qa_sensor_masks"] = """
+WITH q AS (
+  SELECT doc_id,
+         CAST((doc_id * 37 + 11) % 512 AS BIGINT) AS qa,
+         CAST(((doc_id * 37 + 11) % 512) % 12 AS BIGINT) AS scl
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN ((qa >> 3) & 1) > 0 OR ((qa >> 4) & 1) > 0 OR ((qa >> 0) & 1) > 0
+       THEN 0 ELSE 1 END AS ok_c2,
+  CASE WHEN ((qa >> 1) & 1) > 0 OR ((qa >> 0) & 1) > 0 OR ((qa >> 3) & 1) > 0
+       THEN 0 ELSE 1 END AS ok_hls,
+  CASE WHEN scl IN (8, 9, 3, 10) THEN 0 ELSE 1 END AS ok_scl
+FROM q
 """
 
     return o

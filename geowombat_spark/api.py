@@ -30,6 +30,7 @@ from .functions.radiometry import (  # noqa: F401
     dn_to_sr,
     dn_to_toar,
     qa_mask,
+    qa_masker,
     radiance_to_toar,
     toar_to_rad,
     toar_to_sr,

@@ -121,6 +121,84 @@ def qa_mask(
     return df.withColumn("qa_ok", F.when(cond, F.lit(1)).otherwise(F.lit(0)))
 
 
+# Landsat Collection-2 Level-2 QA_PIXEL single-bit layout
+# (``qa.py:8-25`` QABits.landsat_c2_l2; USGS Landsat project documents).
+QA_BITS_LANDSAT_C2_L2 = {
+    "fill": (0, 1),
+    "dilated_cloud": (1, 1),
+    "cirrus": (2, 1),
+    "cloud": (3, 1),
+    "cloud_shadow": (4, 1),
+    "snow": (5, 1),
+    "clear": (6, 1),
+    "water": (7, 1),
+}
+
+# HLS Fmask uint8 single-bit layout (``qa.py:51-66`` HLSFmaskBits.hls;
+# HLS User Guide V2.0).
+QA_BITS_HLS_FMASK = {
+    "cirrus": (0, 1),
+    "cloud": (1, 1),
+    "adjacent_cloud": (2, 1),
+    "cloud_shadow": (3, 1),
+    "snow_ice": (4, 1),
+    "water": (5, 1),
+}
+
+# Sentinel-2 L2A Scene Classification Layer class values (``qa.py:27-49``
+# SCLValues.sentinel_s2_l2a; ESA S2 L2A algorithm overview). The SCL is a
+# class raster, not a bit pack — mask by value membership.
+SCL_VALUES = {
+    "no_data": 0,
+    "saturated_defective": 1,
+    "dark_area": 2,
+    "cloud_shadow": 3,
+    "vegetation": 4,
+    "not_vegetated": 5,
+    "water": 6,
+    "unclassified": 7,
+    "cloud_medium_prob": 8,
+    "cloud_high_prob": 9,
+    "thin_cirrus": 10,
+    "snow_ice": 11,
+}
+
+#: QAMasker's sensor → layout dispatch (``qa.py:69-344``); 'l8-c1' is the
+#: confidence-pair layout QA_BITS_L8 above.
+QA_SENSOR_BITS = {
+    "l8-c1": QA_BITS_L8,
+    "landsat-c2-l2": QA_BITS_LANDSAT_C2_L2,
+    "hls": QA_BITS_HLS_FMASK,
+}
+
+
+def qa_masker(
+    df: DataFrame,
+    qa_col: str,
+    sensor: str,
+    mask_items: tuple[str, ...],
+    out: str = "qa_ok",
+) -> DataFrame:
+    """``QAMasker.to_mask`` analogue (``qa.py:68-344``): 1 = usable pixel,
+    0 = any requested ``mask_items`` flag fires. Bit-pack sensors
+    (``QA_SENSOR_BITS``) test single bits; ``sensor='s2a'``/``'scl'``
+    treats ``qa_col`` as the SCL class raster and masks by membership in
+    the named classes. One Column expression — no UDF, codegen-folded."""
+    if sensor in ("s2a", "s2c", "scl"):
+        vals = [SCL_VALUES[m] for m in mask_items]
+        bad = F.col(qa_col).cast("int").isin(vals)
+    else:
+        bits = QA_SENSOR_BITS[sensor]
+        bad = F.lit(False)
+        for m in mask_items:
+            offset, width = bits[m]
+            flag = F.shiftright(F.col(qa_col).cast("long"), offset).bitwiseAND(
+                (1 << width) - 1
+            )
+            bad = bad | (flag > 0)
+    return df.withColumn(out, F.when(bad, F.lit(0)).otherwise(F.lit(1)))
+
+
 # ---------------------------------------------------------------------------
 # Surface reflectance (SREM) — toar_to_sr / dn_to_sr
 # ---------------------------------------------------------------------------

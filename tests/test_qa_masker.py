@@ -1,0 +1,66 @@
+"""qa_masker sensor dispatch (QAMasker.to_mask analogue, qa.py:68-344)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from geowombat_spark.functions.radiometry import (
+    QA_BITS_HLS_FMASK,
+    QA_BITS_LANDSAT_C2_L2,
+    SCL_VALUES,
+    qa_masker,
+)
+
+
+def test_landsat_c2_l2_bits(spark):
+    # qa values: clear (bit6), cloud (bit3), cloud+shadow, fill (bit0)
+    df = spark.createDataFrame(
+        pd.DataFrame({"pix": [0, 1, 2, 3], "qa": [1 << 6, 1 << 3, (1 << 3) | (1 << 4), 1]})
+    )
+    out = (
+        qa_masker(df, "qa", "landsat-c2-l2", ("cloud", "cloud_shadow", "fill"))
+        .orderBy("pix")
+        .toPandas()
+    )
+    assert out["qa_ok"].tolist() == [1, 0, 0, 0]
+
+
+def test_hls_fmask_bits(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"pix": [0, 1, 2], "qa": [0, 1 << 1, 1 << 5]})
+    )
+    out = (
+        qa_masker(df, "qa", "hls", ("cloud", "cirrus")).orderBy("pix").toPandas()
+    )
+    # water (bit 5) not requested -> usable
+    assert out["qa_ok"].tolist() == [1, 0, 1]
+
+
+def test_scl_class_mask(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "pix": range(4),
+                "scl": [
+                    SCL_VALUES["vegetation"],
+                    SCL_VALUES["cloud_high_prob"],
+                    SCL_VALUES["cloud_shadow"],
+                    SCL_VALUES["water"],
+                ],
+            }
+        )
+    )
+    out = (
+        qa_masker(
+            df, "scl", "s2a",
+            ("cloud_medium_prob", "cloud_high_prob", "cloud_shadow", "thin_cirrus"),
+        )
+        .orderBy("pix")
+        .toPandas()
+    )
+    assert out["qa_ok"].tolist() == [1, 0, 0, 1]
+
+
+def test_tables_complete():
+    assert len(QA_BITS_LANDSAT_C2_L2) == 8
+    assert len(QA_BITS_HLS_FMASK) == 6
+    assert len(SCL_VALUES) == 12
