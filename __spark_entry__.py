@@ -1259,10 +1259,36 @@ def q_qa_sensor_masks(spark, sf_dir):
     )
 
 
+def q_solar_angles(spark, sf_dir):
+    """Per-pixel solar zenith/azimuth (functions/solar.py — the solar layer
+    of the reference's angles.py rasters) from a deterministic (ts, lat,
+    lon) sweep derived from doc_id. One fused codegen projection, no
+    shuffle. Engine and oracle evaluate the IDENTICAL NOAA expression
+    chain (solar.CHAIN / solar.solar_sql), measured cross-engine drift
+    < 5e-12 deg -> round(5) is hash-stable."""
+    from geowombat_spark.functions.solar import solar_angles
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = d.withColumns(
+        {
+            "ts": (F.lit(1577836800.0) + ((F.col("doc_id") * 7919 + 3) % (5 * 365 * 86400)).cast("double")),
+            "lat": (-60.0 + ((F.col("doc_id") * 13) % 121).cast("double")),
+            "lon": (-180.0 + ((F.col("doc_id") * 29) % 360).cast("double")),
+        }
+    )
+    out = solar_angles(d, "ts", "lat", "lon")
+    return out.select(
+        "doc_id",
+        F.round("sza", 5).alias("sza"),
+        F.round("saa", 5).alias("saa"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_coregister": q_coregister,
         "q_qa_sensor_masks": q_qa_sensor_masks,
+        "q_solar_angles": q_solar_angles,
         "q_extract_points": q_extract_points,
         "q_extract_crs": q_extract_crs,
         "q_extract_polygons": q_extract_polygons,
@@ -2548,5 +2574,20 @@ SELECT doc_id,
   CASE WHEN scl IN (8, 9, 3, 10) THEN 0 ELSE 1 END AS ok_scl
 FROM q
 """
+
+    from geowombat_spark.functions.solar import solar_sql
+
+    _solar_src = (
+        "src AS (SELECT doc_id, "
+        "1577836800.0 + CAST((doc_id * 7919 + 3) % (5 * 365 * 86400) AS DOUBLE) AS ts, "
+        "-60.0 + CAST((doc_id * 13) % 121 AS DOUBLE) AS lat, "
+        "-180.0 + CAST((doc_id * 29) % 360 AS DOUBLE) AS lon "
+        "FROM documents)"
+    )
+    o["q_solar_angles"] = (
+        f"WITH {_solar_src} "
+        f"SELECT doc_id, round(sza, 5) AS sza, round(saa, 5) AS saa "
+        f"FROM ({solar_sql('ts', 'lat', 'lon')})"
+    )
 
     return o

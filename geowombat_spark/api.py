@@ -35,6 +35,7 @@ from .functions.radiometry import (  # noqa: F401
     toar_to_rad,
     toar_to_sr,
 )
+from .functions.solar import solar_angles  # noqa: F401
 from .functions.topo import norm_topo, slope_aspect  # noqa: F401
 from .functions.vi import (  # noqa: F401
     avi,
