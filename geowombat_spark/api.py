@@ -64,7 +64,9 @@ from .grid import (  # noqa: F401
 from .ml import fit, fit_predict, predict  # noqa: F401
 from .operators.coregister import (  # noqa: F401
     apply_shift,
+    apply_shift_field,
     coregister,
+    coregister_local,
     detect_shifts,
 )
 from .operators.extract import (  # noqa: F401

@@ -253,6 +253,113 @@ def apply_shift(
     )
 
 
+def apply_shift_field(
+    docs: DataFrame,
+    grid: GridSpec,
+    shifts: DataFrame,
+    bands: tuple[str, ...],
+    min_peak: float = 0.0,
+    min_valid: int = 16,
+) -> DataFrame:
+    """Warp by a PER-TILE shift field (AROSICS ``COREG_LOCAL``): each cell
+    resamples at ``(row + dy(tile), col + dx(tile))`` with bilinear
+    weights.
+
+    Plan: quality-filtered tie points fall back to the global median
+    (both tiny, driver-free — one broadcast join), then the same
+    4-neighbor explode + ONE hash equi-join as ``transform_grid``
+    bilinear, except the fractional offset is a per-row column instead of
+    a plan literal. Still exactly one corpus shuffle.
+    """
+    good = shifts.filter(
+        (F.col("peak") > min_peak)
+        & (F.col("n_valid") >= min_valid)
+        & F.col("dy").isNotNull()
+    ).select("tile", "dy", "dx")
+    fallback = good.agg(
+        F.percentile(F.col("dy"), F.lit(0.5)).alias("_gdy"),
+        F.percentile(F.col("dx"), F.lit(0.5)).alias("_gdx"),
+    )
+    tile = (
+        F.floor(F.col("row") / grid.tile_rows) * grid.tiles_x
+        + F.floor(F.col("col") / grid.tile_cols)
+    ).cast("long")
+    lat = (
+        docs.select("row", "col", tile.alias("tile"))
+        .join(F.broadcast(good), "tile", "left")
+        .crossJoin(F.broadcast(fallback))
+        .select(
+            "row",
+            "col",
+            F.coalesce(F.col("dy"), F.col("_gdy")).alias("_dy"),
+            F.coalesce(F.col("dx"), F.col("_gdx")).alias("_dx"),
+        )
+    )
+    fr = F.col("row").cast("double") + F.col("_dy")
+    fc = F.col("col").cast("double") + F.col("_dx")
+    lat = lat.withColumns(
+        {
+            "_r0": F.floor(fr).cast("long"),
+            "_c0": F.floor(fc).cast("long"),
+            "_wr": fr - F.floor(fr),
+            "_wc": fc - F.floor(fc),
+        }
+    )
+    nbrs = F.array(
+        *[
+            F.struct(
+                (F.col("_r0") + dr).alias("_sr"),
+                (F.col("_c0") + dc).alias("_sc"),
+                (
+                    (F.col("_wr") if dr else (1.0 - F.col("_wr")))
+                    * (F.col("_wc") if dc else (1.0 - F.col("_wc")))
+                ).alias("_w"),
+            )
+            for dr in (0, 1)
+            for dc in (0, 1)
+        ]
+    )
+    expl = lat.select("row", "col", F.explode(nbrs).alias("_n")).select(
+        "row", "col", "_n._sr", "_n._sc", "_n._w"
+    )
+    srcside = docs.select(
+        F.col("row").alias("_sr"), F.col("col").alias("_sc"), *bands
+    )
+    joined = expl.join(srcside, ["_sr", "_sc"], "left")
+    aggs = []
+    for b in bands:
+        w_ok = F.when(F.col(b).isNotNull(), F.col("_w"))
+        aggs.append((F.sum(w_ok * F.col(b)) / F.sum(w_ok)).alias(b))
+    return joined.groupBy("row", "col").agg(*aggs)
+
+
+def coregister_local(
+    spark: SparkSession,
+    docs: DataFrame,
+    grid: GridSpec,
+    reference: str,
+    target: str,
+    bands: tuple[str, ...] | None = None,
+    nodata: float | None = None,
+    max_shift: float | None = None,
+    min_peak: float = 0.0,
+    min_valid: int = 16,
+    normalization: str | None = "phase",
+) -> DataFrame:
+    """Per-tile coregistration (AROSICS ``COREG_LOCAL``): detect a shift
+    per tile, warp each tile by ITS OWN vector (bad tiles fall back to the
+    global median). Two corpus passes total: the detection shuffle and the
+    warp join."""
+    ties = detect_shifts(
+        docs, grid, reference, target,
+        nodata=nodata, max_shift=max_shift, normalization=normalization,
+    )
+    return apply_shift_field(
+        docs, grid, ties, bands=bands or (target,),
+        min_peak=min_peak, min_valid=min_valid,
+    )
+
+
 def coregister(
     spark: SparkSession,
     docs: DataFrame,

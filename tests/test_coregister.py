@@ -163,3 +163,32 @@ def test_detect_shifts_max_tiles_prunes(spark):
     df = _frame(spark, G128, base, _fourier_shift(base, 1.0, 0.0))
     ties = detect_shifts(df, G128, "b_ref", "b_tar", max_shift=4, max_tiles=2)
     assert 0 < ties.count() < 4
+
+
+def test_coregister_local_per_tile_field(spark):
+    """COREG_LOCAL analogue: two tiles displaced by DIFFERENT vectors are
+    each realigned by their own tie-point shift."""
+    base = _textured(128, 128, seed=21)
+    tar = np.empty_like(base)
+    # left tiles shifted (1, 0); right tiles shifted (0, 2) — periodic per half
+    tar[:, :64] = np.hstack([_fourier_shift(base[:, :64], 1.0, 0.0), np.zeros((128, 0))])
+    tar[:, 64:] = _fourier_shift(base[:, 64:], 0.0, 2.0)
+    df = _frame(spark, G128, base, tar)
+    from geowombat_spark.operators.coregister import coregister_local
+
+    fixed = coregister_local(
+        spark, df, G128, "b_ref", "b_tar",
+        max_shift=6, min_valid=16, normalization=None,
+    )
+    pdf = fixed.toPandas().set_index(["row", "col"]).sort_index()
+    arr = pdf["b_tar"].values.reshape(128, 128)
+    # interiors of each half must realign to the base
+    li = np.s_[8:-8, 8:56]
+    ri = np.s_[8:-8, 72:-8]
+    cor_l = np.corrcoef(arr[li].ravel(), base[li].ravel())[0, 1]
+    cor_r = np.corrcoef(arr[ri].ravel(), base[ri].ravel())[0, 1]
+    assert cor_l > 0.9 and cor_r > 0.9
+    # a single global shift could not fix both halves
+    raw_l = np.corrcoef(tar[li].ravel(), base[li].ravel())[0, 1]
+    raw_r = np.corrcoef(tar[ri].ravel(), base[ri].ravel())[0, 1]
+    assert cor_l > raw_l + 0.1 and cor_r > raw_r + 0.1
