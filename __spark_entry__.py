@@ -1284,11 +1284,61 @@ def q_solar_angles(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (pipeline/curate.decontaminate): docs with
+    doc_id %% 97 == 0 play the eval set; the rest are the corpus. Benchmark
+    3-gram set is broadcast; corpus is scanned once, only matching shingle
+    rows shuffle for the per-doc count."""
+    from geowombat_spark.pipeline import curate
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return curate.decontaminate(corpus, bench, n=3, min_hits=1)
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Token-offset sequence packing (pipeline/curate.pack_sequences):
+    md5-sharded docs, per-shard window cumsum -> (pack, pack_offset) under
+    a 512-token budget. Shards pack independently (linear scale-out)."""
+    from geowombat_spark.pipeline import curate
+
+    return curate.pack_sequences(
+        _docs(spark, sf_dir), max_tokens=512, n_shards=8
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (pipeline/curate.pii_scrub): typed-placeholder
+    regexp_replace chain + per-kind counts on the original text. PII is
+    planted deterministically (one span per doc by doc_id %% 4) since the
+    synthetic corpus contains none."""
+    from geowombat_spark.pipeline import curate
+
+    d = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(" contact bob@data.io"))
+            .when(F.col("doc_id") % 4 == 1, F.lit(" from 10.1.2.3"))
+            .when(F.col("doc_id") % 4 == 2, F.lit(" call 555-123-4567"))
+            .otherwise(F.lit("")),
+        ),
+    )
+    out = curate.pii_scrub(d, "text")
+    return out.select(
+        "doc_id", "text", "n_email", "n_ip", "n_phone"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_coregister": q_coregister,
         "q_qa_sensor_masks": q_qa_sensor_masks,
         "q_solar_angles": q_solar_angles,
+        "q_decontaminate": q_decontaminate,
+        "q_pack_sequences": q_pack_sequences,
+        "q_pii_scrub": q_pii_scrub,
         "q_extract_points": q_extract_points,
         "q_extract_crs": q_extract_crs,
         "q_extract_polygons": q_extract_polygons,
@@ -2589,5 +2639,62 @@ FROM q
         f"SELECT doc_id, round(sza, 5) AS sza, round(saa, 5) AS saa "
         f"FROM ({solar_sql('ts', 'lat', 'lon')})"
     )
+
+    o["q_decontaminate"] = f"""
+WITH {LTOKS},
+{SH},
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+corpus AS (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0),
+hits AS (
+  SELECT s.doc_id, count(*) AS n
+  FROM sh s JOIN bench b USING (shingle)
+  WHERE s.doc_id % 97 <> 0
+  GROUP BY s.doc_id)
+SELECT c.doc_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_contam_ngrams,
+       coalesce(h.n, 0) >= 1 AS contaminated
+FROM corpus c LEFT JOIN hits h USING (doc_id)
+"""
+
+    _pack_shard = MD5I.format(x="CAST(doc_id AS VARCHAR)") + " % 8"
+    o["q_pack_sequences"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         CAST({_pack_shard} AS BIGINT) AS shard
+  FROM documents),
+w AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM t)
+SELECT doc_id, shard, n_tokens,
+       CAST(off // 512 AS BIGINT) AS pack,
+       CAST(off % 512 AS BIGINT) AS pack_offset
+FROM w
+"""
+
+    _email_pat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    _ip_pat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    _phone_pat = "\\+?\\d[\\d\\- ]{7,}\\d"
+    o["q_pii_scrub"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 4 = 0 THEN ' contact bob@data.io'
+                      WHEN doc_id % 4 = 1 THEN ' from 10.1.2.3'
+                      WHEN doc_id % 4 = 2 THEN ' call 555-123-4567'
+                      ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '{_email_pat}', '[EMAIL]', 'g'),
+    '{_ip_pat}', '[IP]', 'g'),
+    '{_phone_pat}', '[PHONE]', 'g') AS text,
+  CAST(len(regexp_extract_all(text, '{_email_pat}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '{_ip_pat}')) AS BIGINT) AS n_ip,
+  CAST(len(regexp_extract_all(text, '{_phone_pat}')) AS BIGINT) AS n_phone
+FROM t
+"""
 
     return o

@@ -62,6 +62,11 @@ from .grid import (  # noqa: F401
     with_zorder_column,
 )
 from .ml import fit, fit_predict, predict  # noqa: F401
+from .pipeline.curate import (  # noqa: F401
+    decontaminate,
+    pack_sequences,
+    pii_scrub,
+)
 from .operators.coregister import (  # noqa: F401
     apply_shift,
     apply_shift_field,

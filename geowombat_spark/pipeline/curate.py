@@ -1,0 +1,163 @@
+"""Corpus curation: benchmark decontamination, sequence packing, PII scrub.
+
+The three pipeline steps every large-scale training-data build runs after
+dedup/quality (complementing ``pipeline/dedup.py`` / ``pipeline/text.py``).
+All pure JVM Column/window code — no UDFs, portable hashes, each op
+verifiable value-level against a SQL oracle.
+
+Scale shapes:
+
+- **decontaminate** — benchmark n-grams are tiny next to the corpus:
+  distinct benchmark shingles BROADCAST to an inner join against the
+  exploded corpus shingles, partial-agg count per doc. The corpus is
+  scanned once and never shuffled (the post-join count aggregates on
+  doc_id — one partial-agg exchange of the *matching* rows only, a
+  vanishing fraction of the corpus at 100 TB).
+- **pack_sequences** — one window over (shard, doc order): the cumulative
+  token offset assigns each doc a pack id. Shard-partitioned so the window
+  never sees more than one shard's docs in a task; shards are independent
+  (pack ids are (shard, pack) pairs), which is what makes the op
+  embarrassingly parallel at cluster scale.
+- **pii_scrub** — a chain of ``regexp_replace`` Columns, fused into the
+  feeding scan's codegen stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import shingles_col
+from .text import md5_int, tokens
+
+#: (kind, pattern, replacement) — patterns restricted to the regex subset
+#: with identical semantics in Java regex (Spark) and RE2 (DuckDB):
+#: no lookaround, no backrefs.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\+?\d[\d\- ]{7,}\d", "[PHONE]"),
+)
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Flag corpus documents sharing ≥ ``min_hits`` word ``n``-grams with a
+    benchmark/eval set — the standard train-test decontamination pass.
+
+    Returns ``(id_col, n_contam_ngrams, contaminated)`` for every corpus
+    doc (zero hits included, so the caller can anti-join or filter either
+    way without a second scan).
+    """
+    bench_sh = (
+        benchmark.select(
+            F.explode(shingles_col(bench_text_col, n)).alias("shingle")
+        )
+        .distinct()
+    )
+    doc_sh = docs.select(
+        F.col(id_col).alias(id_col),
+        F.explode(shingles_col(text_col, n)).alias("shingle"),
+    )
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_contam_ngrams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_contam_ngrams"), F.lit(0)).alias(
+                "n_contam_ngrams"
+            ),
+            (
+                F.coalesce(F.col("n_contam_ngrams"), F.lit(0))
+                >= F.lit(int(min_hits))
+            ).alias("contaminated"),
+        )
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int = 32,
+) -> DataFrame:
+    """Assign docs to fixed-budget training packs by token offset.
+
+    Offset-based packing: docs stream in deterministic ``id`` order within
+    a shard; a doc's pack is ``floor(exclusive_prefix_tokens /
+    max_tokens)`` and ``pack_offset`` its position inside the pack. (The
+    streaming form used when sequences may straddle pack boundaries and be
+    split at load time; an exact first-fit bin packer is inherently
+    sequential and belongs in the loader, not the scan.) Emits
+    ``(id, shard, n_tokens, pack, pack_offset)``.
+
+    One window per shard (hash-sharded on the id — deterministic), no
+    global ordering: shards pack independently, so the op scales linearly
+    with executors.
+    """
+    nt = F.size(tokens(F.col(text_col))).cast("long")
+    # md5-derived shard (portable across engines, unlike murmur3 hash())
+    shard = (md5_int(F.col(id_col).cast("string")) % int(n_shards)).cast(
+        "long"
+    )
+    d = docs.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        nt.alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    cum_excl = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    d = d.withColumn("_off", cum_excl)
+    return d.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        F.floor(F.col("_off") / max_tokens).cast("long").alias("pack"),
+        (F.col("_off") % max_tokens).cast("long").alias("pack_offset"),
+    )
+
+
+def pii_scrub(
+    docs: DataFrame,
+    text_col: str = "text",
+    kinds: tuple[str, ...] = ("email", "ip", "phone"),
+    out_col: str | None = None,
+    count: bool = True,
+) -> DataFrame:
+    """Redact PII spans with typed placeholders; optionally count matches
+    per kind (counted on the ORIGINAL text, before any replacement).
+
+    Replacement order is the ``PII_PATTERNS`` order (emails first: an
+    address would otherwise partially match the looser numeric patterns).
+    """
+    out_col = out_col or text_col
+    sel = dict.fromkeys(kinds)
+    scrubbed: Column = F.col(text_col)
+    counts = {}
+    for kind, pat, repl in PII_PATTERNS:
+        if kind not in sel:
+            continue
+        if count:
+            counts[f"n_{kind}"] = F.regexp_count(F.col(text_col), F.lit(pat))
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    # counts must bind the ORIGINAL column — add them before the overwrite
+    df = docs
+    for name, c in counts.items():
+        df = df.withColumn(name, c.cast("long"))
+    return df.withColumn(out_col, scrubbed)

@@ -1,0 +1,89 @@
+"""Curation ops: decontamination, sequence packing, PII scrub."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from geowombat_spark.pipeline.curate import (
+    decontaminate,
+    pack_sequences,
+    pii_scrub,
+)
+
+
+def test_decontaminate_flags_overlap(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog",
+                    "completely unrelated content about spark plans",
+                    "quick brown fox appears here too",
+                ],
+            }
+        )
+    )
+    bench = spark.createDataFrame(
+        pd.DataFrame({"text": ["a quick brown fox story"]})
+    )
+    out = (
+        decontaminate(docs, bench, n=3, min_hits=1)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    # docs 0 and 2 share the 'quick brown fox' 3-gram with the benchmark
+    assert out["contaminated"].tolist() == [True, False, True]
+    assert out.loc[1, "n_contam_ngrams"] == 0
+
+
+def test_pack_sequences_offsets(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": list(range(6)),
+                "text": ["w " * k for k in (4, 4, 4, 4, 4, 4)],
+            }
+        )
+    )
+    out = (
+        pack_sequences(docs, max_tokens=8, n_shards=1)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    # 4-token docs, budget 8: two docs per pack, offsets 0/4 (trailing ''
+    # from the final space tokenizes — n_tokens=5? no: "w w w w " strips)
+    assert out["n_tokens"].tolist() == [4] * 6
+    assert out["pack"].tolist() == [0, 0, 1, 1, 2, 2]
+    assert out["pack_offset"].tolist() == [0, 4, 0, 4, 0, 4]
+
+
+def test_pack_sequences_sharded_independent(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(40)), "text": ["x y z"] * 40})
+    )
+    out = pack_sequences(docs, max_tokens=6, n_shards=4).toPandas()
+    # within every shard the first doc starts at offset 0
+    firsts = out.sort_values("doc_id").groupby("shard").first()
+    assert (firsts["pack"] == 0).all() and (firsts["pack_offset"] == 0).all()
+    # offsets never exceed the budget
+    assert (out["pack_offset"] < 6).all()
+
+
+def test_pii_scrub(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0],
+                "text": [
+                    "mail me at jane.doe+x@example.org from 10.0.0.1 "
+                    "or call +1 555-123-4567 today"
+                ],
+            }
+        )
+    )
+    out = pii_scrub(docs).toPandas().iloc[0]
+    assert "[EMAIL]" in out["text"]
+    assert "[IP]" in out["text"]
+    assert "[PHONE]" in out["text"]
+    assert "example.org" not in out["text"]
+    assert out["n_email"] == 1 and out["n_ip"] == 1 and out["n_phone"] == 1
