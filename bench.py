@@ -96,33 +96,39 @@ def flagship_grid(n_docs: int):
 
 
 def synth_corpus(spark: SparkSession, n_docs: int):
-    """Deterministic interleaved-document corpus as one select over range()."""
+    """Deterministic interleaved-document corpus as one select over range().
+
+    ``doc_id`` is a STRING column (the north-rule input table shape:
+    doc_id:string, spans:array<struct<kind,text,media_ref,offset>>); all
+    numeric derivations use the internal ``_id`` sequence, which is dropped
+    from the materialized table."""
     grid = flagship_grid(n_docs)
-    d = spark.range(n_docs).withColumnRenamed("id", "doc_id")
+    d = spark.range(n_docs).withColumnRenamed("id", "_id")
     d = d.withColumns(
         {
-            "col": (F.col("doc_id") % FLAG_NCOLS).cast("long"),
-            "row": F.expr(f"doc_id div {FLAG_NCOLS}").cast("long"),
+            "doc_id": F.col("_id").cast("string"),
+            "col": (F.col("_id") % FLAG_NCOLS).cast("long"),
+            "row": F.expr(f"_id div {FLAG_NCOLS}").cast("long"),
         }
     )
     d = d.withColumns(
         {
             "x": (F.col("col").cast("double") + F.lit(0.5)) * FLAG_CELL,
             "y": -((F.col("row").cast("double") + F.lit(0.5)) * FLAG_CELL),
-            "band_blue": (F.lit(1) + F.col("doc_id") % 255).cast("double"),
-            "band_green": (F.lit(1) + (F.col("doc_id") * 7) % 255).cast("double"),
-            "band_red": (F.lit(1) + (F.col("doc_id") * 13 + 5) % 255).cast("double"),
+            "band_blue": (F.lit(1) + F.col("_id") % 255).cast("double"),
+            "band_green": (F.lit(1) + (F.col("_id") * 7) % 255).cast("double"),
+            "band_red": (F.lit(1) + (F.col("_id") * 13 + 5) % 255).cast("double"),
             "spans": F.array(
                 F.struct(
                     F.lit("text").alias("kind"),
-                    F.concat(F.lit("doc "), F.col("doc_id").cast("string")).alias("text"),
+                    F.concat(F.lit("doc "), F.col("doc_id")).alias("text"),
                     F.lit(None).cast("string").alias("media_ref"),
                     F.lit(0).cast("int").alias("offset"),
                 ),
                 F.struct(
                     F.lit("image").alias("kind"),
                     F.lit(None).cast("string").alias("text"),
-                    F.concat(F.lit("s3://m/"), F.col("doc_id").cast("string")).alias(
+                    F.concat(F.lit("s3://m/"), F.col("doc_id")).alias(
                         "media_ref"
                     ),
                     F.lit(1).cast("int").alias("offset"),
@@ -134,6 +140,7 @@ def synth_corpus(spark: SparkSession, n_docs: int):
             ).cast("long"),
         }
     )
+    d = d.drop("_id")
     # Z-order cell id via JVM bit-interleave (matches grid.zorder_encode)
     from geowombat_spark.grid import with_zorder_column
 
@@ -142,7 +149,7 @@ def synth_corpus(spark: SparkSession, n_docs: int):
 
 
 def corpus_path(n_docs: int) -> str:
-    return os.path.join(CACHE_DIR, f"corpus_v2_{n_docs}")
+    return os.path.join(CACHE_DIR, f"corpus_v3_{n_docs}")
 
 
 def ensure_corpus(spark: SparkSession, n_docs: int) -> str:
