@@ -1331,6 +1331,16 @@ def q_pii_scrub(spark, sf_dir):
     )
 
 
+def q_token_estimate(spark, sf_dir):
+    """BPE-ish token estimation (pipeline/text.token_estimate): whitespace
+    tokens + subword-piece regex count, one JVM scan, no shuffle."""
+    from geowombat_spark.pipeline import text as tx
+
+    return tx.token_estimate(_docs(spark, sf_dir)).select(
+        "doc_id", "n_ws_tokens", "n_bpe_pieces", "pieces_per_token"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_coregister": q_coregister,
@@ -1339,6 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontaminate": q_decontaminate,
         "q_pack_sequences": q_pack_sequences,
         "q_pii_scrub": q_pii_scrub,
+        "q_token_estimate": q_token_estimate,
         "q_extract_points": q_extract_points,
         "q_extract_crs": q_extract_crs,
         "q_extract_polygons": q_extract_polygons,
@@ -2695,6 +2706,15 @@ SELECT doc_id,
   CAST(len(regexp_extract_all(text, '{_ip_pat}')) AS BIGINT) AS n_ip,
   CAST(len(regexp_extract_all(text, '{_phone_pat}')) AS BIGINT) AS n_phone
 FROM t
+"""
+
+    o["q_token_estimate"] = f"""
+WITH {TOKS}
+SELECT doc_id,
+  CAST(len(t) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]{{1,4}}|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_pieces,
+  round(len(regexp_extract_all(text, '[A-Za-z]{{1,4}}|[0-9]|[^A-Za-z0-9\s]')) / greatest(len(t), 1), 6) AS pieces_per_token
+FROM toks
 """
 
     return o

@@ -122,3 +122,34 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = tokens(F.lower(F.col(text_col)))
     canon = F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
     return df.withColumn("fingerprint", F.md5(canon))
+
+
+#: BPE-ish piece pattern: ≤4-letter runs (long words split into multiple
+#: pieces, approximating subword merges), single digits, single
+#: non-alnum marks — the regex restricted to the Java/RE2 common subset.
+BPE_PIECE_PATTERN = r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]"
+
+
+def token_estimate(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """LLM-token-count estimate: whitespace tokens plus a BPE-ish piece
+    count (``BPE_PIECE_PATTERN`` matches ≈ subword pieces — a 10-letter
+    word costs 3 pieces, digits one each, punctuation one each). Both are
+    single JVM regex scans; ``pieces_per_token`` is the fertility ratio
+    quality filters threshold on."""
+    n_ws = F.size(tokens(F.col(text_col)))
+    # F.lit pattern (not an F.expr SQL string: SQL literals would eat the
+    # backslash in \s)
+    n_bpe = F.size(
+        F.regexp_extract_all(
+            F.col(text_col), F.lit(BPE_PIECE_PATTERN), F.lit(0)
+        )
+    )
+    return df.withColumns(
+        {
+            "n_ws_tokens": n_ws.cast("long"),
+            "n_bpe_pieces": n_bpe.cast("long"),
+            "pieces_per_token": F.round(
+                n_bpe / F.greatest(n_ws, F.lit(1)), 6
+            ),
+        }
+    )

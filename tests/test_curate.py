@@ -87,3 +87,16 @@ def test_pii_scrub(spark):
     assert "[PHONE]" in out["text"]
     assert "example.org" not in out["text"]
     assert out["n_email"] == 1 and out["n_ip"] == 1 and out["n_phone"] == 1
+
+
+def test_token_estimate(spark):
+    from geowombat_spark.pipeline.text import token_estimate
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["documents and 123 spark-plans!"]})
+    )
+    out = token_estimate(docs).toPandas().iloc[0]
+    # docu|ment|s and 1|2|3 spar|k - plan|s !  = 13 pieces, 4 ws tokens
+    assert out["n_ws_tokens"] == 4
+    assert out["n_bpe_pieces"] == 13
+    assert abs(out["pieces_per_token"] - 3.25) < 1e-9
