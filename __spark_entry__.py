@@ -1341,6 +1341,27 @@ def q_token_estimate(spark, sf_dir):
     )
 
 
+def q_bandpass(spark, sf_dir):
+    """Published-LUT cross-sensor bandpass (radiometry.bandpass_to,
+    sr.py:413-614 LinearAdjustments): S2A bands adjusted to the L8
+    response. Pure literal multiply-add per band, codegen-folded."""
+    from geowombat_spark.functions import radiometry as rad
+
+    gd = grid_docs(spark, sf_dir).withColumns(
+        {
+            "band_blue": F.col("band_blue") / 255.0,
+            "band_green": F.col("band_green") / 255.0,
+            "band_red": F.col("band_red") / 255.0,
+            "band_nir": F.col("band_nir") / 511.0,
+        }
+    )
+    out = rad.bandpass_to(gd, "s2a", to="l8")
+    return out.select(
+        "doc_id",
+        *[F.round(b, 9).alias(b) for b in ("band_blue", "band_green", "band_red", "band_nir")],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_coregister": q_coregister,
@@ -1350,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_sequences": q_pack_sequences,
         "q_pii_scrub": q_pii_scrub,
         "q_token_estimate": q_token_estimate,
+        "q_bandpass": q_bandpass,
         "q_extract_points": q_extract_points,
         "q_extract_crs": q_extract_crs,
         "q_extract_polygons": q_extract_polygons,
@@ -2715,6 +2737,16 @@ SELECT doc_id,
   CAST(len(regexp_extract_all(text, '[A-Za-z]{{1,4}}|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_pieces,
   round(len(regexp_extract_all(text, '[A-Za-z]{{1,4}}|[0-9]|[^A-Za-z0-9\s]')) / greatest(len(t), 1), 6) AS pieces_per_token
 FROM toks
+"""
+
+    o["q_bandpass"] = f"""
+WITH {G_SQL}
+SELECT doc_id,
+  round(-0.004 + 0.9778 * (band_blue / 255.0), 9) AS band_blue,
+  round(-0.0009 + 1.0053 * (band_green / 255.0), 9) AS band_green,
+  round(0.0009 + 0.9765 * (band_red / 255.0), 9) AS band_red,
+  round(-0.0001 + 0.9983 * (band_nir / 511.0), 9) AS band_nir
+FROM g
 """
 
     return o

@@ -26,6 +26,7 @@ from .functions.brdf import norm_brdf  # noqa: F401
 from .functions.cloudmask import estimate_shadows  # noqa: F401
 from .functions.radiometry import (  # noqa: F401
     bandpass,
+    bandpass_to,
     dn_to_radiance,
     dn_to_sr,
     dn_to_toar,

@@ -121,6 +121,70 @@ def qa_mask(
     return df.withColumn("qa_ok", F.when(cond, F.lit(1)).otherwise(F.lit(0)))
 
 
+# Published cross-sensor bandpass regression coefficients (band →
+# (alpha intercept, beta slope)): Sentinel-2A/B → L8 and L5/L7 → L8, the
+# HLS-style adjustments of the reference's LinearAdjustments LUT
+# (``sr.py:413-520``; Chastain et al. 2019, HLS v1.4 ATBD). Data parity
+# values, cited like the geometry fixtures.
+BANDPASS_COEFFS: dict[tuple[str, str], dict[str, tuple[float, float]]] = {
+    ("s2a", "l8"): {
+        "coastal": (-0.0002, 0.9959),
+        "blue": (-0.004, 0.9778),
+        "green": (-0.0009, 1.0053),
+        "red": (0.0009, 0.9765),
+        "nir": (-0.0001, 0.9983),
+        "swir1": (-0.0011, 0.9987),
+        "swir2": (-0.0012, 1.003),
+    },
+    ("s2b", "l8"): {
+        "coastal": (-0.0002, 0.9959),
+        "blue": (-0.004, 0.9778),
+        "green": (-0.0008, 1.0075),
+        "red": (0.001, 0.9761),
+        "nir": (0.0, 0.9966),
+        "swir1": (-0.0003, 1.0),
+        "swir2": (0.0004, 0.9867),
+    },
+    ("l5", "l8"): {
+        "blue": (-0.0095, 0.9785),
+        "green": (-0.0016, 0.9542),
+        "red": (-0.0022, 0.9825),
+        "nir": (-0.0021, 1.0073),
+        "swir1": (-0.003, 1.0171),
+        "swir2": (0.0029, 0.9949),
+        "pan": (-0.00443, 0.9717),
+    },
+    ("l7", "l8"): {
+        "blue": (-0.0095, 0.9785),
+        "green": (-0.0016, 0.9542),
+        "red": (-0.0022, 0.9825),
+        "nir": (-0.0021, 1.0073),
+        "swir1": (-0.003, 1.0171),
+        "swir2": (0.0029, 0.9949),
+        "pan": (-0.00443, 0.9717),
+    },
+}
+
+
+def bandpass_to(
+    df: DataFrame,
+    sensor: str,
+    to: str = "l8",
+    band_prefix: str = "band_",
+) -> DataFrame:
+    """``LinearAdjustments.bandpass`` with the published LUT
+    (``sr.py:520-614``): adjust every ``band_<name>`` column that has a
+    coefficient pair for (``sensor`` → ``to``). Raises KeyError for an
+    unknown sensor pair, like the reference's None entries."""
+    coeffs = BANDPASS_COEFFS[(sensor, to)]
+    mapped = {
+        f"{band_prefix}{b}": ab
+        for b, ab in coeffs.items()
+        if f"{band_prefix}{b}" in df.columns
+    }
+    return bandpass(df, mapped)
+
+
 # Landsat Collection-2 Level-2 QA_PIXEL single-bit layout
 # (``qa.py:8-25`` QABits.landsat_c2_l2; USGS Landsat project documents).
 QA_BITS_LANDSAT_C2_L2 = {

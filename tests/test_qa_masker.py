@@ -64,3 +64,21 @@ def test_tables_complete():
     assert len(QA_BITS_LANDSAT_C2_L2) == 8
     assert len(QA_BITS_HLS_FMASK) == 6
     assert len(SCL_VALUES) == 12
+
+
+def test_bandpass_to_lut(spark):
+    """Published S2A->L8 LUT applied to matching band columns only."""
+    from geowombat_spark.functions.radiometry import BANDPASS_COEFFS, bandpass_to
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"pix": [0], "band_blue": [0.5], "band_other": [1.0]})
+    )
+    out = bandpass_to(df, "s2a", to="l8").toPandas().iloc[0]
+    a, b = BANDPASS_COEFFS[("s2a", "l8")]["blue"]
+    assert abs(out["band_blue"] - (a + b * 0.5)) < 1e-12
+    assert out["band_other"] == 1.0  # untouched: no coefficient pair
+    try:
+        bandpass_to(df, "l8", to="s2a")
+        raise AssertionError("expected KeyError")
+    except KeyError:
+        pass
