@@ -1362,6 +1362,20 @@ def q_bandpass(spark, sf_dir):
     )
 
 
+def q_cluster_embeddings(spark, sf_dir):
+    """Spherical k-means over the embeddings table
+    (pipeline/ann.cluster_embeddings): bounded-sample training + one
+    mapInPandas assignment pass. Rows-only: the Lloyd iterations are not
+    SQL-expressible; self-consistency (cluster == argmax over centroids)
+    is pinned in pytest."""
+    from geowombat_spark.pipeline.ann import cluster_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    id_col, vec_col = emb.columns[0], emb.columns[1]
+    assigned, _ = cluster_embeddings(emb, k=16, id_col=id_col, vec_col=vec_col)
+    return assigned
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_coregister": q_coregister,
@@ -1372,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_scrub": q_pii_scrub,
         "q_token_estimate": q_token_estimate,
         "q_bandpass": q_bandpass,
+        "q_cluster_embeddings": q_cluster_embeddings,
         "q_extract_points": q_extract_points,
         "q_extract_crs": q_extract_crs,
         "q_extract_polygons": q_extract_polygons,

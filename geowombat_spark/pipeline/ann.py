@@ -521,3 +521,50 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+def cluster_embeddings(
+    df: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    oversample: int = 32,
+    iters: int = 10,
+):
+    """Spherical k-means clustering of an embedding column — the corpus
+    organization step feeding semantic dedup / topic bucketing / IVF.
+
+    Same scale shape as ``ivf_topk`` training: centroids learn on a
+    bounded hash-ordered sample (driver work independent of corpus size),
+    then ONE ``mapInPandas`` pass assigns every row its cluster and the
+    cosine to its centroid. Returns ``(assigned_df, centroids)`` where
+    ``assigned_df`` has (id, cluster, centroid_sim) and ``centroids`` is
+    the (k, dim) unit-row numpy array (reusable as a plan literal).
+    """
+    from .text import md5_int
+
+    spark = df.sparkSession
+    cent_rows = (
+        df.select(id_col, vec_col)
+        .orderBy(md5_int(F.col(id_col).cast("string")), id_col)
+        .limit(k * oversample)
+        .collect()
+    )
+    cents = _train_centroids(_normalize([r[1] for r in cent_rows]), k, iters)
+    bc = spark.sparkContext.broadcast(cents)
+
+    def _assign(it):
+        cm = bc.value
+        for pdf in it:
+            m = _normalize(list(pdf[vec_col]))
+            sims = m @ cm.T
+            cl = np.argmax(sims, axis=1)
+            out = pdf[[id_col]].copy()
+            out["cluster"] = cl.astype(np.int32)
+            out["centroid_sim"] = np.round(sims[np.arange(len(cl)), cl], 6)
+            yield out
+
+    assigned = df.select(id_col, vec_col).mapInPandas(
+        _assign, f"{id_col} bigint, cluster int, centroid_sim double"
+    )
+    return assigned, cents

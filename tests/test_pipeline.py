@@ -372,3 +372,21 @@ def test_pq_codebooks_shape_and_determinism():
     b2 = ann.train_pq_codebooks(sample, 4, 8)
     assert b1.shape == (4, 8, 4)
     np.testing.assert_array_equal(b1, b2)
+
+
+def test_cluster_embeddings_self_consistent(spark, corpus_dir):
+    """Every row's cluster is the argmax over the returned centroids; all
+    k cells stay live (the trainer re-seeds empty ones)."""
+    import numpy as np
+
+    from geowombat_spark.pipeline.ann import _normalize, cluster_embeddings
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    id_col, vec_col = emb.columns[0], emb.columns[1]
+    assigned, cents = cluster_embeddings(emb, k=8, id_col=id_col, vec_col=vec_col)
+    pdf = assigned.toPandas()
+    assert pdf["cluster"].nunique() == 8
+    src = emb.toPandas().set_index(id_col)
+    m = _normalize(list(src.loc[pdf[id_col]][vec_col]))
+    expect = np.argmax(m @ cents.T, axis=1)
+    assert (pdf["cluster"].values == expect).all()
