@@ -228,11 +228,37 @@ SCL_VALUES = {
 }
 
 #: QAMasker's sensor → layout dispatch (``qa.py:69-344``); 'l8-c1' is the
-#: confidence-pair layout QA_BITS_L8 above.
+#: confidence-pair layout QA_BITS_L8 above. (offset, width) layouts; the
+#: reference stores (high_bit, low_bit) pairs — same flags, re-expressed.
 QA_SENSOR_BITS = {
     "l8-c1": QA_BITS_L8,
     "landsat-c2-l2": QA_BITS_LANDSAT_C2_L2,
     "hls": QA_BITS_HLS_FMASK,
+    # USGS Landsat ARD single-bit layout (``qa.py:268-275``)
+    "ard": {
+        "fill": (0, 1),
+        "clear": (1, 1),
+        "water": (2, 1),
+        "shadow": (3, 1),
+        "snow": (4, 1),
+        "cloud": (5, 1),
+    },
+    # MODIS MOD09GA 1-km state flags (``qa.py:276-282``); landwater is the
+    # 2-bit land/water class
+    "modis-state": {
+        "cloud": (0, 1),
+        "daynight": (3, 1),
+        "sunglint": (4, 1),
+        "snowice": (5, 1),
+        "landwater": (6, 2),
+    },
+    # Sentinel-2 L1C TOA QA60 opaque/cirrus bits (``qa.py:283-284``) —
+    # named 's2-toa' here because 's2a'/'s2c' dispatch to the L2A SCL
+    # class raster in qa_masker
+    "s2-toa": {
+        "cloud": (10, 1),
+        "cirrus": (11, 1),
+    },
 }
 
 

@@ -82,3 +82,33 @@ def test_bandpass_to_lut(spark):
         raise AssertionError("expected KeyError")
     except KeyError:
         pass
+
+
+def test_ard_modis_s2toa_layouts(spark):
+    from geowombat_spark.functions.radiometry import QA_SENSOR_BITS
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "pix": [0, 1, 2, 3],
+                "qa": [0, 1 << 5, 1 << 10, (1 << 10) | (1 << 11)],
+            }
+        )
+    )
+    ard = qa_masker(df, "qa", "ard", ("cloud", "fill")).orderBy("pix").toPandas()
+    assert ard["qa_ok"].tolist() == [1, 0, 1, 1]
+    s2 = (
+        qa_masker(df, "qa", "s2-toa", ("cloud", "cirrus")).orderBy("pix").toPandas()
+    )
+    assert s2["qa_ok"].tolist() == [1, 1, 0, 0]
+    # modis-state: cloud bit 0; landwater 2-bit field fires on any nonzero
+    dm = spark.createDataFrame(
+        pd.DataFrame({"pix": [0, 1, 2], "qa": [0, 1, 1 << 6]})
+    )
+    mo = (
+        qa_masker(dm, "qa", "modis-state", ("cloud", "landwater"))
+        .orderBy("pix")
+        .toPandas()
+    )
+    assert mo["qa_ok"].tolist() == [1, 0, 0]
+    assert QA_SENSOR_BITS["modis-state"]["landwater"] == (6, 2)
