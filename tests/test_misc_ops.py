@@ -153,3 +153,24 @@ def test_transform_crs_grid_average_runs(spark):
     ).toPandas()
     assert len(out) > 0
     assert (out["band_blue"] == 1.0).all()
+
+
+def test_sort_images_by_date(tmp_path):
+    """Positional filename-date sort (reference core/util.py:134-196)."""
+    from geowombat_spark.util import parse_filename_dates, sort_images_by_date
+
+    names = [
+        "LC08_L1TP_176038_20190108_20190130_01_T1.tif",
+        "LC08_L1TP_176038_20181201_20181215_01_T1.tif",
+        "LC08_L1TP_176038_20190301_20190310_01_T1.tif",
+    ]
+    for n in names:
+        (tmp_path / n).write_text("")
+    d = sort_images_by_date(tmp_path, "*.tif", date_pos=3, date_start=0, date_end=8)
+    ordered = [v.strftime("%Y%m%d") for v in d.values()]
+    assert ordered == ["20181201", "20190108", "20190301"]
+
+    dts = parse_filename_dates(["s2_2019-01-08.tif", "s2_20190301.tif"])
+    assert [x.strftime("%Y%m%d") for x in dts] == ["20190108", "20190301"]
+    # any unparseable name -> ordinal fallback for the WHOLE list
+    assert parse_filename_dates(["nodate.tif", "s2_20190301.tif"]) == [1, 2]
