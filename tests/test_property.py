@@ -205,3 +205,60 @@ def test_ring_tracer_satisfies_euler_topology(seed, h, w, density):
         net = sum(area for _, _, area in rings)  # signed: holes negative
         assert abs(net - C) < 1e-9
         assert sum(len(m) for m, _, _ in rings) == corners
+
+
+# ---------------------------------------------------------------------------
+# phase-correlation estimator (operators/coregister._phase_correlate)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(-5, 5),
+    st.integers(-5, 5),
+    st.integers(0, 2**31 - 1),
+)
+def test_phase_correlate_recovers_integer_shift(dy, dx, seed):
+    """Any integer shift of a broadband field within max_shift is recovered
+    to better than a quarter cell (exact-bin coarse peak + refinement)."""
+    from geowombat_spark.operators.coregister import _phase_correlate
+
+    base = np.random.RandomState(seed % (2**31)).rand(48, 48)
+    ky = np.fft.fftfreq(48)[:, None]
+    kx = np.fft.fftfreq(48)[None, :]
+    tar = np.real(
+        np.fft.ifft2(
+            np.fft.fft2(base) * np.exp(-2j * np.pi * (ky * dy + kx * dx))
+        )
+    )
+    peak, gy, gx = _phase_correlate(base, tar, max_shift=8)
+    assert abs(gy - dy) < 0.25 and abs(gx - dx) < 0.25
+
+
+# ---------------------------------------------------------------------------
+# solar position chain (functions/solar) — range invariants via DuckDB
+# (the chain text is engine-shared, so SQL evaluation IS the engine math)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.floats(1.5e9, 1.9e9),     # 2017..2030 unix seconds
+    st.floats(-65.0, 65.0),
+    st.floats(-180.0, 180.0),
+)
+def test_solar_chain_invariants(ts, lat, lon):
+    import duckdb
+
+    from geowombat_spark.functions.solar import solar_sql
+
+    q = (
+        f"WITH src AS (SELECT {ts!r}::DOUBLE AS ts, {lat!r}::DOUBLE AS lat, "
+        f"{lon!r}::DOUBLE AS lon) "
+        + solar_sql("ts", "lat", "lon")
+    )
+    row = duckdb.sql(q).df().iloc[0]
+    assert 0.0 <= row["sza"] <= 180.0
+    assert 0.0 <= row["saa"] < 360.0
+    assert -23.5 <= row["_decl"] <= 23.5
+    assert -20.0 <= row["_eqtime"] <= 20.0
