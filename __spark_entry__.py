@@ -59,7 +59,7 @@ def grid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The band derivations keep every value ≥ 1 so no nodata collisions and
     no zero denominators exist anywhere downstream.
     """
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     d = d.withColumns(
         {
             "col": (F.col("doc_id") % NCOLS).cast("long"),
@@ -1174,7 +1174,7 @@ def q_coregister(spark, sf_dir):
     the planted shift for the hashes to match."""
     from geowombat_spark.operators import coregister as cg
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     nr = d.count() // NCOLS
     grid = GridSpec(
         left=0.0, top=0.0, cellx=CELL, celly=CELL,
@@ -1268,7 +1268,7 @@ def q_solar_angles(spark, sf_dir):
     < 5e-12 deg -> round(5) is hash-stable."""
     from geowombat_spark.functions.solar import solar_angles
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet")).select("doc_id")
     d = d.withColumns(
         {
             "ts": (F.lit(1577836800.0) + ((F.col("doc_id") * 7919 + 3) % (5 * 365 * 86400)).cast("double")),
@@ -1370,7 +1370,7 @@ def q_cluster_embeddings(spark, sf_dir):
     is pinned in pytest."""
     from geowombat_spark.pipeline.ann import cluster_embeddings
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     id_col, vec_col = emb.columns[0], emb.columns[1]
     assigned, _ = cluster_embeddings(emb, k=16, id_col=id_col, vec_col=vec_col)
     return assigned
