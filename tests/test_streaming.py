@@ -217,3 +217,51 @@ def test_stream_lsh_neardup_flags(spark, stream_dirs):
     # doc 1: all 4 bands fresh; doc 7: all 4 bands previously held by doc 1
     assert sorted(by_doc[1]) == [-1, -1, -1, -1]
     assert sorted(by_doc[7]) == [1, 1, 1, 1]
+
+
+def test_streaming_pii_scrub_and_token_estimate(spark, stream_dirs):
+    """The curation Column ops (pii_scrub, token_estimate) are stateless
+    projections, so they compose directly into a readStream plan — the
+    streaming ingest path can scrub as it lands."""
+    import glob as _glob
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from geowombat_spark.pipeline.curate import pii_scrub
+    from geowombat_spark.pipeline.text import token_estimate
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["a", "b"],
+            "text": [
+                "reach me at ops@example.net today",
+                "plain text with no pii at all",
+            ],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    tmp = os.path.join(stream_dirs["out"] + "_stage")
+    sdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    shutil.copy(part, os.path.join(stream_dirs["in"], "b0.parquet"))
+
+    schema = StructType(
+        [StructField("doc_id", StringType()), StructField("text", StringType())]
+    )
+    stream = spark.readStream.schema(schema).parquet(stream_dirs["in"])
+    out = token_estimate(pii_scrub(stream, "text"), "text")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("curated_stream")
+        .option("checkpointLocation", stream_dirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select * from curated_stream order by doc_id"
+    ).toPandas()
+    assert len(got) == 2
+    assert "[EMAIL]" in got.loc[0, "text"]
+    assert got.loc[0, "n_email"] == 1 and got.loc[1, "n_email"] == 0
+    assert (got["n_ws_tokens"] > 0).all()
