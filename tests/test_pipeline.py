@@ -390,3 +390,32 @@ def test_cluster_embeddings_self_consistent(spark, corpus_dir):
     m = _normalize(list(src.loc[pdf[id_col]][vec_col]))
     expect = np.argmax(m @ cents.T, axis=1)
     assert (pdf["cluster"].values == expect).all()
+
+
+def test_embedding_neardup_cluster_method(spark):
+    """method='cluster' (SemDeDup-style cell blocking, multi-probe) finds
+    the same pairs as the exact blocked matmul at a near-dup threshold."""
+    from geowombat_spark.pipeline.dedup import embedding_neardup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    id_col, vec_col = emb.columns[0], emb.columns[1]
+    exact = (
+        embedding_neardup_pairs(
+            emb, id_col=id_col, vec_col=vec_col, threshold=0.9, method="block"
+        )
+        .toPandas()
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+    clus = (
+        embedding_neardup_pairs(
+            emb, id_col=id_col, vec_col=vec_col, threshold=0.9, method="cluster"
+        )
+        .toPandas()
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+    e = set(zip(exact["vec_a"], exact["vec_b"]))
+    c = set(zip(clus["vec_a"], clus["vec_b"]))
+    assert c <= e                      # no false pairs (exact verify inside)
+    assert len(e) == 0 or len(c) / len(e) >= 0.8   # recall of the blocking
