@@ -93,16 +93,20 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_shards: int = 32,
+    exact: bool = False,
 ) -> DataFrame:
     """Assign docs to fixed-budget training packs by token offset.
 
-    Offset-based packing: docs stream in deterministic ``id`` order within
-    a shard; a doc's pack is ``floor(exclusive_prefix_tokens /
-    max_tokens)`` and ``pack_offset`` its position inside the pack. (The
-    streaming form used when sequences may straddle pack boundaries and be
-    split at load time; an exact first-fit bin packer is inherently
-    sequential and belongs in the loader, not the scan.) Emits
-    ``(id, shard, n_tokens, pack, pack_offset)``.
+    Default (``exact=False``) is offset-based packing: docs stream in
+    deterministic ``id`` order within a shard; a doc's pack is
+    ``floor(exclusive_prefix_tokens / max_tokens)`` and ``pack_offset``
+    its position inside the pack (the streaming form used when sequences
+    may straddle pack boundaries and be split at load time — and the
+    SQL-oracle-checkable one). ``exact=True`` runs the greedy next-fit
+    packer instead — no doc straddles a pack (a doc that would overflow
+    opens a new pack; oversized docs get a pack alone) — sequential per
+    shard inside one ``applyInPandas`` task, shards in parallel. Emits
+    ``(id, shard, n_tokens, pack, pack_offset)`` either way.
 
     One window per shard (hash-sharded on the id — deterministic), no
     global ordering: shards pack independently, so the op scales linearly
@@ -123,6 +127,32 @@ def pack_sequences(
         F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0),
     )
+    if exact:
+        import pandas as pd
+
+        budget = int(max_tokens)
+
+        def _greedy(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+            pdf = pdf.sort_values(id_col).reset_index(drop=True)
+            packs, offs = [], []
+            pack, fill = 0, 0
+            for nt in pdf["n_tokens"]:
+                if fill > 0 and fill + nt > budget:
+                    pack += 1
+                    fill = 0
+                packs.append(pack)
+                offs.append(fill)
+                fill += int(nt)
+            pdf["pack"] = packs
+            pdf["pack_offset"] = offs
+            return pdf[[id_col, "shard", "n_tokens", "pack", "pack_offset"]]
+
+        return d.groupBy("shard").applyInPandas(
+            _greedy,
+            f"{id_col} long, shard long, n_tokens long, pack long, "
+            "pack_offset long",
+        )
+
     d = d.withColumn("_off", cum_excl)
     return d.select(
         id_col,

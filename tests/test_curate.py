@@ -100,3 +100,33 @@ def test_token_estimate(spark):
     assert out["n_ws_tokens"] == 4
     assert out["n_bpe_pieces"] == 13
     assert abs(out["pieces_per_token"] - 3.25) < 1e-9
+
+
+def test_pack_sequences_exact_next_fit(spark):
+    """exact=True: no doc straddles a pack; fill never exceeds budget."""
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": list(range(5)),
+                "text": ["w " * k for k in (5, 5, 5, 12, 2)],
+            }
+        )
+    )
+    out = (
+        pack_sequences(docs, max_tokens=8, n_shards=1, exact=True)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    # 5 fits pack0; next 5 overflows -> pack1; 5 -> pack2; 12 oversized -> pack3; 2 -> pack4? no: after 12, fill=12>0, next 2 -> 12+2>8 -> pack4
+    assert out["pack"].tolist() == [0, 1, 2, 3, 4]
+    assert out["pack_offset"].tolist() == [0, 0, 0, 0, 0]
+    docs2 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(4)), "text": ["w " * 3] * 4})
+    )
+    out2 = (
+        pack_sequences(docs2, max_tokens=8, n_shards=1, exact=True)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert out2["pack"].tolist() == [0, 0, 1, 1]
+    assert out2["pack_offset"].tolist() == [0, 3, 0, 3]
