@@ -276,10 +276,18 @@ def apply_shift_field(
         & (F.col("n_valid") >= min_valid)
         & F.col("dy").isNotNull()
     ).select("tile", "dy", "dx")
-    fallback = good.agg(
-        F.percentile(F.col("dy"), F.lit(0.5)).alias("_gdy"),
-        F.percentile(F.col("dx"), F.lit(0.5)).alias("_gdx"),
-    )
+    fb = good.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile(F.col("dy"), F.lit(0.5)).alias("dy"),
+        F.percentile(F.col("dx"), F.lit(0.5)).alias("dx"),
+    ).collect()[0]
+    if fb["n"] == 0:
+        # fail loudly like coregister(): a silent all-null warp would
+        # corrupt the whole output on e.g. a fully cloud-masked scene
+        raise ValueError(
+            "apply_shift_field: no tile passed the tie-point quality "
+            "filter; lower min_peak/min_valid"
+        )
     tile = (
         F.floor(F.col("row") / grid.tile_rows) * grid.tiles_x
         + F.floor(F.col("col") / grid.tile_cols)
@@ -287,12 +295,11 @@ def apply_shift_field(
     lat = (
         docs.select("row", "col", tile.alias("tile"))
         .join(F.broadcast(good), "tile", "left")
-        .crossJoin(F.broadcast(fallback))
         .select(
             "row",
             "col",
-            F.coalesce(F.col("dy"), F.col("_gdy")).alias("_dy"),
-            F.coalesce(F.col("dx"), F.col("_gdx")).alias("_dx"),
+            F.coalesce(F.col("dy"), F.lit(float(fb["dy"]))).alias("_dy"),
+            F.coalesce(F.col("dx"), F.lit(float(fb["dx"]))).alias("_dx"),
         )
     )
     fr = F.col("row").cast("double") + F.col("_dy")

@@ -245,6 +245,31 @@ def _train_centroids(
     return cents
 
 
+def train_corpus_centroids(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    oversample: int = 32,
+    iters: int = 10,
+) -> np.ndarray:
+    """Bounded-sample centroid training shared by IVF / clustering /
+    semantic-dedup blocking: take ``k·oversample`` vectors in
+    ``md5_int(id)`` order (hash order is uncorrelated with id/storage
+    order, so the sample spreads across the corpus), normalize, run the
+    deterministic k-means. Driver work O(k·oversample·dim) — independent
+    of corpus size."""
+    from .text import md5_int
+
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(md5_int(F.col(id_col).cast("string")), id_col)
+        .limit(int(k) * int(oversample))
+        .collect()
+    )
+    return _train_centroids(_normalize([r[1] for r in rows]), int(k), iters)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -267,18 +292,8 @@ def ivf_topk(
     gains a ``cluster`` column; a query scores only the rows of its
     ``nprobe`` nearest clusters.
     """
-    from .text import md5_int
-
     spark = corpus.sparkSession
-    sample_n = nlist * 32
-    cent_rows = (
-        corpus.select(id_col, vec_col)
-        .orderBy(md5_int(F.col(id_col).cast("string")), id_col)
-        .limit(sample_n)
-        .collect()
-    )
-    sample = _normalize([r[1] for r in cent_rows])
-    cents = _train_centroids(sample, nlist)
+    cents = train_corpus_centroids(corpus, nlist, id_col, vec_col)
     bc = spark.sparkContext.broadcast(cents)
 
     def _assign(it):
@@ -541,16 +556,8 @@ def cluster_embeddings(
     ``assigned_df`` has (id, cluster, centroid_sim) and ``centroids`` is
     the (k, dim) unit-row numpy array (reusable as a plan literal).
     """
-    from .text import md5_int
-
     spark = df.sparkSession
-    cent_rows = (
-        df.select(id_col, vec_col)
-        .orderBy(md5_int(F.col(id_col).cast("string")), id_col)
-        .limit(k * oversample)
-        .collect()
-    )
-    cents = _train_centroids(_normalize([r[1] for r in cent_rows]), k, iters)
+    cents = train_corpus_centroids(df, k, id_col, vec_col, oversample, iters)
     bc = spark.sparkContext.broadcast(cents)
 
     def _assign(it):

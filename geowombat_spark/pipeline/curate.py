@@ -131,6 +131,7 @@ def pack_sequences(
         import pandas as pd
 
         budget = int(max_tokens)
+        id_type = docs.schema[id_col].dataType.simpleString()
 
         def _greedy(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
             pdf = pdf.sort_values(id_col).reset_index(drop=True)
@@ -149,7 +150,7 @@ def pack_sequences(
 
         return d.groupBy("shard").applyInPandas(
             _greedy,
-            f"{id_col} long, shard long, n_tokens long, pack long, "
+            f"{id_col} {id_type}, shard long, n_tokens long, pack long, "
             "pack_offset long",
         )
 

@@ -29,6 +29,7 @@ def parse_filename_dates(filenames) -> list:
     date-shaped substring wins. Like the reference, if ANY name fails to
     parse the whole list falls back to the 1..N ordinal sequence (so
     time_names stay aligned with the file list)."""
+    filenames = list(filenames)
     out = []
     for fn in filenames:
         base = os.path.splitext(os.path.basename(str(fn)))[0]
@@ -42,7 +43,7 @@ def parse_filename_dates(filenames) -> list:
                 except ValueError:
                     continue
         if parsed is None:
-            return list(range(1, len(list(filenames)) + 1))
+            return list(range(1, len(filenames) + 1))
         out.append(parsed)
     return out
 
