@@ -133,6 +133,7 @@ from .sensors import (  # noqa: F401
 )
 from .sources.tables import get_spark, load_documents  # noqa: F401
 from .sources.vrt import open_vrt, to_vrt  # noqa: F401
+from .tasks import GeoTask  # noqa: F401
 from .util import parse_filename_dates, sort_images_by_date  # noqa: F401
 
 
