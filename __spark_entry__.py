@@ -1376,6 +1376,19 @@ def q_cluster_embeddings(spark, sf_dir):
     return assigned
 
 
+BM25_QUERY = "table scan merge"
+
+
+def q_bm25(spark, sf_dir):
+    """Okapi BM25 scoring of the corpus against a fixed query
+    (pipeline/text.bm25_scores): per-doc term frequencies as Column
+    expressions, corpus stats as ONE aggregate row broadcast back — no
+    corpus shuffle."""
+    from geowombat_spark.pipeline import text as tx
+
+    return tx.bm25_scores(_docs(spark, sf_dir), BM25_QUERY)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_coregister": q_coregister,
@@ -1387,6 +1400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_estimate": q_token_estimate,
         "q_bandpass": q_bandpass,
         "q_cluster_embeddings": q_cluster_embeddings,
+        "q_bm25": q_bm25,
         "q_extract_points": q_extract_points,
         "q_extract_crs": q_extract_crs,
         "q_extract_polygons": q_extract_polygons,
@@ -2762,6 +2776,33 @@ SELECT doc_id,
   round(0.0009 + 0.9765 * (band_red / 255.0), 9) AS band_red,
   round(-0.0001 + 0.9983 * (band_nir / 511.0), 9) AS band_nir
 FROM g
+"""
+
+    _bm_terms = sorted(set(BM25_QUERY.lower().split()))
+    _bm_tf = ", ".join(
+        f"CAST(len(list_filter(t, w -> w = '{t}')) AS DOUBLE) AS tf_{i}"
+        for i, t in enumerate(_bm_terms)
+    )
+    _bm_df = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1.0 ELSE 0.0 END) AS df_{i}"
+        for i in range(len(_bm_terms))
+    )
+    _bm_score = " + ".join(
+        f"ln(1.0 + (n - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * (tf_{i} * 2.2) / (tf_{i} + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))"
+        for i in range(len(_bm_terms))
+    )
+    o["q_bm25"] = f"""
+WITH tk AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS DOUBLE) AS dl,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents),
+tf AS (SELECT doc_id, dl, {_bm_tf} FROM tk),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl, {_bm_df} FROM tf)
+SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens,
+       round({_bm_score}, 6) AS bm25
+FROM tf, st
 """
 
     return o

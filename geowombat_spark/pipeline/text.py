@@ -153,3 +153,64 @@ def token_estimate(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         }
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against ``query``
+    (Robertson & Spärck Jones; the standard retrieval scorer).
+
+    Plan: one pass computes per-doc term frequencies for the (tiny) query
+    term set as Column expressions — no shuffle; the corpus statistics
+    (N, avgdl, per-term document frequencies) are ONE partial-agg
+    aggregate row, broadcast back via a literal-free crossJoin. IDF uses
+    the standard ``ln(1 + (N - df + 0.5)/(df + 0.5))`` form. Emits
+    ``(id, n_tokens, bm25)`` for every doc (score 0 when no term hits).
+    """
+    terms = sorted(set(t for t in query.lower().split() if t))
+    if not terms:
+        raise ValueError("empty query")
+    toks = tokens(F.lower(F.col(text_col)))
+    d = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("double").alias("_dl"),
+        *[
+            # one-arg lambda factory: a default-arg lambda would have
+            # arity 2 and be bound as F.filter's (element, index) form
+            F.size(F.filter(toks, (lambda t: lambda w: w == F.lit(t))(t)))
+            .cast("double")
+            .alias(f"_tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+        *[
+            F.sum((F.col(f"_tf_{i}") > 0).cast("double")).alias(f"_df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = d.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_n") - F.col(f"_df_{i}") + 0.5)
+            / (F.col(f"_df_{i}") + 0.5)
+        )
+        tf = F.col(f"_tf_{i}")
+        score = score + idf * (tf * (k1 + 1.0)) / (
+            tf + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
+        )
+    return scored.select(
+        id_col,
+        F.col("_dl").cast("long").alias("n_tokens"),
+        F.round(score, 6).alias("bm25"),
+    )

@@ -130,3 +130,26 @@ def test_pack_sequences_exact_next_fit(spark):
     )
     assert out2["pack"].tolist() == [0, 0, 1, 1]
     assert out2["pack_offset"].tolist() == [0, 3, 0, 3]
+
+
+def test_bm25_ranking(spark):
+    from geowombat_spark.pipeline.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "spark spark spark plans",
+                    "spark appears once here in a longer document overall",
+                    "nothing relevant at all",
+                    "spark plans together",
+                ],
+            }
+        )
+    )
+    out = bm25_scores(docs, "spark plans").toPandas().set_index("doc_id")
+    # both-term doc beats single-term docs; irrelevant doc scores 0
+    assert out.loc[3, "bm25"] == out["bm25"].max()
+    assert out.loc[2, "bm25"] == 0.0
+    assert out.loc[0, "bm25"] > out.loc[1, "bm25"]  # tf and length norm
