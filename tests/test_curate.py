@@ -149,7 +149,9 @@ def test_bm25_ranking(spark):
         )
     )
     out = bm25_scores(docs, "spark plans").toPandas().set_index("doc_id")
-    # both-term doc beats single-term docs; irrelevant doc scores 0
-    assert out.loc[3, "bm25"] == out["bm25"].max()
+    # high-tf both-term doc ranks first; irrelevant doc scores 0;
+    # both-term beats single-term; short high-tf beats long low-tf
+    assert out.loc[0, "bm25"] == out["bm25"].max()
     assert out.loc[2, "bm25"] == 0.0
-    assert out.loc[0, "bm25"] > out.loc[1, "bm25"]  # tf and length norm
+    assert out.loc[3, "bm25"] > out.loc[1, "bm25"]
+    assert out.loc[0, "bm25"] > out.loc[1, "bm25"]
