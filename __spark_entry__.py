@@ -1389,6 +1389,16 @@ def q_bm25(spark, sf_dir):
     return tx.bm25_scores(_docs(spark, sf_dir), BM25_QUERY)
 
 
+def q_char_lm(spark, sf_dir):
+    """Self-trained char-trigram LM quality score
+    (pipeline/text.char_lm_scores): add-1-smoothed conditional logprobs,
+    two partial-agg count shuffles + one per-doc average — the
+    perplexity-filter analogue with no external model file."""
+    from geowombat_spark.pipeline import text as tx
+
+    return tx.char_lm_scores(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_coregister": q_coregister,
@@ -1401,6 +1411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bandpass": q_bandpass,
         "q_cluster_embeddings": q_cluster_embeddings,
         "q_bm25": q_bm25,
+        "q_char_lm": q_char_lm,
         "q_extract_points": q_extract_points,
         "q_extract_crs": q_extract_crs,
         "q_extract_polygons": q_extract_polygons,
@@ -2803,6 +2814,22 @@ st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl, {_bm_df} FROM tf)
 SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens,
        round({_bm_score}, 6) AS bm25
 FROM tf, st
+"""
+
+    o["q_char_lm"] = """
+WITH g AS (
+  SELECT doc_id,
+         substr(lower(text), CAST(i AS INTEGER), 3) AS g,
+         substr(lower(text), CAST(i AS INTEGER), 2) AS h
+  FROM documents,
+       UNNEST(range(1, greatest(length(text) - 2, 1) + 1)) AS u(i)),
+cg AS (SELECT g, CAST(count(*) AS DOUBLE) AS cg FROM g GROUP BY g),
+ch AS (SELECT h, CAST(count(*) AS DOUBLE) AS ch FROM g GROUP BY h)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       round(avg(ln((cg.cg + 1.0) / (ch.ch + 64.0))), 6) AS mean_logprob
+FROM g JOIN cg USING (g) JOIN ch USING (h)
+GROUP BY g.doc_id
 """
 
     return o

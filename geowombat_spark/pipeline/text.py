@@ -214,3 +214,59 @@ def bm25_scores(
         F.col("_dl").cast("long").alias("n_tokens"),
         F.round(score, 6).alias("bm25"),
     )
+
+
+def _char_ngrams(c: Column, n: int) -> Column:
+    """All character n-grams of a string as an array Column."""
+    return F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1))
+        ),
+        lambda i: F.substring(c, i, n),
+    )
+
+
+def char_lm_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    alpha: float = 1.0,
+    vocab: int = 64,
+) -> DataFrame:
+    """Per-document mean log-probability under a char n-gram LM trained on
+    the corpus itself — the perplexity-style quality signal (KenLM-filter
+    analogue, self-trained so no external model file is needed).
+
+    Model: add-``alpha`` smoothed conditionals ``ln((c(g)+α)/(c(h)+α·V))``
+    with g the n-gram, h its (n-1)-prefix, V a fixed vocab size. Plan:
+    ONE explode+groupBy each for gram and prefix counts (partial-agg
+    shuffles over the corpus n-grams), then the per-doc score reuses the
+    same exploded grams joined to both count tables and one final per-doc
+    average — every join key is a short string, every aggregate
+    map-side-combined. Lower (more negative) = less natural text.
+    """
+    t = F.lower(F.col(text_col))
+    grams = docs.select(
+        F.col(id_col), F.explode(_char_ngrams(t, n)).alias("g")
+    ).withColumn("h", F.substring(F.col("g"), 1, n - 1))
+    gram_counts = grams.groupBy("g").agg(
+        F.count(F.lit(1)).cast("double").alias("cg")
+    )
+    prefix_counts = grams.groupBy("h").agg(
+        F.count(F.lit(1)).cast("double").alias("ch")
+    )
+    a = float(alpha)
+    v = float(vocab)
+    scored = (
+        grams.join(gram_counts, "g")
+        .join(prefix_counts, "h")
+        .withColumn(
+            "_lp",
+            F.log((F.col("cg") + a) / (F.col("ch") + a * v)),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.round(F.avg("_lp"), 6).alias("mean_logprob"),
+    )

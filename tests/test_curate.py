@@ -155,3 +155,26 @@ def test_bm25_ranking(spark):
     assert out.loc[2, "bm25"] == 0.0
     assert out.loc[3, "bm25"] > out.loc[1, "bm25"]
     assert out.loc[0, "bm25"] > out.loc[1, "bm25"]
+
+
+def test_char_lm_scores(spark):
+    """Text made of corpus-frequent trigrams scores higher (closer to 0)
+    than character gibberish."""
+    from geowombat_spark.pipeline.text import char_lm_scores
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "the theme the theme the theme",
+                    "the theme play theme the play",
+                    "zq xv kj wq zx qv jx",
+                ],
+            }
+        )
+    )
+    out = char_lm_scores(docs).toPandas().set_index("doc_id")
+    assert out.loc[0, "mean_logprob"] > out.loc[2, "mean_logprob"]
+    assert out.loc[1, "mean_logprob"] > out.loc[2, "mean_logprob"]
+    assert (out["n_grams"] > 0).all()
