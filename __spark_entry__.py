@@ -1399,6 +1399,17 @@ def q_char_lm(spark, sf_dir):
     return tx.char_lm_scores(_docs(spark, sf_dir))
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals
+    (pipeline/text.repetition_stats): duplicate-line fraction and modal
+    word-bigram share, all in-row Column math — zero shuffles."""
+    from geowombat_spark.pipeline import text as tx
+
+    return tx.repetition_stats(_docs(spark, sf_dir)).select(
+        "doc_id", "dup_line_frac", "top_bigram_frac"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_coregister": q_coregister,
@@ -1412,6 +1423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cluster_embeddings": q_cluster_embeddings,
         "q_bm25": q_bm25,
         "q_char_lm": q_char_lm,
+        "q_repetition": q_repetition,
         "q_extract_points": q_extract_points,
         "q_extract_crs": q_extract_crs,
         "q_extract_polygons": q_extract_polygons,
@@ -2830,6 +2842,30 @@ SELECT g.doc_id,
        round(avg(ln((cg.cg + 1.0) / (ch.ch + 64.0))), 6) AS mean_logprob
 FROM g JOIN cg USING (g) JOIN ch USING (h)
 GROUP BY g.doc_id
+"""
+
+    o["q_repetition"] = """
+WITH tk AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS t,
+         regexp_split_to_array(text, '\\n') AS l
+  FROM documents),
+bi AS (
+  SELECT doc_id,
+         t[CAST(i AS INTEGER)]
+           || CASE WHEN i + 1 <= len(t)
+                   THEN ' ' || t[CAST(i + 1 AS INTEGER)] ELSE '' END AS g
+  FROM tk, UNNEST(range(1, greatest(len(t) - 1, 1) + 1)) AS u(i)),
+agg AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g),
+top AS (SELECT doc_id, max(c) AS topc, sum(c) AS nb FROM agg GROUP BY doc_id),
+ln AS (
+  SELECT doc_id,
+         round((len(l) - len(list_distinct(l)))
+               / CAST(greatest(len(l), 1) AS DOUBLE), 6) AS dup_line_frac
+  FROM tk)
+SELECT ln.doc_id, ln.dup_line_frac,
+       round(top.topc / CAST(top.nb AS DOUBLE), 6) AS top_bigram_frac
+FROM ln JOIN top USING (doc_id)
 """
 
     return o

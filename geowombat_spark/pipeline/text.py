@@ -270,3 +270,41 @@ def char_lm_scores(
         F.count(F.lit(1)).cast("long").alias("n_grams"),
         F.round(F.avg("_lp"), 6).alias("mean_logprob"),
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals, all in-row Column math (no
+    shuffle): ``dup_line_frac`` — fraction of lines that are repeats of an
+    earlier line; ``top_bigram_frac`` — share of all word bigrams taken by
+    the most frequent one (of the doc itself). High values flag boilerplate
+    / degenerate repetition for the quality filter."""
+    lines = F.split(F.col(text_col), r"\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    dup_lines = (F.size(lines) - F.size(F.array_distinct(lines))) / n_lines
+
+    toks = tokens(F.lower(F.col(text_col)))
+    sz = F.size(toks)
+    nxt = F.slice(toks, 2, F.greatest(sz - 1, F.lit(0)))
+    bi = F.slice(
+        F.zip_with(toks, nxt, lambda a, b: F.concat_ws(" ", a, b)),
+        1,
+        F.greatest(sz - 1, F.lit(1)),
+    )
+    n_bi = F.greatest(F.size(bi), F.lit(1))
+    # count of the modal bigram: max over distinct values of their
+    # occurrence count — aggregate over the (small, in-row) array
+    top = F.aggregate(
+        F.array_distinct(bi),
+        F.lit(0),
+        lambda acc, g: F.greatest(
+            acc, F.size(F.filter(bi, (lambda gg: lambda x: x == gg)(g)))
+        ),
+    )
+    return df.withColumns(
+        {
+            "dup_line_frac": F.round(dup_lines, 6),
+            "top_bigram_frac": F.round(top / n_bi, 6),
+        }
+    )

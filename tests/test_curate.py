@@ -178,3 +178,25 @@ def test_char_lm_scores(spark):
     assert out.loc[0, "mean_logprob"] > out.loc[2, "mean_logprob"]
     assert out.loc[1, "mean_logprob"] > out.loc[2, "mean_logprob"]
     assert (out["n_grams"] > 0).all()
+
+
+def test_repetition_stats(spark):
+    from geowombat_spark.pipeline.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "a b a b a b",         # modal bigram 'a b' = 3/5
+                    "x\ny\nx\nz",          # 1 dup line of 4
+                    "all words unique here now",
+                ],
+            }
+        )
+    )
+    out = repetition_stats(docs).toPandas().set_index("doc_id")
+    assert abs(out.loc[0, "top_bigram_frac"] - 0.6) < 1e-9
+    assert abs(out.loc[1, "dup_line_frac"] - 0.25) < 1e-9
+    assert abs(out.loc[2, "top_bigram_frac"] - 0.25) < 1e-9
+    assert out.loc[2, "dup_line_frac"] == 0.0
