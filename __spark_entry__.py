@@ -1410,6 +1410,27 @@ def q_repetition(spark, sf_dir):
     )
 
 
+#: q_source_mix targets: equal weights over the first 10 sources, fixed
+#: total budget — per-source keep fractions come out as exact decimals
+MIX_SOURCES = tuple(f"src{i}" for i in range(10))
+MIX_TOTAL = 100
+
+
+def q_source_mix(spark, sf_dir):
+    """Deterministic data mixing (pipeline/curate.rebalance_sources):
+    md5-uniform keep threshold per source toward target proportions — one
+    tiny count aggregate broadcast into a pure filter, corpus never
+    shuffled. Unlisted sources drop (weight 0)."""
+    from geowombat_spark.pipeline import curate
+
+    out = curate.rebalance_sources(
+        _docs(spark, sf_dir),
+        {sc: 1.0 for sc in MIX_SOURCES},
+        total=MIX_TOTAL,
+    )
+    return out.select("doc_id", "source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_coregister": q_coregister,
@@ -1424,6 +1445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25": q_bm25,
         "q_char_lm": q_char_lm,
         "q_repetition": q_repetition,
+        "q_source_mix": q_source_mix,
         "q_extract_points": q_extract_points,
         "q_extract_crs": q_extract_crs,
         "q_extract_polygons": q_extract_polygons,
@@ -2866,6 +2888,17 @@ ln AS (
 SELECT ln.doc_id, ln.dup_line_frac,
        round(top.topc / CAST(top.nb AS DOUBLE), 6) AS top_bigram_frac
 FROM ln JOIN top USING (doc_id)
+"""
+
+    _mix_list = ", ".join(f"'{sc}'" for sc in MIX_SOURCES)
+    o["q_source_mix"] = f"""
+WITH cnt AS (
+  SELECT source, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY source)
+SELECT d.doc_id, d.source
+FROM documents d JOIN cnt USING (source)
+WHERE d.source IN ({_mix_list})
+  AND ({MD5I.format(x="CAST(doc_id AS VARCHAR)")}) / 1152921504606846976.0
+      < least(1.0, ({MIX_TOTAL} * 1.0 / {len(MIX_SOURCES)}.0) / cnt.n)
 """
 
     return o

@@ -192,3 +192,43 @@ def pii_scrub(
     for name, c in counts.items():
         df = df.withColumn(name, c.cast("long"))
     return df.withColumn(out_col, scrubbed)
+
+
+def rebalance_sources(
+    docs: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    total: int | None = None,
+) -> DataFrame:
+    """Deterministic data mixing: downsample each source toward target
+    proportions — the pre-training mixture step.
+
+    ``weights`` maps source → relative target weight. The realized target
+    for source s is ``total · w_s / Σw`` (``total`` defaults to the corpus
+    size); sources under their target keep everything (no upsampling —
+    repetition policy belongs to the loader). Selection is an md5-uniform
+    keep-threshold per source, so membership is a pure per-row predicate:
+    reproducible across runs/partitionings and SQL-mirrorable. Plan: one
+    per-source count aggregate (tiny) broadcast back, then a filter —
+    the corpus is scanned once and never shuffled.
+    """
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative and non-empty")
+    wsum = float(sum(weights.values()))
+    counts = {
+        r[0]: r[1]
+        for r in docs.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_total = int(total) if total is not None else int(sum(counts.values()))
+    # md5-uniform in [0, 1): first 60 md5 bits / 2^60
+    u = md5_int(F.col(id_col).cast("string")) / F.lit(float(1 << 60))
+    keep = None
+    for s, w in weights.items():
+        target = n_total * float(w) / wsum
+        frac = min(1.0, target / counts.get(s, 1) if counts.get(s) else 1.0)
+        cond = (F.col(source_col) == s) & (u < F.lit(frac))
+        keep = cond if keep is None else keep | cond
+    return docs.filter(keep)

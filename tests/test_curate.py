@@ -200,3 +200,24 @@ def test_repetition_stats(spark):
     assert abs(out.loc[1, "dup_line_frac"] - 0.25) < 1e-9
     assert abs(out.loc[2, "top_bigram_frac"] - 0.25) < 1e-9
     assert out.loc[2, "dup_line_frac"] == 0.0
+
+
+def test_rebalance_sources(spark):
+    from geowombat_spark.pipeline.curate import rebalance_sources
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = rebalance_sources(
+        d, {"src0": 1.0, "src1": 1.0, "src2": 2.0}, total=40
+    )
+    pdf = out.groupBy("source").count().toPandas().set_index("source")["count"]
+    # targets: src0/src1 -> 10 docs of 25, src2 -> 20 of 25; md5-uniform
+    # selection lands near target; unlisted sources fully dropped
+    assert set(pdf.index) <= {"src0", "src1", "src2"}
+    assert 4 <= pdf.get("src0", 0) <= 16
+    assert 13 <= pdf.get("src2", 0) <= 25
+    # deterministic: same call -> same rows
+    a = sorted(r[0] for r in out.select("doc_id").collect())
+    b = sorted(r[0] for r in rebalance_sources(
+        d, {"src0": 1.0, "src1": 1.0, "src2": 2.0}, total=40
+    ).select("doc_id").collect())
+    assert a == b
