@@ -67,6 +67,13 @@ from .pipeline.curate import (  # noqa: F401
     decontaminate,
     pack_sequences,
     pii_scrub,
+    rebalance_sources,
+)
+from .pipeline.text import (  # noqa: F401
+    bm25_scores,
+    char_lm_scores,
+    repetition_stats,
+    token_estimate,
 )
 from .operators.coregister import (  # noqa: F401
     apply_shift,
