@@ -1110,7 +1110,7 @@ def q_ml_predict(spark, sf_dir):
         ]
     )
     out = gml.fit_predict(
-        spark, gd, GRID, LogisticRegression(maxIter=20),
+        spark, gd, GRID, LogisticRegression(maxIter=8, tol=1e-4),
         labels=labels, col="cls",
         bands=("band_blue", "band_green", "band_red", "band_nir"),
     )
