@@ -147,9 +147,12 @@ def _spread(df: DataFrame) -> DataFrame:
     """Single-file test inputs arrive as ONE scan partition (one parquet row
     group), which would serialize every downstream explode/UDF stage. A
     production corpus arrives as thousands of files, so the scan itself
-    provides parallelism; this round-robin repartition restores that shape
-    locally. AQE coalesces it away when the input is already wide."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    provides parallelism; ``spread_small_input`` restores that shape
+    locally — and ONLY when the parquet footers say the scan is narrower
+    than the session parallelism (driver metadata probe; no ``df.rdd``
+    plan materialization, no unconditional exchange on already-wide
+    inputs)."""
+    return dedup.spread_small_input(df)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2807,7 +2810,7 @@ FROM t
     o["q_token_estimate"] = f"""
 WITH {TOKS}
 SELECT doc_id,
-  CAST(len(t) AS BIGINT) AS n_ws_tokens,
+  CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(t) END AS BIGINT) AS n_ws_tokens,
   CAST(len(regexp_extract_all(text, '[A-Za-z]{{1,4}}|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_pieces,
   round(len(regexp_extract_all(text, '[A-Za-z]{{1,4}}|[0-9]|[^A-Za-z0-9\s]')) / greatest(len(t), 1), 6) AS pieces_per_token
 FROM toks

@@ -17,9 +17,14 @@ is one equi-join shuffle; lineage is truncated per round with
 stays constant-size. Component ids are the minimum cell label in the
 component — deterministic, engine-independent.
 
-The polygon-ring reconstruction step of ``features.shapes`` is represented
-by the per-component summary (cell count + bbox) — the ring tracer is a
-driver-side O(perimeter) routine irrelevant at query scale.
+The polygon-ring reconstruction step of ``features.shapes`` is fully
+distributed too: :func:`trace_rings` groups each component's boundary
+edges (emitted as Column expressions against the 4-neighborhood) with
+``applyInPandas`` and walks them into closed rings per component — one
+shuffle keyed by component id, with a ``max_cells`` guard that summarizes
+pathological continent-sized components by bbox instead of tracing an
+O(perimeter) ring through a single task. ``region_summary`` remains the
+cheap count+bbox form for callers that don't need geometry.
 """
 
 from __future__ import annotations

@@ -200,11 +200,16 @@ def recode(
     distributed via ``F.mode``, then folded back as a literal)."""
     flag_udf = pip_flag(polygons)
     out = docs.withColumn("_pip", flag_udf(F.col("x"), F.col("y")))
-    resolved = {}
-    for k, v in mapping.items():
-        if v == "mode":
-            v = out.filter(F.col("_pip")).agg(F.mode(band)).collect()[0][0]
-        resolved[float(k)] = float(v)
+    # every 'mode' entry resolves to the same polygon-modal band value, so
+    # one distributed agg + one collect serves them all (k 'mode' entries
+    # used to serialize into k driver actions over the same plan)
+    modal = None
+    if any(v == "mode" for v in mapping.values()):
+        modal = out.filter(F.col("_pip")).agg(F.mode(band)).collect()[0][0]
+    resolved = {
+        float(k): float(modal if v == "mode" else v)
+        for k, v in mapping.items()
+    }
     chain = None
     for k, v in resolved.items():
         cond = F.col("_pip") & (F.col(band) == F.lit(k))

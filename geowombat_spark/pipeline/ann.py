@@ -23,6 +23,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import DEFAULT_MAX_BUCKET
+
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
     mat = np.asarray(mat, dtype=np.float64)
@@ -120,7 +122,7 @@ def hyperplane_lsh_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Approximate all-pairs cosine ≥ threshold via multi-table SRP-LSH.
 
@@ -128,7 +130,9 @@ def hyperplane_lsh_pairs(
     hyperplane sets; verified with an exact cosine on the candidate set
     (join back to the vectors, zip_with dot product — JVM-side).
     ``max_bucket_size`` drops pathological buckets (a bucket of m vectors
-    emits m² pairs — same skew guard as ``dedup.lsh_candidate_pairs``).
+    emits m² pairs — same skew guard as ``dedup.lsh_candidate_pairs``);
+    defaults to ``dedup.DEFAULT_MAX_BUCKET`` — pass ``None`` explicitly to
+    opt out (exact recall, unbounded worst case).
 
     One corpus pass computes every table's signature (one Arrow batch
     transfer, n_tables matmuls against the same batch), and one self-join

@@ -136,13 +136,17 @@ def token_estimate(df: DataFrame, text_col: str = "text") -> DataFrame:
     word costs 3 pieces, digits one each, punctuation one each). Both are
     single JVM regex scans; ``pieces_per_token`` is the fertility ratio
     quality filters threshold on."""
-    n_ws = F.size(tokens(F.col(text_col)))
+    # coalesce NULL text to '' (as shingles_col does): size() over a NULL
+    # split/extract is the legacy -1, which would poison every downstream
+    # threshold — a null-text doc counts as an empty doc instead
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    n_ws = F.when(F.trim(txt) == "", F.lit(0)).otherwise(
+        F.size(tokens(txt))
+    )
     # F.lit pattern (not an F.expr SQL string: SQL literals would eat the
     # backslash in \s)
     n_bpe = F.size(
-        F.regexp_extract_all(
-            F.col(text_col), F.lit(BPE_PIECE_PATTERN), F.lit(0)
-        )
+        F.regexp_extract_all(txt, F.lit(BPE_PIECE_PATTERN), F.lit(0))
     )
     return df.withColumns(
         {
@@ -279,12 +283,16 @@ def repetition_stats(
     shuffle): ``dup_line_frac`` — fraction of lines that are repeats of an
     earlier line; ``top_bigram_frac`` — share of all word bigrams taken by
     the most frequent one (of the doc itself). High values flag boilerplate
-    / degenerate repetition for the quality filter."""
-    lines = F.split(F.col(text_col), r"\n")
+    / degenerate repetition for the quality filter. NULL text is
+    coalesced to '' (as in ``shingles_col``/``token_estimate``) so
+    null-text docs score as empty docs instead of the legacy
+    ``size(NULL) = -1`` garbage."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(txt, r"\n")
     n_lines = F.greatest(F.size(lines), F.lit(1))
     dup_lines = (F.size(lines) - F.size(F.array_distinct(lines))) / n_lines
 
-    toks = tokens(F.lower(F.col(text_col)))
+    toks = tokens(F.lower(txt))
     sz = F.size(toks)
     nxt = F.slice(toks, 2, F.greatest(sz - 1, F.lit(0)))
     bi = F.slice(

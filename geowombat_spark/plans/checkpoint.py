@@ -36,6 +36,7 @@ import numpy as np
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 #: hash-unit modulus (largest 30-bit prime) — see tile_metrics
 CHECKSUM_PRIME = 1_073_741_789
@@ -161,7 +162,10 @@ def write_tiled_checkpointed(
 
         arr = np.asarray(all_tiles, dtype=np.int64)
         tr, tc = arr // tiles_x, arr % tiles_x
-        order = int(max(int(tr.max()), int(tc.max())) + 1).bit_length()
+        # minimal curve order: smallest p with 2^p > max coordinate (a 4×4
+        # lattice → order 2; the former max+1 formula over-shot by one bit
+        # exactly when max+1 was a power of two, walking a sparser curve)
+        order = int(max(int(tr.max()), int(tc.max()))).bit_length()
         hkey = hilbert_encode(tr, tc, max(order, 1))
         all_tiles = [int(t) for _, t in sorted(zip(hkey.tolist(), all_tiles))]
     elif tile_order != "id":
@@ -200,20 +204,24 @@ def write_tiled_checkpointed(
         else:
             sub = sub.repartition(F.col("tile_id"))
         sub = sub.sortWithinPartitions(sort_col)
-        # Metrics must describe the rows actually committed — never a
+        # Metrics must describe the rows actually committed — never a fresh
         # re-execution of the upstream plan (a nondeterministic upstream,
         # e.g. partition-seeded sampling, would let the manifest disagree
-        # with the data). Two ways to guarantee that, both one upstream
-        # scan per batch:
-        #   'files' (default): read the just-written parquet back —
-        #     additionally round-trips the committed bytes (audit-grade),
-        #     at the cost of re-reading the batch from disk.
-        #   'cache': persist the batch; the write and the metrics
-        #     aggregate observe the same materialized rows. Wins when the
-        #     batch is narrow; measured slower than read-back for wide
-        #     span-carrying rows (cache serialization dominates).
+        # with the data). Two modes, both one upstream scan per batch:
+        #   'files' (default, the only audit-grade mode): read the
+        #     just-written parquet back — the metrics round-trip the
+        #     committed bytes themselves, at the cost of re-reading the
+        #     batch from disk.
+        #   'cache': persist the batch so the write and the metrics agg
+        #     observe the same materialized rows. DISK_ONLY, not MEMORY:
+        #     a memory-cached partition can be evicted and silently
+        #     recomputed from the (possibly nondeterministic) upstream
+        #     between the write and the metrics pass. Disk-persisted
+        #     blocks don't evict under memory pressure, but a lost
+        #     executor still recomputes — 'cache' is therefore
+        #     best-effort; use 'files' when the manifest must be proof.
         if metrics_from == "cache":
-            sub = sub.persist()
+            sub = sub.persist(StorageLevel.DISK_ONLY)
         # Dynamic partition overwrite: the batch replaces exactly the tile
         # directories it touches. A job killed between the data commit and
         # the manifest commit leaves orphan tile files — the resumed run

@@ -123,15 +123,24 @@ class GeoTask:
                 if isinstance(target, str) and target.startswith("mem|"):
                     named[target.split("|", 1)[1]] = res
                     continue
+                # out_args is keyed by task id like func_args (the
+                # reference's per-task shape, ``pipeline.py:533``); a flat
+                # dict is accepted for single-output pipelines when no key
+                # matches a task id. 'mode' belongs to the plain-parquet
+                # writer only and is stripped before the tiled sink.
+                out_kw = dict(self.out_args.get(tid, {}))
+                if not out_kw and self.out_args and not any(
+                    t in self.out_args for t, _ in self.tasks
+                ):
+                    out_kw = dict(self.out_args)
+                mode = out_kw.pop("mode", "overwrite")
                 if "tile_id" in res.columns:
                     from .plans.checkpoint import write_tiled_checkpointed
 
                     named[tid] = write_tiled_checkpointed(
-                        res, target, **self.out_args
+                        res, target, **out_kw
                     )
                 else:
-                    res.write.mode(
-                        self.out_args.get("mode", "overwrite")
-                    ).parquet(target)
+                    res.write.mode(mode).parquet(target)
                     named[tid] = None
         return {**results, **named}

@@ -138,7 +138,13 @@ def test_hilbert_tile_order_batches_are_compact(spark, corpus, sink_dir):
     import numpy as np
 
     tiles = np.array(sorted(r[0] for r in corpus.select("tile_id").distinct().collect()))
-    hkey = hilbert_encode(tiles // 4, tiles % 4, 2)
+    # same minimal-order formula as the sink (plans/checkpoint.py): smallest
+    # p with 2^p > max coordinate — the test must reconstruct the very walk
+    # the sink committed, not a different-order curve
+    order = max(
+        int((tiles // 4).max()), int((tiles % 4).max())
+    ).bit_length()
+    hkey = hilbert_encode(tiles // 4, tiles % 4, max(order, 1))
     walk = [t for _, t in sorted(zip(hkey.tolist(), tiles.tolist()))]
     for i in range(0, len(walk), 4):
         batch = walk[i : i + 4]
@@ -148,6 +154,13 @@ def test_hilbert_tile_order_batches_are_compact(spark, corpus, sink_dir):
         # small even when the lattice has gaps (12 of 16 tiles exist)
         area = (rows.max() - rows.min() + 1) * (cols.max() - cols.min() + 1)
         assert area <= 8
+    # the committed manifest batches must be exactly the reconstructed walk
+    man_batches = {
+        int(r["tile_id"]): int(r["batch_id"]) for r in man.collect()
+    }
+    for i in range(0, len(walk), 4):
+        for t in walk[i : i + 4]:
+            assert man_batches[int(t)] == i // 4
 
 
 def test_hilbert_tile_order_requires_tiles_x(spark, corpus, sink_dir):

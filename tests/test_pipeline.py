@@ -419,3 +419,121 @@ def test_embedding_neardup_cluster_method(spark):
     c = set(zip(clus["vec_a"], clus["vec_b"]))
     assert c <= e                      # no false pairs (exact verify inside)
     assert len(e) == 0 or len(c) / len(e) >= 0.8   # recall of the blocking
+
+
+# --- round-3: finite skew-guard defaults ----------------------------------
+
+
+def test_default_skew_caps_are_finite():
+    """The at-scale skew guards must be ON by default: a default-parameter
+    caller at 100 TB must not get the m² hot-bucket blowup. ``None`` is the
+    explicit exact-recall opt-out."""
+    import inspect
+
+    for fn, param in [
+        (dedup.lsh_candidate_pairs, "max_bucket_size"),
+        (dedup.minhash_dedup_pairs, "max_bucket_size"),
+        (dedup.simhash_pairs, "max_bucket_size"),
+        (dedup.embedding_neardup_pairs, "max_bucket_size"),
+        (ann.hyperplane_lsh_pairs, "max_bucket_size"),
+        (dedup.jaccard_pairs, "max_doc_freq"),
+    ]:
+        d = inspect.signature(fn).parameters[param].default
+        assert isinstance(d, int) and d >= 1, (fn.__name__, param, d)
+
+
+def test_pathological_bucket_dropped_under_defaults(spark):
+    """A planted bucket larger than DEFAULT_MAX_BUCKET (one boilerplate
+    text repeated) is dropped by the DEFAULT arguments — no quadratic pair
+    emission — while the exact-dedup md5 pass (the documented handler for
+    such groups) still catches every member."""
+    n = dedup.DEFAULT_MAX_BUCKET + 50
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(n)) + [10_000, 10_001],
+            "text": ["boilerplate legal footer text repeated everywhere"] * n
+            + ["one genuinely unique document"] * 2,
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(8)
+    sig = dedup.minhash_signatures(df, n=2, k=16)
+    pairs = dedup.lsh_candidate_pairs(sig).toPandas()  # defaults
+    planted = set(range(n))
+    assert not [
+        1 for a, b in zip(pairs["doc_a"], pairs["doc_b"])
+        if a in planted and b in planted
+    ]
+    # the small (size-2) bucket still pairs — the cap only drops the blob
+    assert (10_000, 10_001) in set(zip(pairs["doc_a"], pairs["doc_b"]))
+    # exact dedup still owns the boilerplate group
+    g = dedup.exact_dedup(df).toPandas()
+    assert int(g[g["survivor_id"] == 0]["n_dupes"].iloc[0]) == n
+
+
+def test_jaccard_max_doc_freq_default_drops_ubiquitous_shingles(spark):
+    n = dedup.DEFAULT_MAX_DOC_FREQ + 20
+    pdf = pd.DataFrame(
+        {"doc_id": range(n), "text": ["common shared shingle text"] * n}
+    )
+    df = spark.createDataFrame(pdf).repartition(8)
+    out = dedup.jaccard_pairs(df, n=2)  # defaults: ubiquitous shingles cut
+    assert out.count() == 0
+    # explicit opt-out restores exact recall (bounded probe: limit)
+    opt = dedup.jaccard_pairs(df.limit(20), n=2, max_doc_freq=None)
+    assert opt.count() == 20 * 19 // 2
+
+
+# --- round-3: null-text hardening ----------------------------------------
+
+
+def test_null_text_scores_as_empty_doc(spark):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b a b")], schema
+    )
+    te = {r["doc_id"]: r for r in text.token_estimate(df).collect()}
+    assert te[1]["n_ws_tokens"] == 0 and te[1]["n_bpe_pieces"] == 0
+    assert te[1]["pieces_per_token"] == 0.0
+    assert te[2]["n_ws_tokens"] == 0 and te[2]["n_bpe_pieces"] == 0
+    assert te[3]["n_ws_tokens"] == 4
+
+    rep = {r["doc_id"]: r for r in text.repetition_stats(df).collect()}
+    for d in (1, 2, 3):
+        assert rep[d]["dup_line_frac"] is not None
+        assert rep[d]["dup_line_frac"] >= 0.0
+        assert rep[d]["top_bigram_frac"] is not None
+    assert rep[1]["dup_line_frac"] == 0.0
+
+
+# --- round-3: cluster-cosine type preservation ---------------------------
+
+
+def test_cluster_cosine_preserves_input_types(spark):
+    """String ids and double embeddings survive the 'cluster' method (the
+    mapInPandas schemas derive from the input instead of hardcoding
+    bigint/array<float>)."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(8)
+    vecs = [base, base + 1e-4, rng.standard_normal(8)]
+    pdf = pd.DataFrame(
+        {
+            "vec_id": ["doc-a", "doc-b", "doc-c"],
+            "embedding": [v.tolist() for v in vecs],
+        }
+    )
+    df = spark.createDataFrame(pdf)  # array<double> + string id
+    out = dedup.embedding_neardup_pairs(
+        df, id_col="vec_id", vec_col="embedding",
+        threshold=0.99, method="cluster",
+    )
+    rows = out.collect()
+    assert [r.asDict() for r in rows] and rows[0]["vec_a"] == "doc-a"
+    assert rows[0]["vec_b"] == "doc-b" and rows[0]["cosine"] >= 0.99
+    assert dict(out.dtypes)["vec_a"] == "string"

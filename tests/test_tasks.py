@@ -98,3 +98,46 @@ def test_geotask_tuple_inputs(spark):
     res = t.submit(spark)
     one = res["a"].count()
     assert res["both"].count() == 2 * one
+
+
+def test_geotask_per_task_out_args(spark):
+    """out_args is keyed by task id (the reference's per-task shape,
+    pipeline.py:533): a 'mode' meant for one plain-parquet output must not
+    leak into another task's tiled sink as an unexpected kwarg."""
+    out_dir = tempfile.mkdtemp(prefix="gw_task_")
+    try:
+        def _tiled(df):
+            from geowombat_spark.grid import GridSpec
+            from geowombat_spark.operators.extract import encode_cells
+
+            g = GridSpec(
+                left=0.0, top=0.0, cellx=30.0, celly=30.0,
+                nrows=4096, ncols=25, tile_rows=8, tile_cols=25,
+            )
+            df = df.withColumns(
+                {
+                    "x": (F.col("doc_id") % 25 + 0.5) * 30.0,
+                    "y": -((F.col("doc_id") / 25).cast("long") + 0.5) * 30.0,
+                }
+            )
+            return encode_cells(df.select("doc_id", "x", "y"), g)
+
+        t = GeoTask(
+            inputs={"p": "/root/testdata/sf0.001/documents.parquet",
+                    "q": "/root/testdata/sf0.001/documents.parquet"},
+            outputs={
+                "p": os.path.join(out_dir, "plain"),
+                "q": os.path.join(out_dir, "tiled"),
+            },
+            tasks=(("p", _bands), ("q", _tiled)),
+            out_args={
+                "p": {"mode": "overwrite"},
+                "q": {"batch_tiles": 16, "mode": "overwrite"},
+            },
+        )
+        res = t.submit(spark)
+        assert spark.read.parquet(os.path.join(out_dir, "plain")).count() >= 1
+        # tiled output went through the checkpointed sink -> manifest frame
+        assert res["q"] is not None and "checksum" in res["q"].columns
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
