@@ -1434,71 +1434,146 @@ def q_source_mix(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def q_dos(spark, sf_dir):
+    """DOS-style atmospheric correction (functions/radiometry
+    dark_object_values / dos_correct / dos_aot_tiles; reference
+    ``sr.py:1160-1336`` DOS.get_aot): the per-band dark-object level is
+    ONE distributed min-aggregate folded into plan literals (Chavez 1988
+    subtraction, pure codegen per pixel); the per-tile AOT proxy is the
+    Masek dark-pixel selection (swir2 TOAR ∈ [0.01, 0.15], blue SR ≈
+    ratio·swir2) as a single groupBy(tile) aggregate joined back. Query
+    constants are chosen tie-free (decimal divisors, ratio 0.4,
+    stat='sum') so every rounded output sits on an exact short decimal —
+    cross-engine value parity never rides a 6-dp rounding boundary."""
+    from geowombat_spark.functions import radiometry as rad
+
+    gd = grid_docs(spark, sf_dir)
+    toar = gd.withColumns(
+        {
+            "blue_toar": F.col("band_blue") / F.lit(1000.0),
+            "swir2_toar": F.col("band_nir") / F.lit(4000.0),
+        }
+    )
+    corr = rad.dos_correct(toar, ("blue_toar",))
+    aot = rad.dos_aot_tiles(
+        toar, blue="blue_toar", swir2="swir2_toar", sr_ratio=0.4, stat="sum"
+    )
+    return corr.join(aot, "tile_id").select(
+        "doc_id",
+        F.round(F.col("blue_toar"), 6).alias("blue_dos"),
+        F.col("n_dark").cast("long").alias("n_dark"),
+        "aot",
+    )
+
+
+def q_pansharpen(spark, sf_dir):
+    """Pan-sharpening ratio fusion (functions/radiometry.pan_sharpen; the
+    per-pixel fusion entry of ``radiometry/_fusion.pyx`` as Brovey + ESRI
+    Column math): a derived pan band sharpens blue/green/red — shuffle-free
+    projections, whole-stage codegen."""
+    from geowombat_spark.functions import radiometry as rad
+
+    gd = grid_docs(spark, sf_dir).withColumn(
+        "pan",
+        (F.col("band_blue") + F.col("band_green") + F.col("band_red"))
+        / F.lit(3.0)
+        + F.lit(1.0),
+    )
+    bands = ("band_blue", "band_green", "band_red")
+    # esri first with out_prefix (originals preserved), then brovey in
+    # place — both variants off ONE scan, pure chained projections
+    step = rad.pan_sharpen(
+        gd, "pan", bands=("band_blue",), method="esri", out_prefix="e_"
+    )
+    brov = rad.pan_sharpen(step, "pan", bands=bands, method="brovey")
+    return brov.select(
+        "doc_id",
+        *[F.round(F.col(b), 6).alias(f"brovey_{b[5:]}") for b in bands],
+        F.round(F.col("e_band_blue"), 6).alias("esri_blue"),
+    )
+
+
+def q_stream_dedup(spark, sf_dir):
+    """Structured-Streaming exact dedup driven to completion
+    (streaming/dedup.stream_exact_dedup): the documents table is split
+    into four deterministic micro-batch files, streamed through the
+    watermarked ``dropDuplicatesWithinWatermark`` state
+    (``maxFilesPerTrigger=1`` + ``availableNow`` → four real
+    micro-batches), survivors land in a memory sink, and the result is
+    the per-key-bucket unique count — which must equal the batch
+    DISTINCT aggregate the oracle computes, no matter how the stream
+    interleaved arrivals."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from geowombat_spark.streaming.dedup import stream_exact_dedup
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "text",
+        # events span 10 minutes << the 1 h watermark horizon, so no state
+        # entry is ever evicted mid-stream: streaming dedup is then exactly
+        # the batch DISTINCT, the value the oracle pins
+        F.timestamp_seconds(
+            F.lit(1_767_225_600) + F.col("doc_id") % 600
+        ).alias("event_ts"),
+    )
+    tmp = tempfile.mkdtemp(prefix="gw_stream_")
+    sink = f"q_stream_sink_{os.path.basename(tmp).split('_')[-1]}"
+    try:
+        mx = int(d.agg(F.max("doc_id")).collect()[0][0])
+        step = mx // 4 + 1
+        stream_dir = os.path.join(tmp, "in")
+        os.makedirs(stream_dir)
+        for i in range(4):
+            stage = os.path.join(tmp, f"stage{i}")
+            (
+                d.filter(
+                    (F.col("doc_id") >= i * step)
+                    & (F.col("doc_id") < (i + 1) * step)
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(stage)
+            )
+            part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            shutil.move(part, os.path.join(stream_dir, f"{i:02d}.parquet"))
+        stream = (
+            spark.readStream.schema(
+                "doc_id bigint, text string, event_ts timestamp"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stream_dir)
+        )
+        survivors = stream_exact_dedup(stream, watermark="1 hour")
+        q = (
+            survivors.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return (
+            spark.table(sink)
+            .groupBy(F.substring("dup_key", 1, 1).alias("key_bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_unique"))
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Ordered so every query lands in the driver's 50-entry CORRECTNESS
+    window over rounds. The r3 window (first 50): the 18 queries that have
+    never had a driver row, the 13 whose only row was r1, the 3 new r3
+    queries (q_dos, q_pansharpen, q_stream_dedup), then 16 backfill slots
+    for the highest-risk already-green queries (code touched this round or
+    structurally complex). Queries 51+ all hold green r2 rows."""
     return {
-        "q_coregister": q_coregister,
-        "q_qa_sensor_masks": q_qa_sensor_masks,
-        "q_solar_angles": q_solar_angles,
-        "q_decontaminate": q_decontaminate,
-        "q_pack_sequences": q_pack_sequences,
-        "q_pii_scrub": q_pii_scrub,
-        "q_token_estimate": q_token_estimate,
-        "q_bandpass": q_bandpass,
-        "q_cluster_embeddings": q_cluster_embeddings,
-        "q_bm25": q_bm25,
-        "q_char_lm": q_char_lm,
-        "q_repetition": q_repetition,
-        "q_source_mix": q_source_mix,
-        "q_extract_points": q_extract_points,
-        "q_extract_crs": q_extract_crs,
-        "q_extract_polygons": q_extract_polygons,
-        "q_clip": q_clip,
-        "q_mask": q_mask,
-        "q_subset": q_subset,
-        "q_replace": q_replace,
-        "q_recode": q_recode,
-        "q_calc_area": q_calc_area,
-        "q_sample_systematic": q_sample_systematic,
-        "q_band_math": q_band_math,
-        "q_mosaic": q_mosaic,
-        "q_focal_mean": q_focal_mean,
-        "q_near_pairs": q_near_pairs,
-        "q_knn_join": q_knn_join,
-        "q_series_stats": q_series_stats,
-        "q_events_window": q_events_window,
-        "q_lineitem_pricing": q_lineitem_pricing,
-        "q_token_stats": q_token_stats,
-        "q_quality": q_quality,
-        "q_lang_id": q_lang_id,
-        "q_fingerprint": q_fingerprint,
-        "q_dedup_exact": q_dedup_exact,
-        "q_jaccard_pairs": q_jaccard_pairs,
-        "q_minhash_sig": q_minhash_sig,
-        "q_minhash_lsh": q_minhash_lsh,
-        "q_simhash": q_simhash,
-        "q_simhash_pairs": q_simhash_pairs,
-        "q_embed_neardup": q_embed_neardup,
-        "q_ann_topk": q_ann_topk,
-        "q_ann_ivf": q_ann_ivf,
-        "q_lsh_cosine_pairs": q_lsh_cosine_pairs,
-        "q_sample_random": q_sample_random,
-        "q_spans": q_spans,
-        "q_media_decode": q_media_decode,
-        "q_tile_manifest": q_tile_manifest,
-        "q_set_nodata": q_set_nodata,
-        "q_band_mask": q_band_mask,
-        "q_tasseled_cap": q_tasseled_cap,
-        "q_vi_suite2": q_vi_suite2,
-        "q_sample_strata": q_sample_strata,
-        "q_group_dates": q_group_dates,
-        "q_concat": q_concat,
-        "q_extract_time": q_extract_time,
-        "q_focal_max": q_focal_max,
-        "q_focal_std": q_focal_std,
-        "q_focal_p25": q_focal_p25,
-        "q_rasterize": q_rasterize,
-        "q_qa_mask": q_qa_mask,
-        "q_dn_toar": q_dn_toar,
+        # --- never driver-checked (18) --------------------------------
         "q_polygonize": q_polygonize,
         "q_warp_nearest": q_warp_nearest,
         "q_warp_avg": q_warp_avg,
@@ -1517,6 +1592,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cloud_shadows": q_cloud_shadows,
         "q_ml_predict": q_ml_predict,
         "q_ann_pq": q_ann_pq,
+        # --- last checked in r1 (13) ----------------------------------
+        "q_band_mask": q_band_mask,
+        "q_tasseled_cap": q_tasseled_cap,
+        "q_vi_suite2": q_vi_suite2,
+        "q_sample_strata": q_sample_strata,
+        "q_group_dates": q_group_dates,
+        "q_concat": q_concat,
+        "q_extract_time": q_extract_time,
+        "q_focal_max": q_focal_max,
+        "q_focal_std": q_focal_std,
+        "q_focal_p25": q_focal_p25,
+        "q_rasterize": q_rasterize,
+        "q_qa_mask": q_qa_mask,
+        "q_dn_toar": q_dn_toar,
+        # --- new in r3 (3) --------------------------------------------
+        "q_dos": q_dos,
+        "q_pansharpen": q_pansharpen,
+        "q_stream_dedup": q_stream_dedup,
+        # --- backfill: green in r2, code touched in r3 / complex (16) -
+        "q_recode": q_recode,
+        "q_minhash_lsh": q_minhash_lsh,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_jaccard_pairs": q_jaccard_pairs,
+        "q_embed_neardup": q_embed_neardup,
+        "q_token_estimate": q_token_estimate,
+        "q_repetition": q_repetition,
+        "q_tile_manifest": q_tile_manifest,
+        "q_coregister": q_coregister,
+        "q_extract_points": q_extract_points,
+        "q_extract_polygons": q_extract_polygons,
+        "q_near_pairs": q_near_pairs,
+        "q_knn_join": q_knn_join,
+        "q_mosaic": q_mosaic,
+        "q_series_stats": q_series_stats,
+        "q_solar_angles": q_solar_angles,
+        # --- green r2 rows (the 50-entry window ends above) -----------
+        "q_qa_sensor_masks": q_qa_sensor_masks,
+        "q_decontaminate": q_decontaminate,
+        "q_pack_sequences": q_pack_sequences,
+        "q_pii_scrub": q_pii_scrub,
+        "q_bandpass": q_bandpass,
+        "q_cluster_embeddings": q_cluster_embeddings,
+        "q_bm25": q_bm25,
+        "q_char_lm": q_char_lm,
+        "q_source_mix": q_source_mix,
+        "q_extract_crs": q_extract_crs,
+        "q_clip": q_clip,
+        "q_mask": q_mask,
+        "q_subset": q_subset,
+        "q_replace": q_replace,
+        "q_calc_area": q_calc_area,
+        "q_sample_systematic": q_sample_systematic,
+        "q_band_math": q_band_math,
+        "q_focal_mean": q_focal_mean,
+        "q_events_window": q_events_window,
+        "q_lineitem_pricing": q_lineitem_pricing,
+        "q_token_stats": q_token_stats,
+        "q_quality": q_quality,
+        "q_lang_id": q_lang_id,
+        "q_fingerprint": q_fingerprint,
+        "q_dedup_exact": q_dedup_exact,
+        "q_minhash_sig": q_minhash_sig,
+        "q_simhash": q_simhash,
+        "q_ann_topk": q_ann_topk,
+        "q_ann_ivf": q_ann_ivf,
+        "q_lsh_cosine_pairs": q_lsh_cosine_pairs,
+        "q_sample_random": q_sample_random,
+        "q_spans": q_spans,
+        "q_media_decode": q_media_decode,
+        "q_set_nodata": q_set_nodata,
     }
 
 
@@ -2902,6 +3047,53 @@ FROM documents d JOIN cnt USING (source)
 WHERE d.source IN ({_mix_list})
   AND ({MD5I.format(x="CAST(doc_id AS VARCHAR)")}) / 1152921504606846976.0
       < least(1.0, ({MIX_TOTAL} * 1.0 / {len(MIX_SOURCES)}.0) / cnt.n)
+"""
+
+    o["q_dos"] = f"""
+WITH {G_SQL},
+t AS (
+  SELECT doc_id, row // {GRID.tile_rows} AS tile_id,
+         band_blue / 1000.0 AS blue_toar,
+         band_nir / 4000.0 AS swir2_toar
+  FROM g),
+d AS (SELECT min(blue_toar) AS mn FROM t),
+a AS (
+  SELECT tile_id,
+    CAST(count(CASE WHEN swir2_toar >= 0.01 AND swir2_toar <= 0.15
+               THEN 1 END) AS BIGINT) AS n_dark,
+    round(coalesce(
+      sum(CASE WHEN swir2_toar >= 0.01 AND swir2_toar <= 0.15
+          THEN blue_toar - 0.4 * swir2_toar END), 0.3), 6) AS aot
+  FROM t GROUP BY tile_id)
+SELECT t.doc_id,
+  round(least(greatest(blue_toar - (d.mn - 0.01), 0.0), 1.0), 6) AS blue_dos,
+  a.n_dark, a.aot
+FROM t CROSS JOIN d JOIN a ON a.tile_id = t.tile_id
+"""
+
+    # string→double parse is correctly rounded in both engines; a bare
+    # 16-digit decimal literal would go through DuckDB's DECIMAL type
+    _third = f"CAST('{1.0 / 3.0!r}' AS DOUBLE)"
+    o["q_pansharpen"] = f"""
+WITH {G_SQL},
+p AS (
+  SELECT doc_id, band_blue, band_green, band_red,
+         (band_blue + band_green + band_red) / 3.0 + 1.0 AS pan,
+         (band_blue * {_third} + band_green * {_third}
+          + band_red * {_third}) AS i3
+  FROM g)
+SELECT doc_id,
+  round(band_blue * pan / i3, 6) AS brovey_blue,
+  round(band_green * pan / i3, 6) AS brovey_green,
+  round(band_red * pan / i3, 6) AS brovey_red,
+  round(band_blue + (pan - band_blue), 6) AS esri_blue
+FROM p
+"""
+
+    o["q_stream_dedup"] = """
+SELECT substr(md5(lower(trim(text))), 1, 1) AS key_bucket,
+       CAST(count(DISTINCT md5(lower(trim(text)))) AS BIGINT) AS n_unique
+FROM documents GROUP BY 1
 """
 
     return o

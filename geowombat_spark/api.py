@@ -27,9 +27,13 @@ from .functions.cloudmask import estimate_shadows  # noqa: F401
 from .functions.radiometry import (  # noqa: F401
     bandpass,
     bandpass_to,
+    dark_object_values,
     dn_to_radiance,
     dn_to_sr,
     dn_to_toar,
+    dos_aot_tiles,
+    dos_correct,
+    pan_sharpen,
     qa_mask,
     qa_masker,
     radiance_to_toar,
@@ -137,6 +141,11 @@ from .sensors import (  # noqa: F401
     SENSOR_NAMES,
     avail_sensors,
     rename_bands,
+)
+from .sources.manifest import (  # noqa: F401
+    load_catalog,
+    open_stac,
+    search_catalog,
 )
 from .sources.tables import get_spark, load_documents  # noqa: F401
 from .sources.vrt import open_vrt, to_vrt  # noqa: F401

@@ -442,3 +442,164 @@ def toar_to_rad(
         ) * 0.0001
         df = df.withColumn(b, F.col(b).cast("double") * F.lit(factor))
     return df
+
+
+# ---------------------------------------------------------------------------
+# DOS — dark-object atmospheric correction
+# ---------------------------------------------------------------------------
+#
+# Reference: ``sr.py:1160-1336`` (``DOS.get_aot``). The reference selects
+# dark pixels by SWIR2 TOAR in [0.01, 0.15], estimates the blue surface
+# reflectance of those pixels as 0.33·swir2 (Masek et al. 2006), and
+# inverts a SixS LUT for AOT. The LUT inversion needs the external SixS
+# binaries/LUT files (declared out of scope in SURVEY §2.13); the
+# distributed rebuild keeps the selection + linear-estimate stages and the
+# classical Chavez (1988) dark-object subtraction they feed:
+#
+# - ``dark_object_values``: per-band dark-object level — ONE aggregate
+#   (exact min, or an exact percentile for robustness) over the whole
+#   scene, a single partial-agg shuffle at any scale.
+# - ``dos_correct``: haze_b = dark_b − dark_target (the 1%-reflectance
+#   dark-object assumption), corrected = clip(band − haze_b). Haze levels
+#   are plan-time literals, so the correction itself is pure codegen.
+# - ``dos_aot_tiles``: the reference's dark-pixel selection as a per-tile
+#   aggregate — AOT *proxy* = mean excess of blue TOAR over the
+#   0.33·swir2 surface estimate among dark pixels, with the reference's
+#   ``aot_fallback`` where a tile has no dark pixels.
+
+
+def dark_object_values(
+    df: DataFrame, bands: tuple[str, ...], pct: float | None = None
+) -> dict[str, float]:
+    """Per-band dark-object level in one distributed aggregate.
+
+    ``pct=None`` → exact minimum (classical DOS); a float in (0, 1) → the
+    exact interpolated percentile (robust to a single bad pixel; both
+    engines — Spark ``percentile`` and DuckDB ``quantile_cont`` — use the
+    same linear interpolation). One job regardless of band count."""
+    if pct is None:
+        aggs = [F.min(F.col(b).cast("double")).alias(b) for b in bands]
+    else:
+        aggs = [
+            F.percentile(F.col(b).cast("double"), F.lit(float(pct))).alias(b)
+            for b in bands
+        ]
+    row = df.agg(*aggs).collect()[0]
+    return {b: float(row[b]) for b in bands}
+
+
+def dos_correct(
+    df: DataFrame,
+    bands: tuple[str, ...],
+    pct: float | None = None,
+    dark_target: float = 0.01,
+    clip: bool = True,
+) -> DataFrame:
+    """Chavez (1988) dark-object subtraction over TOAR bands.
+
+    ``haze_b = dark_object_b − dark_target`` (dark objects are assumed to
+    hold ``dark_target`` true reflectance — the classical 1% assumption),
+    ``corrected = band − haze_b`` clipped to [0, 1]. The haze levels come
+    from :func:`dark_object_values` (one aggregate job); the per-pixel
+    correction is a literal subtract per band — whole-stage codegen, no
+    second shuffle."""
+    dark = dark_object_values(df, bands, pct)
+    for b in bands:
+        haze = dark[b] - float(dark_target)
+        c = F.col(b).cast("double") - F.lit(haze)
+        if clip:
+            c = F.least(F.greatest(c, F.lit(0.0)), F.lit(1.0))
+        df = df.withColumn(b, c)
+    return df
+
+
+def dos_aot_tiles(
+    df: DataFrame,
+    blue: str = "band_blue",
+    swir2: str = "band_swir2",
+    tile_col: str = "tile_id",
+    dark_min: float = 0.01,
+    dark_max: float = 0.15,
+    sr_ratio: float = 0.33,
+    aot_fallback: float = 0.3,
+    stat: str = "mean",
+) -> DataFrame:
+    """Per-tile dark-pixel haze/AOT proxy (``sr.py:1244-1270`` selection).
+
+    Dark pixels: ``swir2`` TOAR in [``dark_min``, ``dark_max``]; their blue
+    surface reflectance is estimated as ``sr_ratio·swir2`` (Masek et al.
+    2006) and the tile's proxy is the mean (``stat='mean'``) or sum
+    (``stat='sum'`` — same signal undivided; division by a count can land
+    on decimal rounding ties, so sum is the cross-engine-reproducible
+    form) of the excess ``blue − sr_ratio·swir2`` over its dark pixels —
+    the haze signal the reference feeds to its LUT inversion. Tiles
+    without dark pixels get ``aot_fallback`` (the reference's behavior for
+    scenes with no dark objects). One ``groupBy(tile)`` aggregate —
+    map-side combine, single shuffle."""
+    s2 = F.col(swir2).cast("double")
+    is_dark = (s2 >= F.lit(float(dark_min))) & (s2 <= F.lit(float(dark_max)))
+    excess = F.col(blue).cast("double") - F.lit(float(sr_ratio)) * s2
+    if stat == "mean":
+        agg = F.avg(F.when(is_dark, excess))
+    elif stat == "sum":
+        agg = F.sum(F.when(is_dark, excess))
+    else:
+        raise ValueError(f"stat must be mean|sum, got {stat!r}")
+    return (
+        df.groupBy(tile_col)
+        .agg(
+            F.count(F.when(is_dark, F.lit(1))).alias("n_dark"),
+            F.round(
+                F.coalesce(agg, F.lit(float(aot_fallback))), 6
+            ).alias("aot"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pan-sharpening — ratio fusion
+# ---------------------------------------------------------------------------
+
+
+def pan_sharpen(
+    df: DataFrame,
+    pan_col: str,
+    bands: tuple[str, ...] = ("band_blue", "band_green", "band_red"),
+    weights: dict[str, float] | None = None,
+    method: str = "brovey",
+    out_prefix: str = "",
+) -> DataFrame:
+    """Pan-band fusion as pure Column math (the per-pixel fusion entry of
+    ``radiometry/_fusion.pyx``, re-expressed as the standard ratio
+    methods — the reference's local-window regression kernel is a
+    different estimator of the same sharpening adjustment):
+
+    - ``'brovey'``: ``out_b = b · pan / I`` with the weighted intensity
+      ``I = Σ w_b·b / Σ w_b`` — each band scaled by the pan/intensity
+      ratio.
+    - ``'esri'``: ``out_b = b + (pan − I)`` — the additive adjustment
+      variant.
+
+    Weights default to 1. Both methods are shuffle-free projections that
+    ride whole-stage codegen; ``out_prefix`` writes to new columns
+    (default: in place)."""
+    w = {b: float((weights or {}).get(b, 1.0)) for b in bands}
+    wsum = sum(w.values())
+    intensity = None
+    for b in bands:
+        term = F.col(b).cast("double") * F.lit(w[b] / wsum)
+        intensity = term if intensity is None else intensity + term
+    pan = F.col(pan_col).cast("double")
+    outs = {}
+    for b in bands:
+        if method == "brovey":
+            out = F.col(b).cast("double") * pan / intensity
+        elif method == "esri":
+            out = F.col(b).cast("double") + (pan - intensity)
+        else:
+            raise ValueError(f"method must be brovey|esri, got {method!r}")
+        outs[f"{out_prefix}{b}"] = out
+    # one simultaneous withColumns: every output reads the ORIGINAL band
+    # values (a sequential withColumn chain would feed band 2's intensity
+    # the already-sharpened band 1)
+    return df.withColumns(outs)
