@@ -1565,13 +1565,48 @@ def q_stream_dedup(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_zarr(spark, sf_dir):
+    """Zarr v2 sink round-trip (sources/zarr_.py vs reference
+    backends/zarr_.py:15-68): the cell table is written as a genuine
+    tile-chunked Zarr v2 store (distributed chunk writes, stdlib-zlib
+    codec), read back with open_zarr, and aggregated per chunk. Parity
+    with the oracle's direct aggregate over the source table proves the
+    store is lossless — the sums are integer-valued doubles, so they are
+    exact regardless of the reader's chunk/batch order."""
+    import os
+    import shutil
+    import tempfile
+
+    from geowombat_spark.sources import zarr_ as _zarr
+
+    gd = grid_docs(spark, sf_dir)
+    store = os.path.join(
+        tempfile.gettempdir(),
+        f"gw_zarr_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(store, ignore_errors=True)
+    _zarr.to_zarr(
+        gd, store, GRID, bands=("band_blue", "band_green"), overwrite=True
+    )
+    back = _zarr.open_zarr(spark, store)
+    return back.groupBy(
+        F.expr(f"row div {GRID.tile_rows}").cast("long").alias("chunk_y"),
+        F.expr(f"col div {GRID.tile_cols}").cast("long").alias("chunk_x"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.round(F.sum("band_blue"), 6).alias("sum_blue"),
+        F.round(F.sum("band_green"), 6).alias("sum_green"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so every query lands in the driver's 50-entry CORRECTNESS
     window over rounds. The r3 window (first 50): the 18 queries that have
-    never had a driver row, the 13 whose only row was r1, the 3 new r3
-    queries (q_dos, q_pansharpen, q_stream_dedup), then 16 backfill slots
-    for the highest-risk already-green queries (code touched this round or
-    structurally complex). Queries 51+ all hold green r2 rows."""
+    never had a driver row, the 13 whose only row was r1, the 4 new r3
+    queries (q_dos, q_pansharpen, q_stream_dedup, q_zarr), then 15
+    backfill slots for the highest-risk already-green queries (code
+    touched this round or structurally complex). Queries 51+ all hold
+    green r2 rows."""
     return {
         # --- never driver-checked (18) --------------------------------
         "q_polygonize": q_polygonize,
@@ -1610,6 +1645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dos": q_dos,
         "q_pansharpen": q_pansharpen,
         "q_stream_dedup": q_stream_dedup,
+        "q_zarr": q_zarr,
         # --- backfill: green in r2, code touched in r3 / complex (16) -
         "q_recode": q_recode,
         "q_minhash_lsh": q_minhash_lsh,
@@ -3094,6 +3130,16 @@ FROM p
 SELECT substr(md5(lower(trim(text))), 1, 1) AS key_bucket,
        CAST(count(DISTINCT md5(lower(trim(text)))) AS BIGINT) AS n_unique
 FROM documents GROUP BY 1
+"""
+
+    o["q_zarr"] = f"""
+WITH {G_SQL}
+SELECT CAST(row // {GRID.tile_rows} AS BIGINT) AS chunk_y,
+       CAST(col // {GRID.tile_cols} AS BIGINT) AS chunk_x,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       round(sum(band_blue), 6) AS sum_blue,
+       round(sum(band_green), 6) AS sum_green
+FROM g GROUP BY 1, 2
 """
 
     return o
