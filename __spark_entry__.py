@@ -1599,6 +1599,17 @@ def q_zarr(spark, sf_dir):
     )
 
 
+def q_dup_coverage(spark, sf_dir):
+    """Duplicated-passage coverage (pipeline/dedup.dup_ngram_coverage):
+    the Lee-et-al exact-substring-dedup signal over word 3-grams — per
+    doc, the merged token span covered by grams repeating in ≥ 2 docs.
+    Engine groups on xxhash64(gram) (64-bit shuffle keys); the oracle
+    groups on the gram text — parity also certifies hash-collision-free
+    grouping at this scale."""
+    d = _docs(spark, sf_dir)
+    return dedup.dup_ngram_coverage(d, n=3, min_docs=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so every query lands in the driver's 50-entry CORRECTNESS
     window over rounds. The r3 window (first 50): the 18 queries that have
@@ -1646,6 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pansharpen": q_pansharpen,
         "q_stream_dedup": q_stream_dedup,
         "q_zarr": q_zarr,
+        "q_dup_coverage": q_dup_coverage,
         # --- backfill: green in r2, code touched in r3 / complex (16) -
         "q_recode": q_recode,
         "q_minhash_lsh": q_minhash_lsh,
@@ -3140,6 +3152,38 @@ SELECT CAST(row // {GRID.tile_rows} AS BIGINT) AS chunk_y,
        round(sum(band_blue), 6) AS sum_blue,
        round(sum(band_green), 6) AS sum_green
 FROM g GROUP BY 1, 2
+"""
+
+    o["q_dup_coverage"] = r"""
+WITH lt AS (
+  SELECT doc_id,
+    regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') AS t
+  FROM documents),
+pos AS (
+  SELECT doc_id, i - 1 AS s, len(t) AS nw,
+         array_to_string(t[i:i+2], ' ') AS gram
+  FROM lt, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)),
+dup AS (
+  SELECT gram FROM pos GROUP BY gram
+  HAVING count(DISTINCT doc_id) >= 2),
+hits AS (
+  SELECT doc_id, s, least(s + 2, nw - 1) AS e FROM pos
+  WHERE gram IN (SELECT gram FROM dup)),
+m AS (
+  SELECT doc_id, s, e,
+    max(e) OVER (PARTITION BY doc_id ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+  FROM hits),
+cov AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams,
+    CAST(sum(greatest(e - greatest(coalesce(pe, -1), s - 1), 0)) AS BIGINT)
+      AS dup_cov
+  FROM m GROUP BY doc_id)
+SELECT l.doc_id, CAST(len(l.t) AS BIGINT) AS n_words,
+  coalesce(c.n_dup_grams, 0) AS n_dup_grams,
+  coalesce(c.dup_cov, 0) AS dup_cov,
+  round(coalesce(c.dup_cov, 0) / CAST(len(l.t) AS DOUBLE), 6) AS dup_frac
+FROM lt l LEFT JOIN cov c USING (doc_id)
 """
 
     return o

@@ -537,3 +537,68 @@ def test_cluster_cosine_preserves_input_types(spark):
     assert [r.asDict() for r in rows] and rows[0]["vec_a"] == "doc-a"
     assert rows[0]["vec_b"] == "doc-b" and rows[0]["cosine"] >= 0.99
     assert dict(out.dtypes)["vec_a"] == "string"
+
+
+# --- round-3: duplicated n-gram passage coverage + scrub -----------------
+
+
+def _passage_docs(spark):
+    rows = [
+        (1, "a b c d e f g h i j"),     # shares "a b c d e" run with doc 2
+        (2, "x y a b c d e z"),
+        (3, "unique words only here none repeat"),
+        (4, "m n o p q"),               # exact duplicate of doc 5
+        (5, "m n o p q"),
+        (6, None),                      # null text: 1 pseudo-token, no dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dup_ngram_coverage_hand_case(spark):
+    """n=3, min_docs=2 — hand-merged intervals: doc 1 covers [0,4] (5 of
+    10 words), doc 2 covers [2,6] (5 of 8), full-dup docs cover all,
+    unique and null docs cover none."""
+    out = dedup.dup_ngram_coverage(
+        _passage_docs(spark), n=3, min_docs=2
+    )
+    got = {r.doc_id: r.asDict() for r in out.collect()}
+    assert got[1]["dup_cov"] == 5 and got[1]["n_words"] == 10
+    assert got[1]["dup_frac"] == 0.5 and got[1]["n_dup_grams"] == 3
+    assert got[2]["dup_cov"] == 5 and got[2]["dup_frac"] == 0.625
+    assert got[3]["dup_cov"] == 0 and got[3]["n_dup_grams"] == 0
+    assert got[4]["dup_cov"] == 5 and got[4]["dup_frac"] == 1.0
+    assert got[5]["dup_cov"] == 5 and got[5]["dup_frac"] == 1.0
+    assert got[6]["n_words"] == 1 and got[6]["dup_cov"] == 0
+
+
+def test_scrub_dup_passages_and_consistency(spark):
+    docs = _passage_docs(spark)
+    out = dedup.scrub_dup_passages(docs, n=3, min_docs=2, out_col="clean")
+    got = {r.doc_id: r.clean for r in out.collect()}
+    assert got[1] == "f g h i j"
+    assert got[2] == "x y z"
+    assert got[3] == "unique words only here none repeat"  # untouched
+    assert got[4] == "" and got[5] == ""
+    assert got[6] is None  # null text passes through
+    # cross-check: words removed == dup_cov for every doc
+    cov = {
+        r.doc_id: r.asDict()
+        for r in dedup.dup_ngram_coverage(docs, n=3, min_docs=2).collect()
+    }
+    for d, txt in got.items():
+        if txt is None:
+            continue
+        kept = len(txt.split()) if txt else 0
+        assert cov[d]["n_words"] - kept == cov[d]["dup_cov"]
+
+
+def test_dup_coverage_overlap_within_doc_counts_once(spark):
+    """A gram repeated twice inside ONE doc is not 'duplicated' (min_docs
+    counts distinct docs), and overlapping dup passages merge."""
+    rows = [
+        (1, "p q r s p q r s"),   # internal repeat only -> no dup
+        (2, "k l m n o k l m"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.dup_ngram_coverage(df, n=3, min_docs=2)
+    assert {r.doc_id: r.dup_cov for r in out.collect()} == {1: 0, 2: 0}
