@@ -1599,6 +1599,37 @@ def q_zarr(spark, sf_dir):
     )
 
 
+def q_netcdf(spark, sf_dir):
+    """NetCDF classic (CDF-2) sink round-trip (sources/netcdf.py vs
+    reference core/io.py:562-684 to_netcdf): the cell table is written as
+    a genuine classic-format file via PnetCDF-style parallel stripe
+    writes at header-computed byte offsets, read back with open_netcdf,
+    and aggregated per stripe. Parity with the oracle's direct aggregate
+    over the source proves the offset arithmetic and big-endian encode
+    are lossless (sums are integer-valued doubles — exact)."""
+    import os
+    import tempfile
+
+    from geowombat_spark.sources import netcdf as _nc
+
+    gd = grid_docs(spark, sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"gw_nc_{os.path.basename(os.path.normpath(sf_dir))}.nc",
+    )
+    _nc.to_netcdf(
+        gd, path, GRID, bands=("band_red", "band_nir"), overwrite=True
+    )
+    back = _nc.open_netcdf(spark, path)
+    return back.groupBy(
+        F.expr(f"row div {GRID.tile_rows}").cast("long").alias("stripe"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.round(F.sum("band_red"), 6).alias("sum_red"),
+        F.round(F.sum("band_nir"), 6).alias("sum_nir"),
+    )
+
+
 def q_dup_coverage(spark, sf_dir):
     """Duplicated-passage coverage (pipeline/dedup.dup_ngram_coverage):
     the Lee-et-al exact-substring-dedup signal over word 3-grams — per
@@ -1690,6 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pansharpen": q_pansharpen,
         "q_stream_dedup": q_stream_dedup,
         "q_zarr": q_zarr,
+        "q_netcdf": q_netcdf,
         "q_dup_coverage": q_dup_coverage,
         "q_sixs": q_sixs,
         # --- backfill: green in r2, code touched in r3 / complex ------
@@ -1705,8 +1737,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_extract_points": q_extract_points,
         "q_extract_polygons": q_extract_polygons,
         "q_near_pairs": q_near_pairs,
-        "q_knn_join": q_knn_join,
         # --- green r2 rows (the 50-entry window ends above) -----------
+        "q_knn_join": q_knn_join,
         "q_mosaic": q_mosaic,
         "q_series_stats": q_series_stats,
         "q_solar_angles": q_solar_angles,
@@ -3186,6 +3218,15 @@ SELECT CAST(row // {GRID.tile_rows} AS BIGINT) AS chunk_y,
        round(sum(band_blue), 6) AS sum_blue,
        round(sum(band_green), 6) AS sum_green
 FROM g GROUP BY 1, 2
+"""
+
+    o["q_netcdf"] = f"""
+WITH {G_SQL}
+SELECT CAST(row // {GRID.tile_rows} AS BIGINT) AS stripe,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       round(sum(band_red), 6) AS sum_red,
+       round(sum(band_nir), 6) AS sum_nir
+FROM g GROUP BY 1
 """
 
     o["q_dup_coverage"] = r"""

@@ -149,6 +149,7 @@ from .sources.manifest import (  # noqa: F401
 )
 from .sources.tables import get_spark, load_documents  # noqa: F401
 from .sources.vrt import open_vrt, to_vrt  # noqa: F401
+from .sources.netcdf import open_netcdf, to_netcdf  # noqa: F401
 from .sources.zarr_ import open_zarr, to_zarr  # noqa: F401
 from .tasks import GeoTask  # noqa: F401
 from .util import parse_filename_dates, sort_images_by_date  # noqa: F401

@@ -1,0 +1,114 @@
+"""NetCDF classic (CDF-2) sink/source (sources/netcdf.py vs reference
+core/io.py:562-684 to_netcdf)."""
+
+import json
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geowombat_spark.grid import GridSpec
+from geowombat_spark.sources.netcdf import (
+    _build_header,
+    _parse_header,
+    open_netcdf,
+    to_netcdf,
+)
+
+GRID = GridSpec(
+    left=0.0, top=0.0, cellx=10.0, celly=10.0,
+    nrows=20, ncols=20, tile_rows=8, tile_cols=8, nodata=0.0,
+)
+
+
+@pytest.fixture()
+def cells(spark):
+    return spark.range(120).select(
+        (F.col("id") % 19).cast("long").alias("row"),
+        ((F.col("id") * 7 + 3) % 20).cast("long").alias("col"),
+        (1.0 + F.col("id").cast("double")).alias("band_blue"),
+        (100.0 + (F.col("id") % 13).cast("double")).alias("band_green"),
+    ).dropDuplicates(["row", "col"])
+
+
+def test_netcdf_roundtrip_exact(spark, cells, tmp_path):
+    nc = str(tmp_path / "out.nc")
+    man = to_netcdf(cells, nc, GRID, bands=("band_blue", "band_green"))
+    assert man.agg(F.sum("n_cells")).first()[0] == cells.count()
+    back = open_netcdf(spark, nc)
+    got = sorted(
+        (r.row, r.col, r.band_blue, r.band_green)
+        for r in back.select("row", "col", "band_blue", "band_green").collect()
+    )
+    want = sorted(
+        (r.row, r.col, r.band_blue, r.band_green) for r in cells.collect()
+    )
+    assert got == want  # raw float64 stripes: lossless
+
+
+def test_netcdf_header_bytes(spark, cells, tmp_path):
+    """The file must decode with nothing but the classic-format spec."""
+    nc = str(tmp_path / "h.nc")
+    to_netcdf(cells, nc, GRID, bands=("band_blue",))
+    raw = open(nc, "rb").read()
+    assert raw[:4] == b"CDF\x02"
+    assert struct.unpack(">i", raw[4:8])[0] == 0  # numrecs
+    dims, gatts, variables = _parse_header(nc)
+    assert dims == [("y", 20), ("x", 20)]
+    assert gatts["Conventions"] == "CF-1.6"
+    assert GridSpec(**json.loads(gatts["grid"])) == GRID
+    v = variables["band_blue"]
+    assert [d[0] for d in v["dims"]] == ["y", "x"]
+    assert v["attrs"]["_FillValue"] == 0.0
+    # data lives exactly at begin: spot-read cell (row=0, col=3) which the
+    # fixture sets to band_blue=1.0 (id=0)
+    begin = v["begin"]
+    val = struct.unpack(">d", raw[begin + 3 * 8 : begin + 4 * 8])[0]
+    assert val == 1.0
+    # coordinate variables hold cell centers
+    yb = variables["y"]["begin"]
+    y0 = struct.unpack(">d", raw[yb : yb + 8])[0]
+    assert y0 == GRID.top - 0.5 * GRID.celly
+
+
+def test_netcdf_missing_stripes_backfilled(spark, tmp_path):
+    """Stripes with no cells must still hold the fill value, not zeros."""
+    nc = str(tmp_path / "g.nc")
+    grid = GridSpec(left=0, top=0, cellx=1, celly=1,
+                    nrows=16, ncols=4, tile_rows=4, tile_cols=4, nodata=-9.0)
+    cells = spark.createDataFrame(
+        [(0, 0, 5.0), (15, 3, 7.0)], "row long, col long, band_blue double"
+    )  # stripes 0 and 3 written; 1 and 2 empty
+    to_netcdf(cells, nc, grid, bands=("band_blue",))
+    _, _, variables = _parse_header(nc)
+    raw = open(nc, "rb").read()
+    begin = variables["band_blue"]["begin"]
+    arr = np.frombuffer(
+        raw[begin : begin + 16 * 4 * 8], dtype=">f8"
+    ).reshape(16, 4)
+    assert arr[0, 0] == 5.0 and arr[15, 3] == 7.0
+    assert (arr[4:12] == -9.0).all()  # empty stripes backfilled
+    assert (arr[0, 1:] == -9.0).all()
+
+
+def test_netcdf_scipy_crosscheck(spark, cells, tmp_path):
+    """If scipy is available, its independent netcdf reader must agree."""
+    scipy_io = pytest.importorskip("scipy.io")
+    nc = str(tmp_path / "x.nc")
+    to_netcdf(cells, nc, GRID, bands=("band_blue",))
+    f = scipy_io.netcdf_file(nc, "r", mmap=False)
+    a = f.variables["band_blue"][:]
+    want = {(r.row, r.col): r.band_blue for r in cells.collect()}
+    for (rr, cc), v in want.items():
+        assert a[rr, cc] == v
+    f.close()
+
+
+def test_netcdf_overwrite_guard(spark, cells, tmp_path):
+    nc = str(tmp_path / "w.nc")
+    to_netcdf(cells, nc, GRID, bands=("band_blue",))
+    with pytest.warns(UserWarning, match="already exists"):
+        assert to_netcdf(cells, nc, GRID, bands=("band_blue",)) is None
+    man = to_netcdf(cells, nc, GRID, bands=("band_blue",), overwrite=True)
+    assert man is not None
