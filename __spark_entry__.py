@@ -345,16 +345,20 @@ SERIES_STATS = [
 
 def q_series_stats(spark, sf_dir):
     gd = grid_docs(spark, sf_dir)
-    stacked = None
-    for i in range(N_TIMES):
-        s = gd.select(
-            "doc_id",
-            F.lit(f"t{i}").alias("t"),
-            (F.lit(1) + (F.col("doc_id") * 7 + i * 31) % 255)
-            .cast("double")
-            .alias("band_blue"),
-        )
-        stacked = s if stacked is None else stacked.unionByName(s)
+    # One scan + explode for the time dimension (an 8-way self-union
+    # re-read the spread input 8x — same rows, 8x the scan cost).
+    stacked = gd.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(N_TIMES)])
+        ).alias("_i"),
+    ).select(
+        "doc_id",
+        F.concat(F.lit("t"), F.col("_i")).alias("t"),
+        (F.lit(1) + (F.col("doc_id") * 7 + F.col("_i") * 31) % 255)
+        .cast("double")
+        .alias("band_blue"),
+    )
     out = temporal.series_stats(
         stacked, SERIES_STATS, band="band_blue", nodata=None, key_cols=("doc_id",)
     )

@@ -126,7 +126,8 @@ def _build_header(
             + struct.pack(">i", len(dimids))
             + b"".join(struct.pack(">i", d) for d in dimids)
             + _att_list(atts)
-            + struct.pack(">ii", NC_DOUBLE, vs)
+            + struct.pack(">iI", NC_DOUBLE, vs)  # vsize unsigned: the
+            # spec's 2^32-1 overflow marker doesn't fit a signed int32
             + struct.pack(">q", begin)  # CDF-2: 64-bit begin
         )
 

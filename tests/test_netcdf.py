@@ -105,6 +105,31 @@ def test_netcdf_scipy_crosscheck(spark, cells, tmp_path):
     f.close()
 
 
+def test_netcdf_cdf2_64bit_offsets_engage():
+    """Header math at 100-TB-credible sizes: a 40000x40000 float64 band is
+    12.8 GB, so the second band's begin exceeds 2^32 and vsize overflows
+    int32 — the CDF-2 64-bit begin and the spec's overflow marker must
+    both engage (no file written; pure offset arithmetic)."""
+    big = GridSpec(left=0, top=0, cellx=10, celly=10,
+                   nrows=40000, ncols=40000, tile_rows=512, tile_cols=512)
+    header, begins, total = _build_header(
+        big, ["b1", "b2"], 0.0, {"grid": json.dumps(big.as_dict())}
+    )
+    vbytes = 40000 * 40000 * 8
+    assert begins["b2"] - begins["b1"] == vbytes
+    assert begins["b2"] > 2**32  # needs the 64-bit begin field
+    assert total == begins["b2"] + vbytes
+    # the declared vsize field carries the spec's overflow marker
+    off = header.find(b"b2\x00\x00") + 4
+    ndims = struct.unpack_from(">i", header, off)[0]
+    assert ndims == 2
+    # field layout after ndims: dimids 8B, attr list (8B header + 40B
+    # _FillValue entry... the entry is name 16B + type/nelems 8B + value
+    # 8B = 32B), nc_type 4B, then vsize
+    vsize = struct.unpack_from(">I", header, off + 4 + 8 + 8 + 32 + 4)[0]
+    assert vsize == 2**32 - 1  # the spec's overflow marker
+
+
 def test_netcdf_overwrite_guard(spark, cells, tmp_path):
     nc = str(tmp_path / "w.nc")
     to_netcdf(cells, nc, GRID, bands=("band_blue",))
