@@ -1634,6 +1634,18 @@ def q_netcdf(spark, sf_dir):
     )
 
 
+def q_vocab_oov(spark, sf_dir):
+    """Vocabulary construction + out-of-vocabulary scoring
+    (pipeline/text.build_vocab / oov_stats): corpus top-50 vocab via a
+    partial-agg token count + distributed TakeOrderedAndProject top-k,
+    then per-doc OOV fractions via a broadcast membership join (the
+    corpus never shuffles for the join). Ties break on the token string
+    so the vocab is identical across engines."""
+    d = _docs(spark, sf_dir)
+    vocab = text.build_vocab(d, top_k=50)
+    return text.oov_stats(d, vocab)
+
+
 def q_dup_coverage(spark, sf_dir):
     """Duplicated-passage coverage (pipeline/dedup.dup_ngram_coverage):
     the Lee-et-al exact-substring-dedup signal over word 3-grams — per
@@ -1726,6 +1738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_dedup": q_stream_dedup,
         "q_zarr": q_zarr,
         "q_netcdf": q_netcdf,
+        "q_vocab_oov": q_vocab_oov,
         "q_dup_coverage": q_dup_coverage,
         "q_sixs": q_sixs,
         # --- backfill: green in r2, code touched in r3 / complex ------
@@ -1740,8 +1753,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_coregister": q_coregister,
         "q_extract_points": q_extract_points,
         "q_extract_polygons": q_extract_polygons,
-        "q_near_pairs": q_near_pairs,
         # --- green r2 rows (the 50-entry window ends above) -----------
+        "q_near_pairs": q_near_pairs,
         "q_knn_join": q_knn_join,
         "q_mosaic": q_mosaic,
         "q_series_stats": q_series_stats,
@@ -3231,6 +3244,25 @@ SELECT CAST(row // {GRID.tile_rows} AS BIGINT) AS stripe,
        round(sum(band_red), 6) AS sum_red,
        round(sum(band_nir), 6) AS sum_nir
 FROM g GROUP BY 1
+"""
+
+    o["q_vocab_oov"] = r"""
+WITH lt AS (
+  SELECT doc_id,
+    regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') AS t
+  FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS token FROM lt),
+cnt AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+voc AS (SELECT token FROM cnt ORDER BY tf DESC, token ASC LIMIT 50),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens,
+    sum(CASE WHEN token IN (SELECT token FROM voc) THEN 0 ELSE 1 END)
+      AS n_oov
+  FROM tok GROUP BY doc_id)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(n_oov AS BIGINT) AS n_oov,
+  round(n_oov / CAST(n_tokens AS DOUBLE), 6) AS oov_frac
+FROM agg
 """
 
     o["q_dup_coverage"] = r"""

@@ -7,7 +7,7 @@ reproducible in any SQL engine (see pipeline/__init__.py).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # 60-bit md5-derived integer hash: stable across engines, fits int64.
@@ -315,4 +315,71 @@ def repetition_stats(
             "dup_line_frac": F.round(dup_lines, 6),
             "top_bigram_frac": F.round(top / n_bi, 6),
         }
+    )
+
+
+def build_vocab(
+    docs: DataFrame,
+    top_k: int = 1000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary: the ``top_k`` most frequent lowercased
+    whitespace tokens as ``(token, tf_corpus, rank)``.
+
+    The training-data analogue of tokenizer-vocab construction. Plan:
+    explode once → ONE partial-aggregated shuffle keyed by token (the
+    map-side combine collapses each partition's duplicates before the
+    exchange, so the shuffle volume is per-partition *distinct* tokens,
+    not corpus tokens) → a single top-k sort over the aggregated
+    (vocab-sized) relation. Ties break on the token string so the vocab
+    is deterministic across engines and partitionings.
+    """
+    txt = F.lower(F.trim(F.coalesce(F.col(text_col), F.lit(""))))
+    tok = F.explode(F.split(txt, r"\s+")).alias("token")
+    counts = docs.select(tok).groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf_corpus")
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject — a distributed
+    # partial top-k per partition, NOT a single-reducer global sort of
+    # all distinct tokens; the row_number window then ranks only the
+    # already-collected top_k rows.
+    top = counts.orderBy(F.desc("tf_corpus"), F.asc("token")).limit(top_k)
+    w = Window.orderBy(F.desc("tf_corpus"), F.asc("token"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def oov_stats(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document out-of-vocabulary statistics against ``vocab`` (a
+    ``(token, ...)`` table, e.g. from :func:`build_vocab`):
+    ``(id, n_tokens, n_oov, oov_frac)`` with token multiplicity.
+
+    Plan: explode → **broadcast** left join on token (the vocab is
+    top-k-bounded, so the membership probe is map-side; the corpus never
+    shuffles for the join) → one partial-aggregated groupBy(id). The
+    standard pre-filter for tokenizer coverage / gibberish detection.
+    """
+    txt = F.lower(F.trim(F.coalesce(F.col(text_col), F.lit(""))))
+    ex = docs.select(
+        F.col(id_col),
+        F.explode(F.split(txt, r"\s+")).alias("token"),
+    )
+    v = F.broadcast(vocab.select("token").withColumn("_iv", F.lit(1)))
+    joined = ex.join(v, "token", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_iv").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .withColumn(
+            "oov_frac",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6),
+        )
     )

@@ -602,3 +602,44 @@ def test_dup_coverage_overlap_within_doc_counts_once(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = dedup.dup_ngram_coverage(df, n=3, min_docs=2)
     assert {r.doc_id: r.dup_cov for r in out.collect()} == {1: 0, 2: 0}
+
+
+# --- round-3: vocabulary + OOV ------------------------------------------
+
+
+def test_build_vocab_and_oov(spark):
+    rows = [
+        (1, "a b a c"),
+        (2, "a b x"),
+        (3, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = text.build_vocab(docs, top_k=2)
+    got = [(r.token, r.tf_corpus, r.rank) for r in
+           vocab.orderBy("rank").collect()]
+    # counts: a=3, b=2, c=1, x=1, ""(null doc)=1 -> top2 = a, b
+    assert got == [("a", 3, 1), ("b", 2, 2)]
+    oov = text.oov_stats(docs, vocab)
+    by = {r.doc_id: r.asDict() for r in oov.collect()}
+    assert by[1]["n_tokens"] == 4 and by[1]["n_oov"] == 1  # "c"
+    assert by[2]["n_tokens"] == 3 and by[2]["n_oov"] == 1  # "x"
+    assert by[3]["n_tokens"] == 1 and by[3]["n_oov"] == 1  # "" pseudo-token
+    assert by[2]["oov_frac"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_build_vocab_ties_break_on_token(spark):
+    docs = spark.createDataFrame(
+        [(1, "z y z y w")], "doc_id long, text string"
+    )
+    got = [r.token for r in
+           text.build_vocab(docs, top_k=3).orderBy("rank").collect()]
+    # y and z tie at 2 -> y first (asc token); w last
+    assert got == ["y", "z", "w"]
+
+
+def test_oov_join_is_broadcast(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    vocab = text.build_vocab(docs, top_k=1)
+    plan = text.oov_stats(docs, vocab)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
