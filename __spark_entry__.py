@@ -1526,6 +1526,9 @@ def q_stream_dedup(spark, sf_dir):
     )
     tmp = tempfile.mkdtemp(prefix="gw_stream_")
     sink = f"q_stream_sink_{os.path.basename(tmp).split('_')[-1]}"
+    # the max-agg plus four staged writes would otherwise scan the source
+    # five times; cache it for the staging phase
+    d = d.cache()
     try:
         mx = int(d.agg(F.max("doc_id")).collect()[0][0])
         step = mx // 4 + 1
@@ -1566,6 +1569,7 @@ def q_stream_dedup(spark, sf_dir):
             .agg(F.count(F.lit(1)).cast("long").alias("n_unique"))
         )
     finally:
+        d.unpersist()
         shutil.rmtree(tmp, ignore_errors=True)
 
 

@@ -199,7 +199,21 @@ def open(  # noqa: A001  (mirrors the reference's gw.open name)
     sensor = _resolve("sensor", sensor)
 
     def _one(p):
-        df = load_documents(spark, p)
+        # format dispatch, like the reference's NetCDF-aware open
+        # (``core/api.py:465-476`` routes 'netcdf:...' / '.nc' inputs):
+        # classic-NetCDF files and Zarr v2 stores open through their
+        # stripe/chunk readers as the same lazy cell-table shape.
+        import os as _os
+
+        if isinstance(p, str) and p.endswith(".nc"):
+            df = open_netcdf(spark, p)
+        elif isinstance(p, str) and (
+            p.rstrip("/").endswith(".zarr")
+            or _os.path.exists(_os.path.join(p, ".zgroup"))
+        ):
+            df = open_zarr(spark, p)
+        else:
+            df = load_documents(spark, p)
         return rename_bands(df, sensor=sensor, band_names=band_names)
 
     if isinstance(path, (list, tuple)):

@@ -137,3 +137,18 @@ def test_netcdf_overwrite_guard(spark, cells, tmp_path):
         assert to_netcdf(cells, nc, GRID, bands=("band_blue",)) is None
     man = to_netcdf(cells, nc, GRID, bands=("band_blue",), overwrite=True)
     assert man is not None
+
+
+def test_gw_open_dispatches_netcdf_and_zarr(spark, cells, tmp_path):
+    """gw.open routes .nc files and zarr stores to their readers
+    (reference core/api.py NetCDF-aware open)."""
+    from geowombat_spark import api as gw
+
+    nc = str(tmp_path / "d.nc")
+    store = str(tmp_path / "d.zarr")
+    gw.to_netcdf(cells, nc, GRID, bands=("band_blue",))
+    gw.to_zarr(cells, store, GRID, bands=("band_blue",))
+    want = cells.agg(F.sum("band_blue")).first()[0]
+    for p in (nc, store):
+        got = gw.open(spark, p).agg(F.sum("band_blue")).first()[0]
+        assert got == want
