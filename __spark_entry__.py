@@ -1650,6 +1650,21 @@ def q_vocab_oov(spark, sf_dir):
     return text.oov_stats(d, vocab)
 
 
+def q_quality_buckets(spark, sf_dir):
+    """CCNet-style per-language quality bucketing
+    (pipeline/curate.quality_buckets; Wenzek et al. 2020): rank docs by a
+    quality score within each language and ntile them into
+    head/middle/tail — one shuffle, per-group window sort, doc_id
+    tie-break for cross-engine determinism."""
+    from geowombat_spark.pipeline import curate
+
+    d = _docs(spark, sf_dir).withColumn(
+        "score", F.col("n_chars").cast("double")
+    )
+    out = curate.quality_buckets(d, "score", group_col="lang")
+    return out.select("doc_id", "lang", "bucket_idx", "bucket")
+
+
 def q_dup_coverage(spark, sf_dir):
     """Duplicated-passage coverage (pipeline/dedup.dup_ngram_coverage):
     the Lee-et-al exact-substring-dedup signal over word 3-grams — per
@@ -1743,6 +1758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zarr": q_zarr,
         "q_netcdf": q_netcdf,
         "q_vocab_oov": q_vocab_oov,
+        "q_quality_buckets": q_quality_buckets,
         "q_dup_coverage": q_dup_coverage,
         "q_sixs": q_sixs,
         # --- backfill: green in r2, code touched in r3 / complex ------
@@ -1756,8 +1772,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tile_manifest": q_tile_manifest,
         "q_coregister": q_coregister,
         "q_extract_points": q_extract_points,
-        "q_extract_polygons": q_extract_polygons,
         # --- green r2 rows (the 50-entry window ends above) -----------
+        "q_extract_polygons": q_extract_polygons,
         "q_near_pairs": q_near_pairs,
         "q_knn_join": q_knn_join,
         "q_mosaic": q_mosaic,
@@ -3267,6 +3283,19 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
   CAST(n_oov AS BIGINT) AS n_oov,
   round(n_oov / CAST(n_tokens AS DOUBLE), 6) AS oov_frac
 FROM agg
+"""
+
+    o["q_quality_buckets"] = """
+WITH b AS (
+  SELECT doc_id, lang,
+    ntile(3) OVER (PARTITION BY lang
+                   ORDER BY CAST(n_chars AS DOUBLE) ASC, doc_id ASC)
+      AS nt
+  FROM documents)
+SELECT doc_id, lang, CAST(nt AS INTEGER) AS bucket_idx,
+  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+    AS bucket
+FROM b
 """
 
     o["q_dup_coverage"] = r"""

@@ -232,3 +232,44 @@ def rebalance_sources(
         cond = (F.col(source_col) == s) & (u < F.lit(frac))
         keep = cond if keep is None else keep | cond
     return docs.filter(keep)
+
+
+def quality_buckets(
+    docs: DataFrame,
+    score_col: str,
+    group_col: str = "lang",
+    n_buckets: int = 3,
+    id_col: str = "doc_id",
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet-style per-group quality bucketing (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): within each group (CCNet: language), rank documents by
+    ``score_col`` (CCNet: LM perplexity, lower = better) and split them
+    into ``n_buckets`` equal-count buckets — head/middle/tail at the
+    default 3.
+
+    Adds ``bucket_idx`` (1-based, 1 = best) and ``bucket`` (label, or the
+    index as a string when more buckets than labels). Ordering ties break
+    on ``id_col`` so the assignment is deterministic across engines and
+    partitionings.
+
+    Scale shape: ONE shuffle — ``ntile`` over a window partitioned by
+    group. Each group sorts within its partition, which is exactly how
+    CCNet shards the work (per-language); for a pathological single
+    mega-group, pre-aggregate thresholds with ``percentile_approx`` and
+    join them back instead (documented alternative, not the default,
+    because approximate cut points can't be oracle-checked exactly).
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).asc(), F.col(id_col).asc()
+    )
+    out = docs.withColumn("bucket_idx", F.ntile(n_buckets).over(w))
+    if n_buckets <= len(labels):
+        lab = F.element_at(
+            F.array(*[F.lit(x) for x in labels[:n_buckets]]),
+            F.col("bucket_idx"),
+        )
+    else:
+        lab = F.col("bucket_idx").cast("string")
+    return out.withColumn("bucket", lab)

@@ -221,3 +221,46 @@ def test_rebalance_sources(spark):
         d, {"src0": 1.0, "src1": 1.0, "src2": 2.0}, total=40
     ).select("doc_id").collect())
     assert a == b
+
+
+# --- round-3: CCNet-style quality bucketing ------------------------------
+
+
+def test_quality_buckets_hand_case(spark):
+    from geowombat_spark.pipeline.curate import quality_buckets
+
+    rows = [
+        # lang en: scores 1..6 -> head {1,2}, middle {3,4}, tail {5,6}
+        (1, "en", 10.0), (2, "en", 20.0), (3, "en", 30.0),
+        (4, "en", 40.0), (5, "en", 50.0), (6, "en", 60.0),
+        # lang de: 4 docs, ntile(3) -> sizes 2,1,1
+        (7, "de", 5.0), (8, "de", 6.0), (9, "de", 7.0), (10, "de", 8.0),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, ppl double")
+    out = quality_buckets(docs, "ppl", group_col="lang")
+    got = {r.doc_id: (r.bucket_idx, r.bucket) for r in out.collect()}
+    assert got[1] == (1, "head") and got[2] == (1, "head")
+    assert got[3] == (2, "middle") and got[4] == (2, "middle")
+    assert got[5] == (3, "tail") and got[6] == (3, "tail")
+    assert got[7] == (1, "head") and got[8] == (1, "head")
+    assert got[9] == (2, "middle") and got[10] == (3, "tail")
+
+
+def test_quality_buckets_ties_deterministic(spark):
+    from geowombat_spark.pipeline.curate import quality_buckets
+
+    rows = [(i, "en", 1.0) for i in range(1, 7)]  # all scores equal
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, ppl double")
+    out = quality_buckets(docs, "ppl", group_col="lang")
+    got = {r.doc_id: r.bucket_idx for r in out.collect()}
+    # doc_id tie-break: 1,2 head / 3,4 middle / 5,6 tail — always
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 3}
+
+
+def test_quality_buckets_more_buckets_than_labels(spark):
+    from geowombat_spark.pipeline.curate import quality_buckets
+
+    rows = [(i, "en", float(i)) for i in range(1, 9)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, ppl double")
+    out = quality_buckets(docs, "ppl", group_col="lang", n_buckets=4)
+    assert {r.bucket for r in out.collect()} == {"1", "2", "3", "4"}
