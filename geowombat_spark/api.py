@@ -177,8 +177,14 @@ def open(  # noqa: A001  (mirrors the reference's gw.open name)
     mosaic: bool = False,
     overlap: str = "max",
     nodata: float | None = None,
+    bounds: tuple[float, float, float, float] | None = None,
 ):
     """``gw.open`` dispatch (``core/api.py:449-655``).
+
+    ``bounds=(left, bottom, right, top)`` subsets each source to the
+    window by a range predicate on the cell-center coordinates (the
+    reference's ``bounds``/``bounds_by`` read window) — a pushdown-able
+    filter, zero shuffle, applied before any stack/mosaic combine.
 
     - single path → tile-partitioned scan (partition-pruned reads);
     - wildcard path → expanded via :func:`parse_wildcard`, then list rules;
@@ -214,6 +220,14 @@ def open(  # noqa: A001  (mirrors the reference's gw.open name)
             df = open_zarr(spark, p)
         else:
             df = load_documents(spark, p)
+        if bounds is not None and {"x", "y"}.issubset(df.columns):
+            from pyspark.sql import functions as _F
+
+            l, b, r, t = (float(v) for v in bounds)
+            df = df.filter(
+                (_F.col("x") >= l) & (_F.col("x") < r)
+                & (_F.col("y") > b) & (_F.col("y") <= t)
+            )
         return rename_bands(df, sensor=sensor, band_names=band_names)
 
     if isinstance(path, (list, tuple)):

@@ -152,3 +152,18 @@ def test_gw_open_dispatches_netcdf_and_zarr(spark, cells, tmp_path):
     for p in (nc, store):
         got = gw.open(spark, p).agg(F.sum("band_blue")).first()[0]
         assert got == want
+
+
+def test_gw_open_bounds_window(spark, cells, tmp_path):
+    """open(bounds=...) subsets sources by cell-center coordinates."""
+    from geowombat_spark import api as gw
+
+    nc = str(tmp_path / "bw.nc")
+    gw.to_netcdf(cells, nc, GRID, bands=("band_blue",))
+    # full grid spans x [0,200), y (-200,0]; window = cols 0..9, rows 0..9
+    win = gw.open(spark, nc, bounds=(0.0, -100.0, 100.0, 0.0))
+    rows = win.select("row", "col").collect()
+    assert rows and all(r.row < 10 and r.col < 10 for r in rows)
+    full = gw.open(spark, nc)
+    want = full.filter("row < 10 and col < 10").count()
+    assert len(rows) == want
