@@ -1712,8 +1712,9 @@ def q_sixs(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so every query lands in the driver's 50-entry CORRECTNESS
     window over rounds. The r3 window (first 50): the 18 queries that have
-    never had a driver row, the 13 whose only row was r1, the 4 new r3
-    queries (q_dos, q_pansharpen, q_stream_dedup, q_zarr), then 15
+    never had a driver row, the 13 whose only row was r1, the 9 new r3
+    queries (q_dos, q_pansharpen, q_stream_dedup, q_zarr, q_netcdf,
+    q_sixs, q_vocab_oov, q_quality_buckets, q_dup_coverage), then 10
     backfill slots for the highest-risk already-green queries (code
     touched this round or structurally complex). Queries 51+ all hold
     green r2 rows."""
