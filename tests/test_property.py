@@ -262,3 +262,54 @@ def test_solar_chain_invariants(ts, lat, lon):
     assert 0.0 <= row["saa"] < 360.0
     assert -23.5 <= row["_decl"] <= 23.5
     assert -20.0 <= row["_eqtime"] <= 20.0
+
+
+# --- round-3: interval-merge coverage + CDF header algebra ---------------
+
+
+@given(
+    st.lists(st.integers(0, 400), min_size=0, max_size=60, unique=True),
+    st.integers(1, 12),
+    st.integers(1, 500),
+)
+def test_coverage_fold_matches_set_semantics(starts, n, n_words):
+    """The dedup coverage fold (sorted starts + running-max-end interval
+    merge) must equal brute-force set coverage of [s, min(s+n-1, nw-1)]."""
+    starts = sorted(s for s in starts if s < n_words)
+    covered = set()
+    for s in starts:
+        covered.update(range(s, min(s + n - 1, n_words - 1) + 1))
+    # mirror of pipeline/dedup._coverage_fold's acc recurrence in python
+    cov, end = 0, -1
+    for s in starts:
+        e = min(s + n - 1, n_words - 1)
+        cov += max(e - max(end, s - 1), 0)
+        end = max(end, e)
+    assert cov == len(covered)
+
+
+@given(
+    st.integers(1, 3000),
+    st.integers(1, 3000),
+    st.integers(1, 4),
+)
+@settings(max_examples=30, deadline=None)
+def test_netcdf_header_offsets_consistent(nrows, ncols, nbands):
+    """Variable begins are contiguous, ordered, and the header length
+    equals the first data begin for any grid/band-count combination."""
+    import json as _json
+
+    from geowombat_spark.sources.netcdf import _build_header
+
+    g = GridSpec(left=0, top=0, cellx=1, celly=1,
+                 nrows=nrows, ncols=ncols, tile_rows=64, tile_cols=64)
+    bands = [f"b{i}" for i in range(nbands)]
+    header, begins, total = _build_header(
+        g, bands, 0.0, {"grid": _json.dumps(g.as_dict())}
+    )
+    vb = nrows * ncols * 8
+    assert begins["x"] - begins["y"] == nrows * 8
+    assert begins[bands[0]] == len(header)  # coords written with header
+    for a, b in zip(bands, bands[1:]):
+        assert begins[b] - begins[a] == vb
+    assert total == begins[bands[-1]] + vb
