@@ -315,7 +315,12 @@ def lut_coeffs_linear(
                 idx = []
                 for d, bit in enumerate(corner):
                     w *= frac[d] if bit else (1.0 - frac[d])
-                    idx.append(base[d] + bit)
+                    # clamp the +1 corner on single-node axes (count=1):
+                    # its weight is already 0 there, but the gather must
+                    # stay in bounds
+                    idx.append(
+                        np.minimum(base[d] + bit, axes_meta[d][2] - 1)
+                    )
                 acc += w[:, None] * arr[tuple(idx)]
             out = pdf.drop(columns=in_cols)
             for j, c in enumerate(COEFFS):

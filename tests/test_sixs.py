@@ -155,3 +155,34 @@ def test_nearest_plan_is_broadcast(spark, lut):
     out = sixs.lut_coeffs_nearest(px, df, grid, sza="sza")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_linear_single_node_axis(spark):
+    """A degenerate axis with one node must interpolate in bounds (its
+    +1 corner has zero weight but used to gather out of range)."""
+    from geowombat_spark.functions.sixs import LutAxis, LutGrid
+
+    grid = sixs.LutGrid(
+        sza=LutAxis("sza", 0.0, 10.0, 5),
+        h2o=LutAxis("h2o", 2.0, 1.0, 1),   # single node
+        o3=LutAxis("o3", 0.0, 2.0, 2),
+        aot=LutAxis("aot", 0.0, 0.5, 3),
+        alt=LutAxis("alt", 0.0, 2.0, 1),   # single node
+    )
+    lut, _ = sixs.synthetic_lut(spark, grid)
+    px = spark.createDataFrame([(1, 25.0)], "id long, sza double")
+    out = sixs.lut_coeffs_linear(
+        px, lut, grid, sza="sza", h2o=2.0, o3=1.0, aot=0.25, alt=0.0
+    )
+    row = out.collect()[0]
+    # midpoints on sza/o3/aot; h2o/alt pinned at their single node
+    for c in sixs.COEFFS:
+        lo_hi = [
+            _np_coeffs(szav, 2.0, o3v, aotv, 0.0)[c]
+            for szav in (20.0, 30.0)
+            for o3v in (0.0, 2.0)
+            for aotv in (0.0, 0.5)
+        ]
+        assert row[f"six_{c}"] == pytest.approx(
+            sum(lo_hi) / len(lo_hi), rel=1e-12
+        )
