@@ -71,11 +71,18 @@ from .pipeline.curate import (  # noqa: F401
     decontaminate,
     pack_sequences,
     pii_scrub,
+    quality_buckets,
     rebalance_sources,
+)
+from .pipeline.dedup import (  # noqa: F401
+    dup_ngram_coverage,
+    scrub_dup_passages,
 )
 from .pipeline.text import (  # noqa: F401
     bm25_scores,
+    build_vocab,
     char_lm_scores,
+    oov_stats,
     repetition_stats,
     token_estimate,
 )
