@@ -1709,15 +1709,80 @@ def q_sixs(spark, sf_dir):
     )
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental exact dedup (pipeline/dedup.exact_index +
+    dedup_against): a synthetic ingestion batch — exact copies of every
+    5th corpus doc under two new ids (corpus dup AND batch-internal dup)
+    plus perturbed novel docs — is audited against the corpus
+    content-hash index. One window + one left join, both on ``dup_key``;
+    at 100 TB the index is persisted bucketed on that key and the join
+    moves nothing. Value oracle: the same split + window + join in SQL."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dup_src = d.filter(F.col("doc_id") % 5 == 0)
+    novel = d.filter(F.col("doc_id") % 5 == 1)
+    batch = (
+        dup_src.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+        .unionByName(
+            novel.select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" novo")).alias("text"),
+            )
+        )
+        .unionByName(
+            dup_src.select(
+                (F.col("doc_id") + 3000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    idx = dedup.exact_index(d)
+    return dedup.dedup_against(batch, idx)
+
+
+def q_neardup_incremental(spark, sf_dir):
+    """Incremental near-dup (pipeline/dedup.minhash_band_index +
+    neardup_against): the corpus half (even ids) is summarized once into
+    a MinHash band index; the batch — exact and token-appended copies of
+    every 5th corpus doc plus the odd-id docs as decoys — probes it on
+    (band_idx, band_hash) and candidates are verified with the
+    signature-estimated Jaccard (Broder estimator, zip_with+aggregate,
+    JVM-side). The oracle rebuilds both signature sets and the band join
+    in SQL — value-level parity certifies the whole index/probe path."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    probes = corpus.filter(F.col("doc_id") % 10 == 0)
+    batch = (
+        probes.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" tail token")).alias("text"),
+        )
+        .unionByName(
+            probes.select(
+                (F.col("doc_id") + 3000000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 2 == 1).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    idx = dedup.minhash_band_index(corpus, n=3, bands=4, rows=4)
+    return dedup.neardup_against(
+        batch, idx, n=3, bands=4, rows=4, threshold=0.5
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so every query lands in the driver's 50-entry CORRECTNESS
     window over rounds. The r3 window (first 50): the 18 queries that have
-    never had a driver row, the 13 whose only row was r1, the 9 new r3
+    never had a driver row, the 13 whose only row was r1, the 11 new r3
     queries (q_dos, q_pansharpen, q_stream_dedup, q_zarr, q_netcdf,
-    q_sixs, q_vocab_oov, q_quality_buckets, q_dup_coverage), then 10
-    backfill slots for the highest-risk already-green queries (code
-    touched this round or structurally complex). Queries 51+ all hold
-    green r2 rows."""
+    q_sixs, q_vocab_oov, q_quality_buckets, q_dup_coverage,
+    q_dedup_incremental, q_neardup_incremental), then 8 backfill slots
+    for the highest-risk already-green queries (code touched this round
+    or structurally complex). Queries 51+ all hold green r2 rows."""
     return {
         # --- never driver-checked (18) --------------------------------
         "q_polygonize": q_polygonize,
@@ -1762,6 +1827,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_buckets": q_quality_buckets,
         "q_dup_coverage": q_dup_coverage,
         "q_sixs": q_sixs,
+        "q_dedup_incremental": q_dedup_incremental,
+        "q_neardup_incremental": q_neardup_incremental,
         # --- backfill: green in r2, code touched in r3 / complex ------
         "q_recode": q_recode,
         "q_minhash_lsh": q_minhash_lsh,
@@ -1771,9 +1838,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_estimate": q_token_estimate,
         "q_repetition": q_repetition,
         "q_tile_manifest": q_tile_manifest,
+        # --- green r2 rows (the 50-entry window ends above) -----------
         "q_coregister": q_coregister,
         "q_extract_points": q_extract_points,
-        # --- green r2 rows (the 50-entry window ends above) -----------
         "q_extract_polygons": q_extract_polygons,
         "q_near_pairs": q_near_pairs,
         "q_knn_join": q_knn_join,
@@ -1865,6 +1932,36 @@ _BANDED = "\n  UNION ALL\n".join(
     f"md5(concat_ws(',', mh{bi*4}, mh{bi*4+1}, mh{bi*4+2}, mh{bi*4+3})) AS band_hash FROM mh"
     for bi in range(4)
 )
+
+
+def _mh_ctes(tag: str, src: str) -> str:
+    """The tokens→shingles→minhash CTE chain of LTOKS/SH/MH, suffixed
+    ``_{tag}`` and reading from ``src`` — for oracles that sign TWO
+    derived tables (incremental dedup: corpus vs batch)."""
+    return (
+        f"ltoks_{tag} AS (SELECT doc_id, "
+        r"regexp_split_to_array(trim(lower(text)), '\s+') AS t "
+        f"FROM {src}),\n"
+        f"sh_{tag} AS (SELECT DISTINCT doc_id, "
+        "array_to_string(t[i:i+2], ' ') AS shingle "
+        f"FROM ltoks_{tag}, "
+        "UNNEST(range(1, greatest(len(t)-2, 1)+1)) AS u(i)),\n"
+        f"hashed_{tag} AS (SELECT doc_id, "
+        f"{MD5I.format(x='shingle')} % {dedup.PRIME30} AS h "
+        f"FROM sh_{tag}),\n"
+        f"mh_{tag} AS (SELECT doc_id,\n    {_MH_TERMS}\n"
+        f"  FROM hashed_{tag} GROUP BY doc_id)"
+    )
+
+
+def _banded_sql(tag: str) -> str:
+    return "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {bi} AS band_idx, "
+        f"md5(concat_ws(',', mh{bi*4}, mh{bi*4+1}, mh{bi*4+2}, mh{bi*4+3}))"
+        f" AS band_hash FROM mh_{tag}"
+        for bi in range(4)
+    )
+
 
 JAC = """
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -3329,6 +3426,63 @@ SELECT l.doc_id, CAST(len(l.t) AS BIGINT) AS n_words,
   coalesce(c.dup_cov, 0) AS dup_cov,
   round(coalesce(c.dup_cov, 0) / CAST(len(l.t) AS DOUBLE), 6) AS dup_frac
 FROM lt l LEFT JOIN cov c USING (doc_id)
+"""
+
+    o["q_dedup_incremental"] = """
+WITH corpus AS (SELECT doc_id, md5(lower(trim(text))) AS dup_key
+                FROM documents),
+idx AS (SELECT dup_key, min(doc_id) AS owner_id FROM corpus GROUP BY 1),
+batch AS (
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' novo' FROM documents
+  WHERE doc_id % 5 = 1
+  UNION ALL
+  SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 5 = 0),
+keyed AS (
+  SELECT doc_id, md5(lower(trim(text))) AS dup_key FROM batch),
+surv AS (
+  SELECT doc_id, dup_key,
+         doc_id = min(doc_id) OVER (PARTITION BY dup_key)
+           AS batch_survivor
+  FROM keyed)
+SELECT s.doc_id, s.dup_key,
+       i.owner_id IS NOT NULL AS in_corpus,
+       i.owner_id AS corpus_owner,
+       s.batch_survivor,
+       (i.owner_id IS NULL AND s.batch_survivor) AS kept
+FROM surv s LEFT JOIN idx i USING (dup_key)
+"""
+
+    _eq16 = " + ".join(
+        f"(CASE WHEN mb.mh{i} = mc.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(16)
+    )
+    o["q_neardup_incremental"] = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+batch AS (
+  SELECT doc_id + 1000000 AS doc_id, text || ' tail token' AS text
+  FROM corpus WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 3000000, text FROM corpus WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 2 = 1),
+{_mh_ctes('c', 'corpus')},
+{_mh_ctes('b', 'batch')},
+banded_c AS (
+{_banded_sql('c')}),
+banded_b AS (
+{_banded_sql('b')}),
+cand AS (
+  SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+  FROM banded_b b JOIN banded_c c USING (band_idx, band_hash))
+SELECT cand.batch_id, cand.corpus_id,
+       round(({_eq16}) / 16.0, 6) AS jaccard_est
+FROM cand
+JOIN mh_b mb ON mb.doc_id = cand.batch_id
+JOIN mh_c mc ON mc.doc_id = cand.corpus_id
+WHERE round(({_eq16}) / 16.0, 6) >= 0.5
 """
 
     # Elliptical-orbit correction computed in Python and inlined via repr

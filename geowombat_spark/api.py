@@ -75,7 +75,11 @@ from .pipeline.curate import (  # noqa: F401
     rebalance_sources,
 )
 from .pipeline.dedup import (  # noqa: F401
+    dedup_against,
     dup_ngram_coverage,
+    exact_index,
+    minhash_band_index,
+    neardup_against,
     scrub_dup_passages,
 )
 from .pipeline.text import (  # noqa: F401

@@ -643,3 +643,88 @@ def test_oov_join_is_broadcast(spark):
     plan = text.oov_stats(docs, vocab)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_exact_index_and_dedup_against(spark):
+    """Incremental exact dedup: corpus dups are flagged with their corpus
+    owner, batch-internal dups keep only the min-id survivor, and kept =
+    novel AND first-occurrence."""
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 4],
+                "text": [
+                    "alpha beta",
+                    "Alpha Beta  ",  # normalizes (lower+trim) to doc 1
+                    "gamma delta",
+                ],
+            }
+        )
+    )
+    idx = dedup.exact_index(corpus)
+    rows = {r["dup_key"]: r["owner_id"] for r in idx.collect()}
+    assert len(rows) == 2  # two distinct normalized texts
+    assert sorted(rows.values()) == [1, 4]  # min-id owners
+
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [10, 11, 12, 13],
+                "text": [
+                    "alpha beta",  # already in corpus
+                    "new stuff",  # novel, first occurrence
+                    "new stuff",  # batch-internal dup of 11
+                    "unique here",  # novel
+                ],
+            }
+        )
+    )
+    out = {
+        r["doc_id"]: (r["in_corpus"], r["corpus_owner"], r["batch_survivor"], r["kept"])
+        for r in dedup.dedup_against(batch, idx).collect()
+    }
+    assert out[10] == (True, 1, True, False)
+    assert out[11] == (False, None, True, True)
+    assert out[12] == (False, None, False, False)
+    assert out[13] == (False, None, True, True)
+
+
+def test_neardup_against_planted_copies(spark):
+    """Incremental near-dup via the band index: an exact copy probes at
+    estimated Jaccard 1.0, a one-token-appended copy stays high, and an
+    unrelated doc yields no pair."""
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog tonight again",
+                    "ein ganz anderes dokument ohne gemeinsame woerter darin steht",
+                ],
+            }
+        )
+    )
+    idx = dedup.minhash_band_index(corpus, n=3, bands=4, rows=4)
+    # 4 band rows per corpus doc, signature carried on each
+    assert idx.count() == 8
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [100, 101, 102],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog tonight again",
+                    "the quick brown fox jumps over the lazy dog tonight again extra",
+                    "vollkommen neuer inhalt der mit nichts im korpus uebereinstimmt",
+                ],
+            }
+        )
+    )
+    pairs = {
+        (r["batch_id"], r["corpus_id"]): r["jaccard_est"]
+        for r in dedup.neardup_against(
+            batch, idx, n=3, bands=4, rows=4, threshold=0.5
+        ).collect()
+    }
+    assert pairs[(100, 1)] == 1.0
+    assert pairs.get((101, 1), 0.0) >= 0.75  # one appended token
+    assert not any(b == 102 for (b, _c) in pairs)
