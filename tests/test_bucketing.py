@@ -67,3 +67,47 @@ class _no_broadcast:
 
     def __exit__(self, *a):
         self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", self.old)
+
+
+def test_exact_index_bucketed_probe_skips_index_exchange(spark):
+    """The incremental-dedup scale story (pipeline/dedup.exact_index):
+    with the corpus index persisted bucketed on dup_key, a batch probe's
+    join reads the index scan directly — the only Exchange left in the
+    plan is the batch side's own window/join shuffle. Against the same
+    index unbucketed, the plan pays one more Exchange (the index side)."""
+    import shutil
+
+    from geowombat_spark.pipeline import dedup
+
+    spark.sql("DROP TABLE IF EXISTS bkt_dedup_idx")
+    shutil.rmtree("spark-warehouse/bkt_dedup_idx", ignore_errors=True)
+    corpus = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc body nr "), (F.col("id") % 100)).alias("text"),
+    )
+    idx = dedup.exact_index(corpus)
+    bucketing.write_bucketed(
+        idx, "bkt_dedup_idx", n_buckets=8,
+        bucket_col="dup_key", sort_col="dup_key",
+    )
+    batch = spark.range(40).select(
+        (F.col("id") + 9000).alias("doc_id"),
+        F.concat(F.lit("doc body nr "), F.col("id")).alias("text"),
+    )
+
+    def n_exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange")
+
+    with _no_broadcast(spark):
+        bucketed = dedup.dedup_against(
+            batch, bucketing.read_bucketed(spark, "bkt_dedup_idx")
+        )
+        unbucketed = dedup.dedup_against(batch, idx)
+        assert n_exchanges(bucketed) < n_exchanges(unbucketed)
+        # and the audit is correct: ids 9000..9039 probe texts 0..39,
+        # all of which exist in the corpus (ids 0..99 cover nr 0..99)
+        n_in = bucketed.filter("in_corpus").count()
+        assert n_in == 40
+
+    spark.sql("DROP TABLE IF EXISTS bkt_dedup_idx")
