@@ -453,7 +453,14 @@ def q_simhash(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
-    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+    """max_bucket_size=None (the exact-recall opt-out): this query's
+    oracle is deliberately the INDEPENDENT all-pairs hamming formulation
+    — it certifies the pigeonhole banding is lossless, which only holds
+    uncapped. The capped default's drop behavior is pinned separately by
+    test_pathological_bucket_dropped_under_defaults."""
+    return dedup.simhash_pairs(
+        _docs(spark, sf_dir), max_hamming=3, max_bucket_size=None
+    )
 
 
 def q_embed_neardup(spark, sf_dir):
@@ -1963,11 +1970,16 @@ def _banded_sql(tag: str) -> str:
     )
 
 
-JAC = """
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+def _jac_sql(src: str = "sh") -> str:
+    """The exact-Jaccard CTE chain over a shingle table ``src`` —
+    parametrized so capped variants (q_jaccard_pairs mirrors the engine's
+    ``max_doc_freq`` cut) use the same text as the uncapped one."""
+    return f"""
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM {src} GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM {src} a JOIN {src} b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2),
 jac AS (
   SELECT doc_a, doc_b,
@@ -1976,6 +1988,9 @@ jac AS (
   JOIN sizes sa ON sa.doc_id = doc_a
   JOIN sizes sb ON sb.doc_id = doc_b)
 """
+
+
+JAC = _jac_sql("sh")
 
 SIMHASH = f"""
 tok AS (SELECT doc_id, unnest(t) AS w FROM ltoks),
@@ -2320,10 +2335,19 @@ SELECT md5(lower(trim(text))) AS dup_key, min(doc_id) AS survivor_id,
 FROM documents GROUP BY 1 HAVING count(*) >= 2
 """
 
+    # mirrors the engine's max_doc_freq cap (drop shingles in more than
+    # DEFAULT_MAX_DOC_FREQ docs BEFORE sizes/pairing) so engine and oracle
+    # compute the same function at every scale, not just where no shingle
+    # crosses the cap.
     o["q_jaccard_pairs"] = f"""
 WITH {LTOKS},
 {SH},
-{JAC.strip()}
+shc AS (
+  SELECT sh.* FROM sh
+  JOIN (SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(*) <= {dedup.DEFAULT_MAX_DOC_FREQ}) ok
+  USING (shingle)),
+{_jac_sql('shc').strip()}
 SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.8
 """
 
@@ -2340,9 +2364,14 @@ WITH {LTOKS},
 {MH},
 banded AS (
 {_BANDED}),
+bandedc AS (
+  SELECT banded.* FROM banded
+  JOIN (SELECT band_idx, band_hash FROM banded GROUP BY 1, 2
+        HAVING count(*) <= {dedup.DEFAULT_MAX_BUCKET}) ok
+  USING (band_idx, band_hash)),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM banded a JOIN banded b
+  FROM bandedc a JOIN bandedc b
     ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
 {JAC.strip()}
 SELECT c.doc_a, c.doc_b, j.jaccard
@@ -3332,9 +3361,12 @@ p AS (
           + band_red * {_third}) AS i3
   FROM g)
 SELECT doc_id,
-  round(band_blue * pan / i3, 6) AS brovey_blue,
-  round(band_green * pan / i3, 6) AS brovey_green,
-  round(band_red * pan / i3, 6) AS brovey_red,
+  round(CASE WHEN i3 <> 0.0 THEN band_blue * pan / i3 ELSE 0.0 END, 6)
+    AS brovey_blue,
+  round(CASE WHEN i3 <> 0.0 THEN band_green * pan / i3 ELSE 0.0 END, 6)
+    AS brovey_green,
+  round(CASE WHEN i3 <> 0.0 THEN band_red * pan / i3 ELSE 0.0 END, 6)
+    AS brovey_red,
   round(band_blue + (pan - band_blue), 6) AS esri_blue
 FROM p
 """
@@ -3470,8 +3502,13 @@ batch AS (
   SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 2 = 1),
 {_mh_ctes('c', 'corpus')},
 {_mh_ctes('b', 'batch')},
-banded_c AS (
+banded_c0 AS (
 {_banded_sql('c')}),
+banded_c AS (
+  SELECT banded_c0.* FROM banded_c0
+  JOIN (SELECT band_idx, band_hash FROM banded_c0 GROUP BY 1, 2
+        HAVING count(*) <= {dedup.DEFAULT_MAX_BUCKET}) ok
+  USING (band_idx, band_hash)),
 banded_b AS (
 {_banded_sql('b')}),
 cand AS (

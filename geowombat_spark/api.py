@@ -231,7 +231,12 @@ def open(  # noqa: A001  (mirrors the reference's gw.open name)
             df = open_zarr(spark, p)
         else:
             df = load_documents(spark, p)
-        if bounds is not None and {"x", "y"}.issubset(df.columns):
+        if bounds is not None:
+            if not {"x", "y"}.issubset(df.columns):
+                raise ValueError(
+                    f"open(bounds=...) needs x/y coordinate columns; "
+                    f"{p!r} has {df.columns}"
+                )
             from pyspark.sql import functions as _F
 
             l, b, r, t = (float(v) for v in bounds)

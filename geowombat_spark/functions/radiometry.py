@@ -593,7 +593,14 @@ def pan_sharpen(
     outs = {}
     for b in bands:
         if method == "brovey":
-            out = F.col(b).cast("double") * pan / intensity
+            # zero-intensity guard: an all-zero pixel (nodata fill / true
+            # black) would give band·pan/0 = NaN/Inf and poison downstream
+            # aggregates; the ratio is undefined there, so the pixel
+            # stays black (0.0).
+            out = F.when(
+                intensity != 0.0,
+                F.col(b).cast("double") * pan / intensity,
+            ).otherwise(F.lit(0.0))
         elif method == "esri":
             out = F.col(b).cast("double") + (pan - intensity)
         else:

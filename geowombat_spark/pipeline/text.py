@@ -334,8 +334,10 @@ def build_vocab(
     (vocab-sized) relation. Ties break on the token string so the vocab
     is deterministic across engines and partitionings.
     """
-    txt = F.lower(F.trim(F.coalesce(F.col(text_col), F.lit(""))))
-    tok = F.explode(F.split(txt, r"\s+")).alias("token")
+    # same tokenization chain as every other corpus op (tokens() =
+    # split(trim(.), '\s+'); trim∘lower == lower∘trim for whitespace)
+    txt = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    tok = F.explode(tokens(txt)).alias("token")
     counts = docs.select(tok).groupBy("token").agg(
         F.count(F.lit(1)).alias("tf_corpus")
     )
@@ -363,10 +365,10 @@ def oov_stats(
     shuffles for the join) → one partial-aggregated groupBy(id). The
     standard pre-filter for tokenizer coverage / gibberish detection.
     """
-    txt = F.lower(F.trim(F.coalesce(F.col(text_col), F.lit(""))))
+    txt = F.lower(F.coalesce(F.col(text_col), F.lit("")))
     ex = docs.select(
         F.col(id_col),
-        F.explode(F.split(txt, r"\s+")).alias("token"),
+        F.explode(tokens(txt)).alias("token"),
     )
     v = F.broadcast(vocab.select("token").withColumn("_iv", F.lit(1)))
     joined = ex.join(v, "token", "left")

@@ -169,11 +169,13 @@ def to_netcdf(
 
     Cells absent from ``df`` take ``fill_value`` (default ``grid.nodata``).
     """
-    if os.path.exists(path):
-        if not overwrite:
-            warnings.warn(f"The file {path} already exists.", stacklevel=2)
-            return None
-        os.unlink(path)
+    if os.path.exists(path) and not overwrite:
+        warnings.warn(f"The file {path} already exists.", stacklevel=2)
+        return None
+    # No unlink on overwrite: the whole write lands in <path>.inprogress
+    # and os.replace() below atomically swaps it in, so readers see the
+    # OLD complete file for the entire (possibly minutes-long) job window
+    # and the new one only when it's whole.
     fill = float(grid.nodata if fill_value is None else fill_value)
     band_list = list(bands)
     attrs = {"crs": grid.crs, "grid": json.dumps(grid.as_dict()),
@@ -195,6 +197,17 @@ def to_netcdf(
         h = min(tr, nrows - row0)
         rr = pdf["row"].to_numpy(np.int64) - row0
         cc = pdf["col"].to_numpy(np.int64)
+        # loud guard: a negative col would WRAP via numpy fancy indexing
+        # (silently landing in the wrong cell) and a negative stripe would
+        # seek before the variable region and corrupt the header.
+        bad = (rr < 0) | (rr >= h) | (cc < 0) | (cc >= ncols)
+        if bad.any():
+            raise ValueError(
+                f"to_netcdf: {int(bad.sum())} cells outside the grid "
+                f"(stripe {stripe}, e.g. row="
+                f"{int(pdf['row'].to_numpy()[bad.argmax()])}, col="
+                f"{int(cc[bad.argmax()])}); clip or subset the input first"
+            )
         nbytes = 0
         with open(tmp, "r+b") as fh:
             for b in band_list:

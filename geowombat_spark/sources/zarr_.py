@@ -91,6 +91,14 @@ def to_zarr(
             warnings.warn(f"The zarr store {path} already exists.",
                           stacklevel=2)
             return None
+        # Remove the old store entirely: a sparse re-write would otherwise
+        # leave STALE chunk files from the previous write that open_zarr
+        # reads back as data (missing-chunk == fill only holds for a fresh
+        # store), and a changed grid/tile shape would leave chunks whose
+        # byte length no longer matches the new .zarray metadata.
+        import shutil
+
+        shutil.rmtree(path)
     fill = float(grid.nodata if fill_value is None else fill_value)
     comp = (None if compress_level is None
             else {"id": "zlib", "level": int(compress_level)})
@@ -119,6 +127,14 @@ def to_zarr(
         cx = int(pdf["chunk_x"].iloc[0])
         rr = pdf["row"].to_numpy(np.int64) - cy * tr
         cc = pdf["col"].to_numpy(np.int64) - cx * tc
+        # loud guard: negative row/col would wrap via numpy fancy indexing
+        # and silently write the wrong cell of the chunk.
+        bad = (rr < 0) | (rr >= tr) | (cc < 0) | (cc >= tc)
+        if bad.any():
+            raise ValueError(
+                f"to_zarr: {int(bad.sum())} cells outside chunk "
+                f"({cy},{cx}); negative coordinates? clip the input first"
+            )
         nbytes = 0
         for b in band_list:
             block = np.full((tr, tc), fill, dtype="<f8")
