@@ -1,3 +1,3 @@
 """Structured Streaming: continuous ingest into the tiled corpus."""
 
-from . import ingest  # noqa: F401
+from . import dedup, ingest  # noqa: F401

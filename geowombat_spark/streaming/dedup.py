@@ -74,6 +74,44 @@ def stream_exact_dedup(
     )
 
 
+def stream_dedup_against(
+    stream: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "event_ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming incremental dedup against a STATIC corpus index
+    (``pipeline/dedup.exact_index``) — the streaming analogue of
+    ``dedup_against``, for continuous ingestion into an already-deduped
+    corpus.
+
+    Within-stream first occurrence survives via
+    ``dropDuplicatesWithinWatermark`` on the content key (bounded state,
+    exactly :func:`stream_exact_dedup`); corpus membership then comes from
+    a **stream-static left join** — Spark joins each micro-batch against
+    the static index as an ordinary batch relation (broadcast-able when
+    small, bucketed on ``dup_key`` at corpus scale), no streaming state.
+    Output: the stream's surviving rows with ``dup_key``, ``corpus_owner``
+    (NULL = novel), ``in_corpus`` and ``kept = NOT in_corpus`` — stream
+    copies of corpus docs flow through flagged, so the sink can route
+    keeps and drops without a second pass."""
+    keyed = stream.withColumn("dup_key", content_key(text_col))
+    surv = keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["dup_key"]
+    )
+    idx = index.select(
+        "dup_key", F.col("owner_id").alias("corpus_owner")
+    )
+    out = surv.join(idx, "dup_key", "left")
+    return out.withColumns(
+        {
+            "in_corpus": F.col("corpus_owner").isNotNull(),
+            "kept": F.col("corpus_owner").isNull(),
+        }
+    )
+
+
 _FLAG_SCHEMA = "doc_id bigint, band_idx int, band_hash string, seen_min bigint"
 _STATE_SCHEMA = "min_doc bigint"
 

@@ -265,3 +265,58 @@ def test_streaming_pii_scrub_and_token_estimate(spark, stream_dirs):
     assert "[EMAIL]" in got.loc[0, "text"]
     assert got.loc[0, "n_email"] == 1 and got.loc[1, "n_email"] == 0
     assert (got["n_ws_tokens"] > 0).all()
+
+
+def test_stream_dedup_against_static_index(spark, stream_dirs):
+    """Stream-static incremental dedup: within-stream dups collapse to the
+    first occurrence, and survivors are flagged against the static corpus
+    index (copies of corpus docs kept=False, novel docs kept=True)."""
+    from geowombat_spark.pipeline import dedup as bdedup
+    from geowombat_spark.streaming import dedup as sdedup
+
+    indir = os.path.join(stream_dirs["in"], "against")
+    os.makedirs(indir, exist_ok=True)
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2], "text": ["corpus doc one", "corpus doc two"]}
+        )
+    )
+    index = bdedup.exact_index(corpus)
+    _text_batch(
+        spark,
+        indir,
+        [
+            (10, "corpus doc one", "2026-01-01 00:00:10"),  # in corpus
+            (11, "a novel document", "2026-01-01 00:00:20"),
+            (12, "a novel document", "2026-01-01 00:00:30"),  # stream dup
+        ],
+        "t1",
+    )
+    _text_batch(
+        spark,
+        indir,
+        [(13, "corpus doc two  ", "2026-01-01 00:00:40")],  # in corpus (norm)
+        "t2",
+    )
+    stream = (
+        spark.readStream.schema(TEXT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+    )
+    out = sdedup.stream_dedup_against(stream, index)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_against_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["doc_id"]: (r["in_corpus"], r["corpus_owner"], r["kept"])
+        for r in spark.sql("select * from dedup_against_test").collect()
+    }
+    assert set(rows) == {10, 11, 13}  # 12 collapsed into 11
+    assert rows[10] == (True, 1, False)
+    assert rows[11] == (False, None, True)
+    assert rows[13] == (True, 2, False)
