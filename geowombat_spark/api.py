@@ -82,6 +82,13 @@ from .pipeline.dedup import (  # noqa: F401
     neardup_against,
     scrub_dup_passages,
 )
+from .pipeline.multimodal import (  # noqa: F401
+    decode_media,
+    frame_sample,
+    media_refs,
+    resize_media,
+    with_span_hash,
+)
 from .pipeline.text import (  # noqa: F401
     bm25_scores,
     build_vocab,

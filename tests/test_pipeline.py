@@ -728,3 +728,86 @@ def test_neardup_against_planted_copies(spark):
     assert pairs[(100, 1)] == 1.0
     assert pairs.get((101, 1), 0.0) >= 0.75  # one appended token
     assert not any(b == 102 for (b, _c) in pairs)
+
+
+def _checker_img(h, w):
+    """Deterministic (h, w, 3) uint8 test image."""
+    y, x = np.mgrid[0:h, 0:w]
+    r = ((x + y) % 2 * 255).astype(np.uint8)
+    g = (x * 17 % 256).astype(np.uint8)
+    b = (y * 31 % 256).astype(np.uint8)
+    return np.stack([r, g, b], axis=-1)
+
+
+def _bmp_bytes(img):
+    """Hand-rolled 24-bit BI_RGB BMP (bottom-up, padded rows)."""
+    import struct
+
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # flip + BGR
+    data = rows.tobytes()
+    off = 14 + 40
+    return (
+        b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                      2835, 2835, 0, 0)
+        + data
+    )
+
+
+def test_ppm_bmp_codecs_roundtrip():
+    """Pure-numpy codecs: PPM encode→decode is exact; the hand-rolled BMP
+    (bottom-up, BGR, padded stride) decodes to the same pixels."""
+    img = _checker_img(5, 7)  # odd width exercises BMP row padding
+    assert np.array_equal(multimodal.decode_ppm(multimodal.encode_ppm(img)), img)
+    assert np.array_equal(multimodal.decode_bmp(_bmp_bytes(img)), img)
+    # PPM with a header comment
+    withc = b"P6\n# a comment\n7 5\n255\n" + img.tobytes()
+    assert np.array_equal(multimodal.decode_ppm(withc), img)
+
+
+def test_decode_media_real_formats(spark):
+    """decode_media runs the REAL decode for PPM/BMP payloads (exact
+    width/height/mean) and the stub for unknown containers in the same
+    Arrow batch."""
+    img = _checker_img(4, 6)
+    rows = [
+        (1, "media://ppm", bytearray(multimodal.encode_ppm(img))),
+        (2, "media://bmp", bytearray(_bmp_bytes(img))),
+        (3, "media://blob", bytearray(hashlib.md5(b"x").digest())),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, media_ref string, media_bytes binary"
+    )
+    out = {r["media_ref"]: r for r in multimodal.decode_media(df).collect()}
+    want_mean = round(float(img.mean()) / 255.0, 6)
+    for ref in ("media://ppm", "media://bmp"):
+        r = out[ref]
+        assert (r["width"], r["height"], r["n_frames"]) == (6, 4, 1)
+        assert abs(r["mean_intensity"] - want_mean) < 1e-9
+    assert out["media://blob"]["width"] != 6 or out["media://blob"]["height"] != 4
+
+
+def test_resize_media_nearest(spark):
+    """resize_media: nearest-neighbor pixels match the numpy index rule
+    exactly; undecodable payloads yield NULLs, not dropped rows."""
+    img = _checker_img(8, 8)
+    df = spark.createDataFrame(
+        [
+            (1, "media://a", bytearray(multimodal.encode_ppm(img))),
+            (2, "media://junk", bytearray(b"\x00\x01\x02\x03\x04\x05")),
+        ],
+        "doc_id long, media_ref string, media_bytes binary",
+    )
+    out = {
+        r["media_ref"]: r
+        for r in multimodal.resize_media(df, out_w=4, out_h=4).collect()
+    }
+    got = multimodal.decode_ppm(bytes(out["media://a"]["media_bytes"]))
+    ys = np.arange(4) * 8 // 4
+    xs = np.arange(4) * 8 // 4
+    assert np.array_equal(got, img[ys][:, xs])
+    junk = out["media://junk"]
+    assert junk["media_bytes"] is None and junk["width"] is None
