@@ -83,7 +83,9 @@ from .pipeline.dedup import (  # noqa: F401
     scrub_dup_passages,
 )
 from .pipeline.multimodal import (  # noqa: F401
+    decode_audio,
     decode_media,
+    extract_frames,
     frame_sample,
     media_refs,
     resize_media,

@@ -202,17 +202,99 @@ def decode_bmp(raw: bytes) -> np.ndarray:
     return img[..., ::-1].copy()  # BGR → RGB
 
 
+def _ppm_frame_size(raw: bytes) -> int:
+    """Byte length of the first P6 frame in ``raw`` (header + pixels)."""
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while raw[pos : pos + 1].isspace():
+            pos += 1
+        if raw[pos : pos + 1] == b"#":
+            pos = raw.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while not raw[end : end + 1].isspace():
+            end += 1
+        fields.append(int(raw[pos:end]))
+        pos = end
+    w, h, _ = fields
+    return pos + 1 + h * w * 3
+
+
+def ppm_frames(raw: bytes) -> list[np.ndarray]:
+    """Decode a concatenated-P6 stream (the engine's trivial 'video'
+    container: frames are back-to-back binary PPMs) into a list of
+    (h, w, 3) arrays."""
+    frames, pos = [], 0
+    while pos < len(raw) and raw[pos : pos + 2] == b"P6":
+        size = _ppm_frame_size(raw[pos:])
+        frames.append(decode_ppm(raw[pos : pos + size]))
+        pos += size
+    if not frames or pos != len(raw):
+        raise ValueError("not a clean P6 stream")
+    return frames
+
+
+def decode_wav(raw: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a RIFF/WAVE PCM payload (8- or 16-bit integer PCM) into
+    (sample_rate, n_channels, float samples in [-1, 1], shape
+    (n_frames, n_channels)) — pure numpy, chunk-walking the RIFF layout."""
+    import struct
+
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(raw):
+        cid, size = raw[pos : pos + 4], struct.unpack_from("<I", raw, pos + 4)[0]
+        body = raw[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_ch, rate, _byte_rate, _align, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError(f"only 8/16-bit PCM supported (fmt={audio_format})")
+    if bits == 16:
+        x = np.frombuffer(data, "<i2").astype(np.float64) / 32768.0
+    else:
+        x = (np.frombuffer(data, np.uint8).astype(np.float64) - 128.0) / 128.0
+    return rate, n_ch, x.reshape(-1, n_ch)
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Encode float samples in [-1, 1] (shape (n,) or (n, ch)) as 16-bit
+    PCM RIFF/WAVE."""
+    import struct
+
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n_ch = x.shape[1]
+    pcm = np.clip(np.round(x * 32767.0), -32768, 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * n_ch * 2, n_ch * 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+
+
 def _real_decode(raw: bytes) -> tuple[int, int, int, float] | None:
-    """Dispatch on magic bytes; None = no known container (use the stub)."""
+    """Dispatch on magic bytes; None = no known container (use the stub).
+    P6 streams report their true frame count (concatenated-PPM 'video')."""
     try:
         if raw[:2] == b"P6":
-            px = decode_ppm(raw)
-        elif raw[:2] == b"BM":
+            frames = ppm_frames(raw)
+            h, w = frames[0].shape[:2]
+            mean = float(np.mean([f.mean() for f in frames]))
+            return w, h, len(frames), round(mean / 255.0, 6)
+        if raw[:2] == b"BM":
             px = decode_bmp(raw)
-        else:
-            return None
-        h, w = px.shape[:2]
-        return w, h, 1, round(float(px.mean()) / 255.0, 6)
+            h, w = px.shape[:2]
+            return w, h, 1, round(float(px.mean()) / 255.0, 6)
+        return None
     except Exception:
         return None
 
@@ -283,6 +365,88 @@ def decode_media(media_df: DataFrame) -> DataFrame:
 
     return media_df.select("doc_id", "media_ref", "media_bytes").mapInPandas(
         _decode, DECODE_SCHEMA
+    )
+
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, media_ref string, sample_rate int, n_channels int, "
+    "n_samples bigint, rms double"
+)
+
+
+def decode_audio(media_df: DataFrame) -> DataFrame:
+    """Decode RIFF/WAVE PCM payloads (real, pure-numpy) into per-clip
+    audio features: sample rate, channel count, frame count, RMS level.
+    Unknown containers yield NULL features (flagged, not dropped). Same
+    Arrow-batched ``mapInPandas`` plumbing as :func:`decode_media`."""
+
+    def _decode(it):
+        for pdf in it:
+            sr, ch, ns, rms = [], [], [], []
+            for raw in pdf["media_bytes"]:
+                try:
+                    rate, n_ch, x = decode_wav(raw)
+                    sr.append(rate)
+                    ch.append(n_ch)
+                    ns.append(x.shape[0])
+                    rms.append(round(float(np.sqrt((x ** 2).mean())), 6))
+                except Exception:
+                    sr.append(None); ch.append(None)
+                    ns.append(None); rms.append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype(np.int64),
+                    "media_ref": pdf["media_ref"],
+                    "sample_rate": pd.array(sr, dtype="Int32"),
+                    "n_channels": pd.array(ch, dtype="Int32"),
+                    "n_samples": pd.array(ns, dtype="Int64"),
+                    "rms": pd.array(rms, dtype="Float64"),
+                }
+            )
+
+    return media_df.select("doc_id", "media_ref", "media_bytes").mapInPandas(
+        _decode, AUDIO_SCHEMA
+    )
+
+
+FRAME_SCHEMA = (
+    "doc_id bigint, media_ref string, frame_idx int, media_bytes binary"
+)
+
+
+def extract_frames(media_df: DataFrame, every: int = 2) -> DataFrame:
+    """REAL frame extraction from concatenated-P6 stream payloads: every
+    ``every``-th frame re-encoded as a single-frame PPM — the decode
+    analogue of :func:`frame_sample`'s index plan. Non-stream payloads
+    yield no frames (they have none to extract)."""
+
+    def _extract(it):
+        for pdf in it:
+            out = {"doc_id": [], "media_ref": [], "frame_idx": [],
+                   "media_bytes": []}
+            for did, ref, raw in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["media_bytes"]
+            ):
+                try:
+                    frames = ppm_frames(raw)
+                except Exception:
+                    continue
+                for i in range(0, len(frames), every):
+                    out["doc_id"].append(int(did))
+                    out["media_ref"].append(ref)
+                    out["frame_idx"].append(i)
+                    out["media_bytes"].append(encode_ppm(frames[i]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(out["doc_id"], dtype="Int64"),
+                    "media_ref": pd.array(out["media_ref"], dtype=object),
+                    "frame_idx": pd.array(out["frame_idx"], dtype="Int32"),
+                    "media_bytes": pd.Series(out["media_bytes"], dtype=object),
+                }
+            )
+
+    return media_df.select("doc_id", "media_ref", "media_bytes").mapInPandas(
+        _extract, FRAME_SCHEMA
     )
 
 

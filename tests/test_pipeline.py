@@ -811,3 +811,51 @@ def test_resize_media_nearest(spark):
     assert np.array_equal(got, img[ys][:, xs])
     junk = out["media://junk"]
     assert junk["media_bytes"] is None and junk["width"] is None
+
+
+def test_wav_codec_roundtrip_and_decode_audio(spark):
+    """encode_wav→decode_wav round-trips rate/channels/samples (16-bit
+    quantization tolerance); decode_audio computes the RMS of a known
+    sine exactly (1/sqrt(2) of amplitude)."""
+    t = np.arange(1600) / 16000.0
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t)
+    raw = multimodal.encode_wav(sine, rate=16000)
+    rate, n_ch, x = multimodal.decode_wav(raw)
+    assert (rate, n_ch, x.shape[0]) == (16000, 1, 1600)
+    assert np.abs(x[:, 0] - sine).max() < 1e-4
+    stereo = multimodal.encode_wav(np.stack([sine, -sine], axis=1), rate=8000)
+    df = spark.createDataFrame(
+        [
+            (1, "media://sine", bytearray(raw)),
+            (2, "media://stereo", bytearray(stereo)),
+            (3, "media://junk", bytearray(b"\x01\x02\x03\x04")),
+        ],
+        "doc_id long, media_ref string, media_bytes binary",
+    )
+    out = {r["media_ref"]: r for r in multimodal.decode_audio(df).collect()}
+    assert out["media://sine"]["sample_rate"] == 16000
+    assert abs(out["media://sine"]["rms"] - 0.5 / np.sqrt(2)) < 1e-3
+    assert out["media://stereo"]["n_channels"] == 2
+    assert out["media://stereo"]["n_samples"] == 1600
+    assert out["media://junk"]["sample_rate"] is None
+
+
+def test_ppm_stream_frames_and_extract(spark):
+    """Concatenated-P6 'video': decode_media reports the true frame
+    count; extract_frames returns every 2nd frame byte-exact."""
+    frames = [_checker_img(3, 4) + np.uint8(i) for i in range(5)]
+    stream_raw = b"".join(multimodal.encode_ppm(f) for f in frames)
+    assert len(multimodal.ppm_frames(stream_raw)) == 5
+    df = spark.createDataFrame(
+        [(1, "media://vid", bytearray(stream_raw))],
+        "doc_id long, media_ref string, media_bytes binary",
+    )
+    dec = multimodal.decode_media(df).collect()[0]
+    assert (dec["width"], dec["height"], dec["n_frames"]) == (4, 3, 5)
+    got = {
+        r["frame_idx"]: multimodal.decode_ppm(bytes(r["media_bytes"]))
+        for r in multimodal.extract_frames(df, every=2).collect()
+    }
+    assert sorted(got) == [0, 2, 4]
+    for i in (0, 2, 4):
+        assert np.array_equal(got[i], frames[i])
