@@ -1781,15 +1781,61 @@ def q_neardup_incremental(spark, sf_dir):
     )
 
 
+def q_media_codec(spark, sf_dir):
+    """REAL image decode parity (pipeline/multimodal.decode_ppm via
+    decode_media): per doc, a genuine binary-PPM payload is built with
+    pixel(k) = (k*7 + doc_id) % 256 on a (6, 8, 3) lattice, shipped
+    through the Arrow decode stage, and the decoded width/height/frames/
+    mean come back. The oracle recomputes the pixel function in
+    closed-form SQL — value parity certifies the byte-level encoder+
+    decoder pair, not just the plumbing."""
+    import numpy as np
+
+    from geowombat_spark.pipeline import multimodal as mm
+
+    docs = _docs(spark, sf_dir).select("doc_id").filter(
+        F.col("doc_id") % 3 == 0
+    )
+
+    def _attach(it):
+        k = np.arange(6 * 8 * 3, dtype=np.int64)
+        for pdf in it:
+            outs = [
+                mm.encode_ppm(
+                    ((k * 7 + int(d)) % 256)
+                    .astype(np.uint8)
+                    .reshape(6, 8, 3)
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype(np.int64),
+                    "media_ref": [
+                        f"media://gen/{int(d)}" for d in pdf["doc_id"]
+                    ],
+                    "media_bytes": pd.Series(outs, dtype=object),
+                }
+            )
+
+    payloads = docs.mapInPandas(
+        _attach, "doc_id bigint, media_ref string, media_bytes binary"
+    )
+    return mm.decode_media(payloads).select(
+        "doc_id", "width", "height", "n_frames", "mean_intensity"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so every query lands in the driver's 50-entry CORRECTNESS
     window over rounds. The r3 window (first 50): the 18 queries that have
-    never had a driver row, the 13 whose only row was r1, the 11 new r3
+    never had a driver row, the 13 whose only row was r1, the 12 new r3
     queries (q_dos, q_pansharpen, q_stream_dedup, q_zarr, q_netcdf,
     q_sixs, q_vocab_oov, q_quality_buckets, q_dup_coverage,
-    q_dedup_incremental, q_neardup_incremental), then 8 backfill slots
-    for the highest-risk already-green queries (code touched this round
-    or structurally complex). Queries 51+ all hold green r2 rows."""
+    q_dedup_incremental, q_neardup_incremental, q_media_codec), then 7
+    backfill slots for the highest-risk already-green queries (code
+    touched this round or structurally complex). Queries 51+ all hold
+    green r2 rows."""
     return {
         # --- never driver-checked (18) --------------------------------
         "q_polygonize": q_polygonize,
@@ -1836,6 +1882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sixs": q_sixs,
         "q_dedup_incremental": q_dedup_incremental,
         "q_neardup_incremental": q_neardup_incremental,
+        "q_media_codec": q_media_codec,
         # --- backfill: green in r2, code touched in r3 / complex ------
         "q_recode": q_recode,
         "q_minhash_lsh": q_minhash_lsh,
@@ -1843,9 +1890,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jaccard_pairs": q_jaccard_pairs,
         "q_embed_neardup": q_embed_neardup,
         "q_token_estimate": q_token_estimate,
-        "q_repetition": q_repetition,
         "q_tile_manifest": q_tile_manifest,
         # --- green r2 rows (the 50-entry window ends above) -----------
+        "q_repetition": q_repetition,
         "q_coregister": q_coregister,
         "q_extract_points": q_extract_points,
         "q_extract_polygons": q_extract_polygons,
@@ -3485,6 +3532,16 @@ SELECT s.doc_id, s.dup_key,
        s.batch_survivor,
        (i.owner_id IS NULL AND s.batch_survivor) AS kept
 FROM surv s LEFT JOIN idx i USING (dup_key)
+"""
+
+    # mean over the (6, 8, 3) pixel lattice recomputed in closed form —
+    # an independent path from the engine's byte-level PPM encode+decode.
+    o["q_media_codec"] = """
+SELECT doc_id,
+       8 AS width, 6 AS height, 1 AS n_frames,
+       round((SELECT avg((k * 7 + doc_id) % 256) FROM range(144) t(k))
+             / 255.0, 6) AS mean_intensity
+FROM documents WHERE doc_id % 3 = 0
 """
 
     _eq16 = " + ".join(
