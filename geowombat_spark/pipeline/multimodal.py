@@ -272,7 +272,9 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     if x.ndim == 1:
         x = x[:, None]
     n_ch = x.shape[1]
-    pcm = np.clip(np.round(x * 32767.0), -32768, 32767).astype("<i2").tobytes()
+    # symmetric with decode's /32768 (clip catches +1.0 exactly): the
+    # round-trip error is then bounded by one quantization step.
+    pcm = np.clip(np.round(x * 32768.0), -32768, 32767).astype("<i2").tobytes()
     fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * n_ch * 2, n_ch * 2, 16)
     return (
         b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm)) + b"WAVE"

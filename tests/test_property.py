@@ -313,3 +313,94 @@ def test_netcdf_header_offsets_consistent(nrows, ncols, nbands):
     for a, b in zip(bands, bands[1:]):
         assert begins[b] - begins[a] == vb
     assert total == begins[bands[-1]] + vb
+
+
+@given(
+    st.integers(1, 24),
+    st.integers(1, 24),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_ppm_bmp_roundtrip_property(h, w, seed):
+    """Any (h, w, 3) uint8 image survives PPM encode→decode byte-exactly,
+    and the BMP parser agrees with the PPM parser on the same pixels
+    (independent byte layouts: top-down RGB vs bottom-up padded BGR)."""
+    import struct
+
+    from geowombat_spark.pipeline import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(mm.decode_ppm(mm.encode_ppm(img)), img)
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)
+    data = rows.tobytes()
+    off = 54
+    bmp = (
+        b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                      2835, 2835, 0, 0)
+        + data
+    )
+    assert np.array_equal(mm.decode_bmp(bmp), img)
+
+
+@given(
+    st.integers(1, 5),
+    st.integers(1, 2),
+    st.integers(1, 400),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_property(nclips, n_ch, n, seed):
+    """WAV 16-bit PCM round-trip: rate/channels/length exact, samples
+    within one quantization step; frame streams report every frame."""
+    from geowombat_spark.pipeline import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-1, 1, size=(n, n_ch))
+    rate, ch, y = mm.decode_wav(mm.encode_wav(x, rate=8000 * nclips))
+    assert (rate, ch, y.shape[0]) == (8000 * nclips, n_ch, n)
+    assert np.abs(y - x).max() <= 1.0 / 32768 + 1e-12
+
+
+@given(
+    st.lists(st.text(alphabet="ab ", min_size=0, max_size=12),
+             min_size=1, max_size=12),
+    st.lists(st.text(alphabet="ab ", min_size=0, max_size=12),
+             min_size=0, max_size=8),
+)
+@settings(max_examples=25, deadline=None)
+def test_dedup_against_matches_set_semantics(spark, corpus_texts, batch_texts):
+    """Incremental exact dedup agrees with plain Python set semantics on
+    arbitrary (tiny-alphabet, collision-rich) text: in_corpus iff the
+    normalized text exists in the corpus, kept iff novel AND first
+    occurrence in batch order of ids."""
+    import pandas as pd
+
+    from geowombat_spark.pipeline import dedup as dd
+
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(corpus_texts)),
+                      "text": corpus_texts})
+    )
+    batch_ids = [1000 + i for i in range(len(batch_texts))]
+    got = {}
+    if batch_texts:
+        batch = spark.createDataFrame(
+            pd.DataFrame({"doc_id": batch_ids, "text": batch_texts})
+        )
+        got = {
+            r["doc_id"]: (r["in_corpus"], r["batch_survivor"], r["kept"])
+            for r in dd.dedup_against(batch, dd.exact_index(corpus)).collect()
+        }
+    norm = lambda s: s.lower().strip()
+    corpus_set = {norm(t) for t in corpus_texts}
+    first = {}
+    for i, t in zip(batch_ids, batch_texts):
+        first.setdefault(norm(t), i)
+    for i, t in zip(batch_ids, batch_texts):
+        in_c = norm(t) in corpus_set
+        surv = first[norm(t)] == i
+        assert got[i] == (in_c, surv, (not in_c) and surv), (i, t)
