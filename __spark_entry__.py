@@ -3408,11 +3408,11 @@ p AS (
           + band_red * {_third}) AS i3
   FROM g)
 SELECT doc_id,
-  round(CASE WHEN i3 <> 0.0 THEN band_blue * pan / i3 ELSE 0.0 END, 6)
+  round(CASE WHEN i3 = 0.0 THEN 0.0 ELSE band_blue * pan / i3 END, 6)
     AS brovey_blue,
-  round(CASE WHEN i3 <> 0.0 THEN band_green * pan / i3 ELSE 0.0 END, 6)
+  round(CASE WHEN i3 = 0.0 THEN 0.0 ELSE band_green * pan / i3 END, 6)
     AS brovey_green,
-  round(CASE WHEN i3 <> 0.0 THEN band_red * pan / i3 ELSE 0.0 END, 6)
+  round(CASE WHEN i3 = 0.0 THEN 0.0 ELSE band_red * pan / i3 END, 6)
     AS brovey_red,
   round(band_blue + (pan - band_blue), 6) AS esri_blue
 FROM p

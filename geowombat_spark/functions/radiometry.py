@@ -593,14 +593,15 @@ def pan_sharpen(
     outs = {}
     for b in bands:
         if method == "brovey":
-            # zero-intensity guard: an all-zero pixel (nodata fill / true
-            # black) would give band·pan/0 = NaN/Inf and poison downstream
-            # aggregates; the ratio is undefined there, so the pixel
-            # stays black (0.0).
-            out = F.when(
-                intensity != 0.0,
-                F.col(b).cast("double") * pan / intensity,
-            ).otherwise(F.lit(0.0))
+            # zero-intensity guard: an all-zero pixel (true black) would
+            # give band·pan/0 = NaN/Inf and poison downstream aggregates;
+            # the ratio is undefined there, so the pixel stays black
+            # (0.0). Condition order matters: a NULL (nodata) intensity
+            # makes the == test NULL → otherwise-branch → band·pan/NULL
+            # = NULL, so missing data PROPAGATES instead of becoming 0.0.
+            out = F.when(intensity == 0.0, F.lit(0.0)).otherwise(
+                F.col(b).cast("double") * pan / intensity
+            )
         elif method == "esri":
             out = F.col(b).cast("double") + (pan - intensity)
         else:

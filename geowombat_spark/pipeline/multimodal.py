@@ -151,29 +151,49 @@ def encode_ppm(arr: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
 
 
-def decode_ppm(raw: bytes) -> np.ndarray:
-    """Decode a binary PPM (P6, 8-bit) into an (h, w, 3) uint8 array."""
-    if raw[:2] != b"P6":
+def _ppm_header(raw: bytes, start: int = 0) -> tuple[int, int, int]:
+    """Parse one P6 header at ``raw[start:]`` → (width, height, absolute
+    pixel-data offset). Header = magic, width, height, maxval as
+    whitespace-separated tokens (comments '#...' allowed between them),
+    then ONE whitespace byte, then raw RGB. Bounds-checked: truncated or
+    malformed headers raise ValueError (never spin past EOF — b'' is not
+    whitespace, so an unguarded scan would loop forever)."""
+    n = len(raw)
+    if raw[start : start + 2] != b"P6":
         raise ValueError("not a P6 PPM")
-    # header = magic, width, height, maxval as whitespace-separated tokens
-    # (comments '#...' allowed between them), then ONE whitespace byte,
-    # then raw RGB.
-    pos, fields = 2, []
+    pos, fields = start + 2, []
     while len(fields) < 3:
-        while raw[pos : pos + 1].isspace():
+        while pos < n and raw[pos : pos + 1].isspace():
             pos += 1
+        if pos >= n:
+            raise ValueError("truncated PPM header")
         if raw[pos : pos + 1] == b"#":
-            pos = raw.index(b"\n", pos) + 1
+            nl = raw.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError("truncated PPM comment")
+            pos = nl + 1
             continue
         end = pos
-        while not raw[end : end + 1].isspace():
+        while end < n and not raw[end : end + 1].isspace():
             end += 1
+        if end >= n:
+            raise ValueError("truncated PPM header")
         fields.append(int(raw[pos:end]))
         pos = end
     w, h, maxval = fields
     if maxval > 255:
         raise ValueError("16-bit PPM not supported")
+    if w <= 0 or h <= 0:
+        raise ValueError("bad PPM dimensions")
     pos += 1  # the single whitespace after maxval
+    if pos + h * w * 3 > n:
+        raise ValueError("truncated PPM pixel data")
+    return w, h, pos
+
+
+def decode_ppm(raw: bytes) -> np.ndarray:
+    """Decode a binary PPM (P6, 8-bit) into an (h, w, 3) uint8 array."""
+    w, h, pos = _ppm_header(raw)
     return np.frombuffer(raw, np.uint8, count=h * w * 3, offset=pos).reshape(
         h, w, 3
     )
@@ -202,33 +222,20 @@ def decode_bmp(raw: bytes) -> np.ndarray:
     return img[..., ::-1].copy()  # BGR → RGB
 
 
-def _ppm_frame_size(raw: bytes) -> int:
-    """Byte length of the first P6 frame in ``raw`` (header + pixels)."""
-    pos, fields = 2, []
-    while len(fields) < 3:
-        while raw[pos : pos + 1].isspace():
-            pos += 1
-        if raw[pos : pos + 1] == b"#":
-            pos = raw.index(b"\n", pos) + 1
-            continue
-        end = pos
-        while not raw[end : end + 1].isspace():
-            end += 1
-        fields.append(int(raw[pos:end]))
-        pos = end
-    w, h, _ = fields
-    return pos + 1 + h * w * 3
-
-
 def ppm_frames(raw: bytes) -> list[np.ndarray]:
     """Decode a concatenated-P6 stream (the engine's trivial 'video'
     container: frames are back-to-back binary PPMs) into a list of
-    (h, w, 3) arrays."""
+    (h, w, 3) arrays. Frames are read by OFFSET into the one buffer
+    (``np.frombuffer(raw, offset=...)``) — no per-frame slice copies, so
+    an F-frame stream of B bytes costs O(B), not O(B·F)."""
     frames, pos = [], 0
     while pos < len(raw) and raw[pos : pos + 2] == b"P6":
-        size = _ppm_frame_size(raw[pos:])
-        frames.append(decode_ppm(raw[pos : pos + size]))
-        pos += size
+        w, h, data = _ppm_header(raw, pos)
+        frames.append(
+            np.frombuffer(raw, np.uint8, count=h * w * 3, offset=data)
+            .reshape(h, w, 3)
+        )
+        pos = data + h * w * 3
     if not frames or pos != len(raw):
         raise ValueError("not a clean P6 stream")
     return frames
@@ -309,29 +316,47 @@ def decode_media(media_df: DataFrame) -> DataFrame:
     nature — the batching amortizes the Python/JVM boundary).
     """
 
+    def _meta(raw):
+        """Per-item metadata with graceful degradation: real codec →
+        stub → NULLs. A NULL or garbage payload must flag, not kill the
+        Arrow batch (one bad crawl row would otherwise fail the task)."""
+        if raw is None:
+            return (None, None, None, None)
+        m = _real_decode(bytes(raw))
+        if m is not None:
+            return m
+        try:
+            return _fake_decode(raw)
+        except Exception:
+            return (None, None, None, None)
+
     def _decode(it):
         for pdf in it:
             raws = list(pdf["media_bytes"])
-            magics = {bytes(r[:2]) for r in raws if r is not None}
-            if magics & {b"P6", b"BM"}:
+            has_null = any(r is None for r in raws)
+            magics = {bytes(r[:2]) for r in raws if r}
+            if has_null or (magics & {b"P6", b"BM"}):
                 # REAL decode path (pure-numpy PPM/BMP): per-item by
                 # nature, the Arrow batch amortizes the boundary. Items
                 # in the batch without a known container fall back to
-                # the stub.
-                meta = [
-                    _real_decode(raw) or _fake_decode(raw) for raw in raws
-                ]
-                w, h, nf, mi = (
-                    np.array([mm[i] for mm in meta]) for i in range(4)
-                )
+                # the stub; undecodable ones to NULL features.
+                meta = [_meta(raw) for raw in raws]
                 yield pd.DataFrame(
                     {
                         "doc_id": pdf["doc_id"].astype(np.int64),
                         "media_ref": pdf["media_ref"],
-                        "width": w.astype(np.int32),
-                        "height": h.astype(np.int32),
-                        "n_frames": nf.astype(np.int32),
-                        "mean_intensity": mi.astype(np.float64),
+                        "width": pd.array(
+                            [m[0] for m in meta], dtype="Int32"
+                        ),
+                        "height": pd.array(
+                            [m[1] for m in meta], dtype="Int32"
+                        ),
+                        "n_frames": pd.array(
+                            [m[2] for m in meta], dtype="Int32"
+                        ),
+                        "mean_intensity": pd.array(
+                            [m[3] for m in meta], dtype="Float64"
+                        ),
                     }
                 )
                 continue
@@ -349,19 +374,32 @@ def decode_media(media_df: DataFrame) -> DataFrame:
                 h = 1 + ((m[:, 2].astype(np.int64) << 8) | m[:, 3]) % 2048
                 nf = 1 + m[:, 4].astype(np.int64) % 32
                 mi = np.round(m.mean(axis=1) / 255.0, 6)
-            else:
-                meta = [_fake_decode(raw) for raw in raws]
-                w, h, nf, mi = (
-                    np.array([mm[i] for mm in meta]) for i in range(4)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].astype(np.int64),
+                        "media_ref": pdf["media_ref"],
+                        "width": w.astype(np.int32),
+                        "height": h.astype(np.int32),
+                        "n_frames": nf.astype(np.int32),
+                        "mean_intensity": mi.astype(np.float64),
+                    }
                 )
+                continue
+            # mixed-length unknown payloads: per-item stub with NULL
+            # degradation (a < 5-byte blob must not kill the batch)
+            meta = [_meta(raw) for raw in raws]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype(np.int64),
                     "media_ref": pdf["media_ref"],
-                    "width": w.astype(np.int32),
-                    "height": h.astype(np.int32),
-                    "n_frames": nf.astype(np.int32),
-                    "mean_intensity": mi.astype(np.float64),
+                    "width": pd.array([m[0] for m in meta], dtype="Int32"),
+                    "height": pd.array([m[1] for m in meta], dtype="Int32"),
+                    "n_frames": pd.array(
+                        [m[2] for m in meta], dtype="Int32"
+                    ),
+                    "mean_intensity": pd.array(
+                        [m[3] for m in meta], dtype="Float64"
+                    ),
                 }
             )
 

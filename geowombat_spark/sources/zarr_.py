@@ -86,19 +86,23 @@ def to_zarr(
     Cells absent from ``df`` take ``fill_value`` (default
     ``grid.nodata``) — standard dense-store semantics.
     """
+    import shutil
+
+    final_path, replacing = path, False
     if os.path.exists(os.path.join(path, ".zgroup")):
         if not overwrite:
             warnings.warn(f"The zarr store {path} already exists.",
                           stacklevel=2)
             return None
-        # Remove the old store entirely: a sparse re-write would otherwise
-        # leave STALE chunk files from the previous write that open_zarr
-        # reads back as data (missing-chunk == fill only holds for a fresh
-        # store), and a changed grid/tile shape would leave chunks whose
-        # byte length no longer matches the new .zarray metadata.
-        import shutil
-
-        shutil.rmtree(path)
+        # Overwrite = build a FRESH store beside the old one and swap on
+        # completion: a sparse in-place re-write would leave STALE chunk
+        # files the reader returns as data (missing-chunk == fill only
+        # holds for a fresh store), and destroy-then-rebuild would lose
+        # the only copy if the write job dies mid-way. Readers see the
+        # old complete store for the whole job window.
+        replacing = True
+        path = path.rstrip("/") + ".inprogress"
+        shutil.rmtree(path, ignore_errors=True)  # stale prior attempt
     fill = float(grid.nodata if fill_value is None else fill_value)
     comp = (None if compress_level is None
             else {"id": "zlib", "level": int(compress_level)})
@@ -165,6 +169,13 @@ def to_zarr(
         .applyInPandas(write_chunk, _MANIFEST_SCHEMA)
         .collect()  # one tiny row per chunk; this action drives the write
     )
+    if replacing:
+        # publish: retire the old store only now that the new one is whole
+        old = final_path.rstrip("/") + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(final_path, old)
+        os.rename(path, final_path)
+        shutil.rmtree(old)
     spark = df.sparkSession
     return spark.createDataFrame(rows, _MANIFEST_SCHEMA)
 

@@ -859,3 +859,92 @@ def test_ppm_stream_frames_and_extract(spark):
     assert sorted(got) == [0, 2, 4]
     for i in (0, 2, 4):
         assert np.array_equal(got[i], frames[i])
+
+
+def test_ppm_parser_rejects_truncated_headers():
+    """Truncated/malformed P6 headers raise ValueError promptly (the
+    unguarded scan used to spin past EOF forever)."""
+    for bad in (b"P6 3", b"P6", b"P6\n#comment with no newline",
+                b"P6\n2 2\n255", b"P6\n2 2\n255\nxx", b"P6\n0 5\n255\n"):
+        with pytest.raises(ValueError):
+            multimodal.decode_ppm(bad)
+    with pytest.raises(ValueError):
+        multimodal.ppm_frames(b"P6 3")
+
+
+def test_decode_media_null_and_tiny_payloads(spark):
+    """One Arrow batch mixing a real PPM, a NULL payload, and a 3-byte
+    blob: the good row decodes, the bad rows yield NULL features — the
+    task must not die on a bad crawl row."""
+    img = _checker_img(2, 3)
+    df = spark.createDataFrame(
+        [
+            (1, "media://ok", bytearray(multimodal.encode_ppm(img))),
+            (2, "media://null", None),
+            (3, "media://tiny", bytearray(b"\x01\x02\x03")),
+        ],
+        "doc_id long, media_ref string, media_bytes binary",
+    )
+    out = {r["media_ref"]: r for r in multimodal.decode_media(df).collect()}
+    assert (out["media://ok"]["width"], out["media://ok"]["height"]) == (3, 2)
+    for ref in ("media://null", "media://tiny"):
+        assert out[ref]["width"] is None
+        assert out[ref]["mean_intensity"] is None
+
+
+def test_scan_parallelism_handles_size_suffixes(spark, tmp_path):
+    """spark.sql.files.maxPartitionBytes with a size suffix (128m) must
+    parse, and garbage must degrade to None, not raise."""
+    p = str(tmp_path / "one.parquet")
+    spark.range(10).toPandas().to_parquet(p)
+    df = spark.read.parquet(p)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        # (Spark itself rejects non-size strings at conf.set time, so
+        # only valid byte-size spellings can reach the parser; the
+        # regex's None fallback stays as defense in depth.)
+        for val in ("128m", "1g", "128mb", "134217728b"):
+            spark.conf.set("spark.sql.files.maxPartitionBytes", val)
+            assert dedup.scan_parallelism(df) == 1, val
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_to_zarr_overwrite_preserves_old_store_on_failure(spark, tmp_path):
+    """Overwrite builds the new store beside the old and swaps only on
+    success: a write job that dies (out-of-grid row → the coordinate
+    guard) leaves the ORIGINAL store fully readable."""
+    from geowombat_spark.grid import GridSpec
+    from geowombat_spark.sources import zarr_ as Z
+
+    grid = GridSpec(left=0.0, top=0.0, cellx=10.0, celly=10.0,
+                    nrows=8, ncols=8, tile_rows=4, tile_cols=4)
+    store = str(tmp_path / "s.zarr")
+    cells = spark.range(64).selectExpr(
+        "CAST(id / 8 AS LONG) AS row", "id % 8 AS col",
+        "CAST(id AS DOUBLE) AS band_blue",
+    )
+    Z.to_zarr(cells, store, grid)
+    bad = cells.selectExpr("row", "col - 100 AS col", "band_blue")
+    with pytest.raises(Exception):
+        Z.to_zarr(bad, store, grid, overwrite=True)
+    back = Z.open_zarr(spark, store)
+    assert back.count() == 63  # row 0/col 0 holds fill=0.0 -> dropped
+    # and a SUCCESSFUL overwrite swaps in the new content
+    Z.to_zarr(cells.filter("row >= 4"), store, grid, overwrite=True)
+    assert Z.open_zarr(spark, store).filter("row < 4").count() == 0
+
+
+def test_brovey_null_intensity_propagates(spark):
+    """NULL (nodata) bands stay NULL through the brovey ratio; zero
+    intensity still clamps to 0.0."""
+    from geowombat_spark.functions import radiometry as rad
+
+    df = spark.createDataFrame(
+        [(None, 2.0, 4.0, 5.0), (0.0, 0.0, 0.0, 5.0)],
+        "band_blue double, band_green double, band_red double, pan double",
+    )
+    rows = rad.pan_sharpen(df, "pan").collect()
+    by_pan = sorted(rows, key=lambda r: (r["band_blue"] is not None))
+    assert by_pan[0]["band_blue"] is None  # NULL propagated
+    assert by_pan[1]["band_blue"] == 0.0   # zero clamped
