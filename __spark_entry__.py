@@ -1826,16 +1826,60 @@ def q_media_codec(spark, sf_dir):
     )
 
 
+def q_audio_codec(spark, sf_dir):
+    """REAL audio decode parity (pipeline/multimodal.decode_wav via
+    decode_audio): per doc, a genuine RIFF/WAVE 16-bit PCM payload whose
+    64 samples are the exact integers (k*13 + doc_id) % 65536 − 32768
+    over 2^15 (lossless under the symmetric quantizer), decoded through
+    the Arrow stage; rate/channels/frames/RMS come back. The oracle
+    recomputes the sample function and RMS in closed-form SQL — value
+    parity certifies the byte-level RIFF encoder+decoder pair."""
+    import numpy as np
+
+    from geowombat_spark.pipeline import multimodal as mm
+
+    docs = _docs(spark, sf_dir).select("doc_id").filter(
+        F.col("doc_id") % 4 == 1
+    )
+
+    def _attach(it):
+        k = np.arange(64, dtype=np.int64)
+        for pdf in it:
+            outs = [
+                mm.encode_wav(
+                    ((k * 13 + int(d)) % 65536 - 32768) / 32768.0,
+                    rate=16000,
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype(np.int64),
+                    "media_ref": [
+                        f"media://wav/{int(d)}" for d in pdf["doc_id"]
+                    ],
+                    "media_bytes": pd.Series(outs, dtype=object),
+                }
+            )
+
+    payloads = docs.mapInPandas(
+        _attach, "doc_id bigint, media_ref string, media_bytes binary"
+    )
+    return mm.decode_audio(payloads).select(
+        "doc_id", "sample_rate", "n_channels", "n_samples", "rms"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so every query lands in the driver's 50-entry CORRECTNESS
     window over rounds. The r3 window (first 50): the 18 queries that have
-    never had a driver row, the 13 whose only row was r1, the 12 new r3
+    never had a driver row, the 13 whose only row was r1, the 13 new r3
     queries (q_dos, q_pansharpen, q_stream_dedup, q_zarr, q_netcdf,
     q_sixs, q_vocab_oov, q_quality_buckets, q_dup_coverage,
-    q_dedup_incremental, q_neardup_incremental, q_media_codec), then 7
-    backfill slots for the highest-risk already-green queries (code
-    touched this round or structurally complex). Queries 51+ all hold
-    green r2 rows."""
+    q_dedup_incremental, q_neardup_incremental, q_media_codec,
+    q_audio_codec), then 6 backfill slots for the highest-risk
+    already-green queries (code touched this round or structurally
+    complex). Queries 51+ all hold green r2 rows."""
     return {
         # --- never driver-checked (18) --------------------------------
         "q_polygonize": q_polygonize,
@@ -1883,15 +1927,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_incremental": q_dedup_incremental,
         "q_neardup_incremental": q_neardup_incremental,
         "q_media_codec": q_media_codec,
+        "q_audio_codec": q_audio_codec,
         # --- backfill: green in r2, code touched in r3 / complex ------
         "q_recode": q_recode,
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash_pairs": q_simhash_pairs,
         "q_jaccard_pairs": q_jaccard_pairs,
         "q_embed_neardup": q_embed_neardup,
-        "q_token_estimate": q_token_estimate,
         "q_tile_manifest": q_tile_manifest,
         # --- green r2 rows (the 50-entry window ends above) -----------
+        "q_token_estimate": q_token_estimate,
         "q_repetition": q_repetition,
         "q_coregister": q_coregister,
         "q_extract_points": q_extract_points,
@@ -3542,6 +3587,20 @@ SELECT doc_id,
        round((SELECT avg((k * 7 + doc_id) % 256) FROM range(144) t(k))
              / 255.0, 6) AS mean_intensity
 FROM documents WHERE doc_id % 3 = 0
+"""
+
+    # exact closed-form RMS: samples are the integers v = (k*13+doc_id)
+    # % 65536 - 32768 over 2^15; v² sums stay below 2^53 so the double
+    # mean is exact on both engines, and sqrt commutes with the 4^15
+    # scale — bit-identical RMS by construction.
+    o["q_audio_codec"] = """
+SELECT doc_id, 16000 AS sample_rate, 1 AS n_channels,
+       CAST(64 AS BIGINT) AS n_samples,
+       round(sqrt((SELECT avg(
+           CAST((k*13 + doc_id) % 65536 - 32768 AS DOUBLE)
+           * CAST((k*13 + doc_id) % 65536 - 32768 AS DOUBLE))
+         FROM range(64) t(k))) / 32768.0, 6) AS rms
+FROM documents WHERE doc_id % 4 = 1
 """
 
     _eq16 = " + ".join(
