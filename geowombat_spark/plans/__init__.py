@@ -1,3 +1,4 @@
-"""Planner-side machinery: checkpointed tiling sink, salting, resume."""
+"""Planner-side machinery: checkpointed tiling sink, salting, resume,
+bucketed storage layout."""
 
-from . import checkpoint  # noqa: F401
+from . import bucketing, checkpoint  # noqa: F401

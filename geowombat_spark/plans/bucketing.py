@@ -56,17 +56,28 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def _n_shuffles(plan: str) -> int:
+    """Count SHUFFLE exchanges only: 'BroadcastExchange' is a broadcast
+    (no repartitioning of either side) and must not trip the guard — a
+    co-bucketed join whose small side falls under
+    autoBroadcastJoinThreshold plans BroadcastHashJoin legitimately."""
+    import re
+
+    return len(re.findall(r"(?<!Broadcast)Exchange", plan))
+
+
 def plan_has_shuffle(df: DataFrame) -> bool:
-    """True if the *executed* plan contains any Exchange (shuffle)."""
+    """True if the *executed* plan contains any shuffle Exchange
+    (broadcast exchanges don't count — nothing repartitions)."""
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return "Exchange" in plan
+    return _n_shuffles(plan) > 0
 
 
 def assert_no_shuffle_join(joined: DataFrame) -> None:
     """Guard used in tests/CI: a join between co-bucketed tables must not
     re-shuffle either side. Raises with the physical plan if it does."""
     plan = joined._jdf.queryExecution().executedPlan().toString()
-    if "Exchange" in plan:
+    if _n_shuffles(plan) > 0:
         raise AssertionError(
             "bucketed join re-shuffled — layout/bucket-count mismatch?\n"
             + plan

@@ -93,8 +93,15 @@ def read_manifest(spark: SparkSession, path: str) -> DataFrame | None:
     try:
         # the file index is built eagerly, so a missing path raises here
         return spark.read.schema(MANIFEST_SCHEMA).parquet(mp)
-    except AnalysisException:
-        return None
+    except AnalysisException as e:
+        # ONLY missing-path means "no manifest yet": any other analysis
+        # failure (revoked credentials, corrupt footer) must propagate —
+        # swallowing it would return None, completed_tiles would be empty,
+        # and a resume would silently rewrite every committed tile.
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return None
+        raise
 
 
 def completed_tiles(spark: SparkSession, path: str) -> set[int]:
@@ -152,30 +159,39 @@ def write_tiled_checkpointed(
     over the (tiny) distinct-tile list only.
     """
     spark = df.sparkSession
-    all_tiles = sorted(
-        int(r[0]) for r in df.select("tile_id").distinct().collect()
-    )
+    # ONE pre-pass scan yields both the distinct-tile list and the per-tile
+    # counts the skew pre-pass needs (two separate scans would each
+    # re-execute the full upstream plan at 100 TB).
+    tile_counts = {
+        int(r[0]): int(r[1])
+        for r in df.groupBy("tile_id").count().collect()
+    }
+    all_tiles = sorted(tile_counts)
     if tile_order == "hilbert":
         if tiles_x is None:
             raise ValueError("tile_order='hilbert' requires tiles_x")
-        from ..grid import hilbert_encode
+        if all_tiles:  # empty input: nothing to order (or write)
+            from ..grid import hilbert_encode
 
-        arr = np.asarray(all_tiles, dtype=np.int64)
-        tr, tc = arr // tiles_x, arr % tiles_x
-        # minimal curve order: smallest p with 2^p > max coordinate (a 4×4
-        # lattice → order 2; the former max+1 formula over-shot by one bit
-        # exactly when max+1 was a power of two, walking a sparser curve)
-        order = int(max(int(tr.max()), int(tc.max()))).bit_length()
-        hkey = hilbert_encode(tr, tc, max(order, 1))
-        all_tiles = [int(t) for _, t in sorted(zip(hkey.tolist(), all_tiles))]
+            arr = np.asarray(all_tiles, dtype=np.int64)
+            tr, tc = arr // tiles_x, arr % tiles_x
+            # minimal curve order: smallest p with 2^p > max coordinate (a
+            # 4×4 lattice → order 2; the former max+1 formula over-shot by
+            # one bit exactly when max+1 was a power of two, walking a
+            # sparser curve)
+            order = int(max(int(tr.max()), int(tc.max()))).bit_length()
+            hkey = hilbert_encode(tr, tc, max(order, 1))
+            all_tiles = [
+                int(t) for _, t in sorted(zip(hkey.tolist(), all_tiles))
+            ]
     elif tile_order != "id":
         raise ValueError("tile_order must be 'id' or 'hilbert'")
     done = completed_tiles(spark, path)
     pending = [t for t in all_tiles if t not in done]
 
     hot: set[int] = set()
-    if salt_threshold is not None and pending:
-        hot = hot_tiles(df.filter(F.col("tile_id").isin(pending)), salt_threshold)
+    if salt_threshold is not None:
+        hot = {t for t in pending if tile_counts[t] > salt_threshold}
 
     mp = _manifest_path(path)
     batches = [
@@ -222,38 +238,43 @@ def write_tiled_checkpointed(
         #     best-effort; use 'files' when the manifest must be proof.
         if metrics_from == "cache":
             sub = sub.persist(StorageLevel.DISK_ONLY)
-        # Dynamic partition overwrite: the batch replaces exactly the tile
-        # directories it touches. A job killed between the data commit and
-        # the manifest commit leaves orphan tile files — the resumed run
-        # re-executes that batch and the overwrite replaces them, so the
-        # manifest row (written after the data) is the one true commit.
-        (
-            sub.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("tile_id")
-            .parquet(path)
-        )
-        if metrics_from == "cache":
-            metrics = tile_metrics(sub, id_col)
-        else:
-            written = spark.read.option("basePath", path).parquet(
-                *[os.path.join(path, f"tile_id={t}") for t in batch]
+        try:
+            # Dynamic partition overwrite: the batch replaces exactly the
+            # tile directories it touches. A job killed between the data
+            # commit and the manifest commit leaves orphan tile files — the
+            # resumed run re-executes that batch and the overwrite replaces
+            # them, so the manifest row (written after the data) is the one
+            # true commit.
+            (
+                sub.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("tile_id")
+                .parquet(path)
             )
-            metrics = tile_metrics(written, id_col)
-        wall = time.time() - t0
-        manifest_rows = metrics.select(
-            "tile_id",
-            F.lit(bi).alias("batch_id"),
-            "row_count",
-            "checksum",
-            "lineage",
-            F.lit(round(wall, 3)).alias("wall_s"),
-            F.lit("ok").alias("status"),
-            F.lit(time.time()).alias("ts"),
-        )
-        manifest_rows.coalesce(1).write.mode("append").parquet(mp)
-        if metrics_from == "cache":
-            sub.unpersist()
+            if metrics_from == "cache":
+                metrics = tile_metrics(sub, id_col)
+            else:
+                written = spark.read.option("basePath", path).parquet(
+                    *[os.path.join(path, f"tile_id={t}") for t in batch]
+                )
+                metrics = tile_metrics(written, id_col)
+            wall = time.time() - t0
+            manifest_rows = metrics.select(
+                "tile_id",
+                F.lit(bi).alias("batch_id"),
+                "row_count",
+                "checksum",
+                "lineage",
+                F.lit(round(wall, 3)).alias("wall_s"),
+                F.lit("ok").alias("status"),
+                F.lit(time.time()).alias("ts"),
+            )
+            manifest_rows.coalesce(1).write.mode("append").parquet(mp)
+        finally:
+            # unpersist even when the write/metrics/manifest step throws —
+            # a retry loop must not accumulate leaked DISK_ONLY blocks
+            if metrics_from == "cache":
+                sub.unpersist()
         if fail_after_batches is not None and bi + 1 >= fail_after_batches:
             raise RuntimeError(
                 f"fault injection: killed after batch {bi} "
@@ -265,25 +286,42 @@ def write_tiled_checkpointed(
 def verify_against_manifest(
     df: DataFrame, spark: SparkSession, path: str, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Audit a written dataset: recompute per-tile metrics from the stored
-    files and anti-compare with the manifest. Returns rows that disagree
-    (empty ⇒ the dataset is complete and content-identical)."""
+    """Three-way audit of a written dataset: per-tile metrics recomputed
+    from the stored files AND from the input plan ``df``, both compared
+    with the manifest. Returns rows that disagree on any leg (empty ⇒ the
+    dataset is complete and content-identical to the input).
+
+    The input leg is the non-circular one: in the default
+    ``metrics_from='files'`` mode the manifest derives from the stored
+    bytes, so stored-vs-manifest alone could never catch rows the write
+    dropped — input-vs-manifest can. Raises ValueError when ``path`` has
+    no manifest (it was not written by this sink)."""
+    man_df = read_manifest(spark, path)
+    if man_df is None:
+        raise ValueError(
+            f"no manifest at {path} — not written by write_tiled_checkpointed"
+        )
     stored = spark.read.option("basePath", path).parquet(path)
     actual = tile_metrics(stored, id_col)
-    man = (
-        read_manifest(spark, path)
-        .groupBy("tile_id")
-        .agg(
-            F.max("row_count").alias("m_rows"),
-            F.max("checksum").alias("m_sum"),
-        )
+    expected = tile_metrics(df, id_col).select(
+        "tile_id",
+        F.col("row_count").alias("i_rows"),
+        F.col("checksum").alias("i_sum"),
+    )
+    man = man_df.groupBy("tile_id").agg(
+        F.max("row_count").alias("m_rows"),
+        F.max("checksum").alias("m_sum"),
     )
     return (
         actual.join(man, "tile_id", "full_outer")
+        .join(expected, "tile_id", "full_outer")
         .filter(
             F.col("row_count").isNull()
             | F.col("m_rows").isNull()
+            | F.col("i_rows").isNull()
             | (F.col("row_count") != F.col("m_rows"))
+            | (F.col("row_count") != F.col("i_rows"))
             | (F.col("checksum") != F.col("m_sum"))
+            | (F.col("checksum") != F.col("i_sum"))
         )
     )

@@ -104,10 +104,13 @@ ROLLING_OUT_SCHEMA = "tile_id bigint, n bigint, total double, mean double"
 
 def _update_tile_state(key, pdfs, state: GroupState):
     """Stateful kernel: fold each micro-batch's rows for one tile into the
-    running (n, total) state; emit the updated aggregate."""
+    running (n, total) state; emit the updated aggregate. NULL values are
+    excluded from BOTH n and total (pandas ``sum`` already skips NaN; the
+    count must match), so the running mean agrees with ``F.avg`` on the
+    same rows — an all-null tile reports mean NULL, not 0.0."""
     n, total = state.get if state.exists else (0, 0.0)
     for pdf in pdfs:
-        n += len(pdf)
+        n += int(pdf["value"].notna().sum())
         total += float(pdf["value"].sum())
     state.update((n, total))
     yield pd.DataFrame(
@@ -115,7 +118,9 @@ def _update_tile_state(key, pdfs, state: GroupState):
             "tile_id": [key[0]],
             "n": [n],
             "total": [round(total, 6)],
-            "mean": [round(total / n, 6) if n else 0.0],
+            "mean": pd.array(
+                [round(total / n, 6) if n else None], dtype="Float64"
+            ),
         }
     )
 

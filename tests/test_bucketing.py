@@ -111,3 +111,15 @@ def test_exact_index_bucketed_probe_skips_index_exchange(spark):
         assert n_in == 40
 
     spark.sql("DROP TABLE IF EXISTS bkt_dedup_idx")
+
+
+def test_broadcast_exchange_is_not_a_shuffle(spark, bucketed_tables):
+    """BroadcastExchange must not trip the shuffle guard: a co-bucketed
+    join whose small side broadcasts is still exchange-free in the
+    repartitioning sense (no _no_broadcast wrapper here on purpose)."""
+    corpus, stats = bucketed_tables
+    a = bucketing.read_bucketed(spark, corpus)
+    b = bucketing.read_bucketed(spark, stats)
+    joined = a.join(b, "tile_id")
+    bucketing.assert_no_shuffle_join(joined)  # broadcast plan allowed
+    assert not bucketing.plan_has_shuffle(joined)

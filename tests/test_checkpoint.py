@@ -166,3 +166,36 @@ def test_hilbert_tile_order_batches_are_compact(spark, corpus, sink_dir):
 def test_hilbert_tile_order_requires_tiles_x(spark, corpus, sink_dir):
     with pytest.raises(ValueError):
         cp.write_tiled_checkpointed(corpus, sink_dir, tile_order="hilbert")
+
+
+def test_audit_catches_input_vs_stored_drift(spark, corpus, sink_dir):
+    """The input leg of the three-way audit: if the input plan has rows
+    the write never saw (the dropped-rows scenario the circular
+    stored-vs-manifest check can't detect), the audit flags the tile."""
+    cp.write_tiled_checkpointed(corpus, sink_dir, batch_tiles=6)
+    extra = spark.createDataFrame(
+        [(999999, 5, 123, 1.0)], "doc_id long, tile_id long, cell_id long, value double"
+    )
+    drifted = corpus.unionByName(extra)
+    bad = cp.verify_against_manifest(drifted, spark, sink_dir).collect()
+    assert len(bad) == 1 and bad[0]["tile_id"] == 5
+
+
+def test_audit_requires_manifest(spark, corpus, sink_dir):
+    """A plain parquet dir without a manifest is a loud error, not an
+    AttributeError (and not a silent pass)."""
+    corpus.write.mode("overwrite").partitionBy("tile_id").parquet(sink_dir)
+    with pytest.raises(ValueError, match="no manifest"):
+        cp.verify_against_manifest(corpus, spark, sink_dir)
+
+
+def test_hilbert_order_empty_input(spark, sink_dir):
+    """Empty input with tile_order='hilbert' writes an empty manifest
+    instead of crashing on a zero-size coordinate array."""
+    empty = spark.createDataFrame(
+        [], "doc_id long, tile_id long, cell_id long, value double"
+    )
+    man = cp.write_tiled_checkpointed(
+        empty, sink_dir, tile_order="hilbert", tiles_x=4
+    )
+    assert man is None or man.count() == 0
