@@ -2259,11 +2259,14 @@ SELECT doc_id,
 FROM g
 """
 
+    # per-QUERIED-value semantics (one row per threshold, zero-match
+    # values included) — mirrors sops.calc_area's reference parity
     o["q_calc_area"] = f"""
 WITH {G_SQL}
-SELECT band_green AS value, count(*) * 900.0 * 1e-06 AS area
-FROM g WHERE band_green < 50.0
-GROUP BY band_green ORDER BY value
+SELECT CAST(50.0 AS DOUBLE) AS value,
+       coalesce(sum(CASE WHEN band_green < 50.0 THEN 1 ELSE 0 END), 0)
+         * 900.0 * 1e-06 AS area
+FROM g
 """
 
     o["q_sample_systematic"] = f"""

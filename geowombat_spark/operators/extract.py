@@ -155,7 +155,24 @@ def extract_points(
     aggregates or re-sorts anyway).
     """
     enc = encode_points_pdf(aoi, grid)
-    pts_cols = [id_column, "x", "y", "cell_id"]
+    # DROP out-of-grid points (reference ``sops.py:836-844`` filters them;
+    # the encoder's clamp would otherwise fabricate edge-cell rows with
+    # band values from the wrong pixel for points past the image bounds)
+    inb = (
+        (enc["x"].values >= grid.left)
+        & (enc["x"].values < grid.right)
+        & (enc["y"].values <= grid.top)
+        & (enc["y"].values > grid.bottom)
+    )
+    enc = enc[inb].reset_index(drop=True)
+    # AOI attribute columns ride through (the reference returns the
+    # GeoDataFrame with band columns appended — attributes included)
+    attr_cols = [
+        c
+        for c in enc.columns
+        if c not in {id_column, "x", "y", "cell_id", "row", "col", "tile_id"}
+    ]
+    pts_cols = [id_column, "x", "y", "cell_id", *attr_cols]
     pts = spark.createDataFrame(
         enc[pts_cols].assign(_pt_order=np.arange(len(enc), dtype=np.int64))
     )
@@ -174,15 +191,22 @@ def extract_points(
         time_names = [r[0] for r in docs.select("t").distinct().orderBy("t").collect()]
     if time_names and len(time_names) > 1:
         aggs = [F.first(_band_col(b)).alias(b) for b in bands]
+        # keep_doc_columns and AOI attributes are grouping keys, not
+        # aggregated away (a kept column that varies across time steps
+        # legitimately splits the point's row)
         out = (
-            joined.groupBy("_pt_order", id_column, "x", "y")
+            joined.groupBy(
+                "_pt_order", id_column, "x", "y",
+                *attr_cols, *keep_doc_columns,
+            )
             .pivot("t", time_names)
             .agg(*aggs)
         )
         # single-agg pivot names columns "{t}" — force "{t}_{band}"
+        # (pivot column names are always strings, so rename via str(t))
         if len(bands) == 1:
             for t in time_names:
-                out = out.withColumnRenamed(t, f"{t}_{bands[0]}")
+                out = out.withColumnRenamed(str(t), f"{t}_{bands[0]}")
     else:
         renames = dict(zip(band_cols, bands))
         out = joined.withColumnsRenamed(renames)
@@ -268,6 +292,15 @@ def extract_polygons(
         seed=seed,
         id_column=id_column,
     )
+    # DROP sample centers outside the grid (reference ``sops.py:836-844``
+    # filters out-of-image indices; clamping would gather edge-cell values
+    # for the overhanging part of a polygon that extends past the bounds)
+    samples = samples.filter(
+        (F.col("x") >= grid.left)
+        & (F.col("x") < grid.right)
+        & (F.col("y") <= grid.top)
+        & (F.col("y") > grid.bottom)
+    )
     samples = encode_cells(samples, grid)
     # tile pruning from the polygons' bboxes (driver-side, bbox arithmetic)
     from ..grid import bbox_cover_tiles
@@ -281,11 +314,23 @@ def extract_polygons(
         )
     pruned = _prune_tiles(docs, tiles)
     band_cols = [_band_col(b) for b in bands]
-    doc_side = pruned.select("cell_id", *band_cols, *keep_doc_columns)
+    # carry the time column when the corpus is a stack: every sample point
+    # legitimately matches one row per time step, and 't' is what makes
+    # those rows distinguishable downstream
+    t_cols = ["t"] if "t" in docs.columns else []
+    doc_side = pruned.select(
+        "cell_id", *t_cols, *band_cols, *keep_doc_columns
+    )
     joined = doc_side.join(
         F.broadcast(samples.select(id_column, "point", "x", "y", "cell_id")),
         "cell_id",
         "inner",
     )
     renames = dict(zip(band_cols, bands))
-    return joined.withColumnsRenamed(renames).orderBy(id_column, "point")
+    out = joined.withColumnsRenamed(renames)
+    # polygon attribute columns ride back in via the (tiny) broadcast fid
+    # table — ``sample_feature`` re-assigns other_cols the same way
+    attrs = polygons.drop(columns=["rings"], errors="ignore")
+    if len(attrs.columns) > 1:
+        out = out.join(F.broadcast(spark.createDataFrame(attrs)), id_column)
+    return out.orderBy(id_column, "point", *t_cols)

@@ -177,6 +177,15 @@ def moving(
             f"weights=True supports {_WEIGHTED_STATS}, not {stat!r}"
         )
     hw = w // 2
+    if hw > min(grid.tile_rows, grid.tile_cols):
+        # halo duplication reaches ADJACENT tiles only: a half-width
+        # beyond one tile would silently compute border stats over gaps
+        raise ValueError(
+            f"window half-width {hw} exceeds the tile size "
+            f"({grid.tile_rows}x{grid.tile_cols}); the halo exchange "
+            "covers one neighbor ring — use a coarser window or larger "
+            "tiles"
+        )
     out = out or f"{band}_{stat}"
     kern = _weighted_stat(stat, w) if weights else _window_stat(stat, perc)
     g = grid.as_dict()

@@ -206,6 +206,11 @@ def recode(
     modal = None
     if any(v == "mode" for v in mapping.values()):
         modal = out.filter(F.col("_pip")).agg(F.mode(band)).collect()[0][0]
+        if modal is None:
+            raise ValueError(
+                "recode 'mode': the polygon selects no pixels, so the "
+                "modal value is undefined — check polygon/raster overlap"
+            )
     resolved = {
         float(k): float(modal if v == "mode" else v)
         for k, v in mapping.items()
@@ -230,9 +235,14 @@ def calc_area(
     op: str = "eq",
     units: str = "km2",
 ) -> DataFrame:
-    """Per-class pixel counts × cell area (``sops.py:113-211``) — one
-    ``groupBy().count()``: map-side partial aggregation, single shuffle of
-    ~len(values) rows."""
+    """Per-QUERIED-value areas (``sops.py:113-211`` semantics): one output
+    row per entry of ``values``, keyed by that value — ``op='lt'`` with
+    values [3, 5] returns area(band<3) AND area(band<5) separately, and a
+    value matching zero pixels reports area 0.0 (the reference emits it;
+    grouping by raw pixel value instead would merge overlapping
+    thresholds and drop empty classes). Plan: ONE scan, one conditional
+    sum per queried value folded in a single aggregate (map-side partial,
+    one 1-row shuffle), then a driver-free ``stack`` to long form."""
     conv = _AREA_CONV[units]
     cell_area = grid.cellx * grid.celly
     ops = {
@@ -242,14 +252,22 @@ def calc_area(
         "gt": lambda c, v: c > v,
         "ge": lambda c, v: c >= v,
     }
-    pred = None
-    for v in values:
-        p = ops[op](F.col(band), F.lit(float(v)))
-        pred = p if pred is None else (pred | p)
+    aggs = [
+        F.coalesce(
+            F.sum(ops[op](F.col(band), F.lit(float(v))).cast("long")),
+            F.lit(0).cast("long"),
+        ).alias(f"_c{i}")
+        for i, v in enumerate(values)
+    ]
+    pairs = ", ".join(
+        f"CAST({float(v)} AS DOUBLE), _c{i}" for i, v in enumerate(values)
+    )
     return (
-        docs.filter(pred)
-        .groupBy(F.col(band).alias("value"))
-        .agg((F.count("*") * cell_area * conv).alias("area"))
+        docs.agg(*aggs)
+        .selectExpr(f"stack({len(values)}, {pairs}) AS (value, hits)")
+        .select(
+            "value", (F.col("hits") * cell_area * conv).alias("area")
+        )
         .orderBy("value")
     )
 
@@ -259,8 +277,12 @@ def bounds_overlay(
     b: tuple[float, float, float, float],
     how: str = "intersects",
 ) -> bool:
-    """bbox binary predicate (``src/geowombat/core/geoxarray.py:389-425``)."""
-    ix = not (a[2] <= b[0] or b[2] <= a[0] or a[3] <= b[1] or b[3] <= a[1])
+    """bbox binary predicate (``src/geowombat/core/geoxarray.py:389-425``).
+
+    Strict ``<`` in the disjointness test: shapely's ``intersects`` (the
+    reference's backend) counts shared-boundary contact — two boxes that
+    merely touch at an edge DO intersect."""
+    ix = not (a[2] < b[0] or b[2] < a[0] or a[3] < b[1] or b[3] < a[1])
     if how == "intersects":
         return ix
     if how == "contains":

@@ -91,3 +91,76 @@ def test_span_sequence_survives_join(spark, docs, aoi_points_pdf):
     assert len(df) == 6
     for _, r in df.iterrows():
         assert span_hash_py(r["spans"]) == r["span_hash"]
+
+
+def test_extract_drops_out_of_grid_points(spark, docs):
+    """Points past the image bounds are DROPPED (reference sops.py:836-844),
+    never clamped to edge cells with fabricated values."""
+    import pandas as pd
+
+    aoi = pd.DataFrame(
+        {
+            "id": [0, 1],
+            "x": [717585.0 + 45.0, L8_GRID.right + 500.0],  # in, out
+            "y": [-2776995.0 - 45.0, -2776995.0 - 45.0],
+        }
+    )
+    out = extract_points(spark, docs, aoi, L8_GRID, bands=["blue"]).toPandas()
+    assert set(out["id"]) == {0}
+
+
+def test_extract_points_carries_aoi_attributes(spark, docs):
+    """AOI attribute columns survive into the output (the reference appends
+    band columns to the GeoDataFrame, attributes included)."""
+    import pandas as pd
+
+    aoi = pd.DataFrame(
+        {
+            "id": [0, 1],
+            "x": [717585.0 + 45.0, 717585.0 + 105.0],
+            "y": [-2776995.0 - 45.0, -2776995.0 - 105.0],
+            "name": ["a", "b"],
+        }
+    )
+    out = extract_points(spark, docs, aoi, L8_GRID, bands=["blue"]).toPandas()
+    assert "name" in out.columns and set(out["name"]) == {"a", "b"}
+
+
+def test_calc_area_per_queried_value(spark, docs):
+    """calc_area returns one row per QUERIED value — overlapping 'lt'
+    thresholds stay separate and zero-match values report 0.0."""
+    from geowombat_spark.operators.sops import calc_area, subset
+
+    dense = subset(docs, L8_GRID, 717585.0, -2776995.0, 128, 128)
+    vals = sorted(
+        r[0] for r in dense.select("band_blue").distinct().collect()
+    )
+    v_lo, v_hi = vals[1], vals[-1]
+    out = calc_area(
+        dense, L8_GRID, [v_lo, v_hi, 1e12], op="lt", units="m2"
+    ).toPandas()
+    assert list(out["value"]) == sorted([float(v_lo), float(v_hi), 1e12])
+    a = dict(zip(out["value"], out["area"]))
+    from pyspark.sql import functions as F
+
+    n_lo = dense.filter(F.col("band_blue") < v_lo).count()
+    n_all = dense.count()
+    assert a[float(v_lo)] == n_lo * 900.0
+    assert a[1e12] == n_all * 900.0  # everything is below 1e12
+    # zero-match value reports 0.0, not a missing row
+    out0 = calc_area(dense, L8_GRID, [-1.0], op="lt", units="m2").toPandas()
+    assert len(out0) == 1 and out0["area"].iloc[0] == 0.0
+
+
+def test_moving_window_wider_than_tile_raises(spark, docs):
+    from geowombat_spark.operators.focal import moving
+
+    with pytest.raises(ValueError, match="half-width"):
+        moving(docs, L8_GRID, stat="mean", w=2 * L8_GRID.tile_rows + 3)
+
+
+def test_bounds_overlay_touching_edges_intersect():
+    from geowombat_spark.operators.sops import bounds_overlay
+
+    assert bounds_overlay((0, 0, 10, 10), (10, 0, 20, 10), "intersects")
+    assert not bounds_overlay((0, 0, 10, 10), (11, 0, 20, 10), "intersects")
