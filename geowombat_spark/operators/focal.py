@@ -195,8 +195,10 @@ def moving(
         f", {k} {docs.schema[k].dataType.simpleString()}" for k in keep
     )
     src = docs.select("row", "col", "cell_id", *keep, F.col(band).alias("_v"))
+    refill = None
     if nodata is not None:
         src = src.withColumn("_v", F.nullif(F.col("_v"), F.lit(float(nodata))))
+        refill = float(nodata)
     src = halo_assignments(src, grid, hw)
 
     schema = f"row bigint, col bigint, cell_id bigint{keep_schema}, {out} double"
@@ -222,6 +224,11 @@ def moving(
         # emit only cells that exist in the home tile of this group
         home = pdf[(pdf["row"] >= r0) & (pdf["row"] < r1) & (pdf["col"] >= c0) & (pdf["col"] < c1)]
         vals = stat_arr[home["row"].values - r0, home["col"].values - c0]
+        if refill is not None:
+            # reference parity (_moving.pyx: 'if npy_isnan(res): return
+            # nodata'): an all-nodata window refills with the nodata
+            # value instead of emitting NaN/NULL
+            vals = np.where(np.isnan(vals), refill, vals)
         cols = {
             "row": home["row"].values,
             "col": home["col"].values,

@@ -55,12 +55,16 @@ def _numpy_focal(stat, w):
     win = np.lib.stride_tricks.sliding_window_view(pad, (w, w)).reshape(256, 256, -1)
     with np.errstate(invalid="ignore"):
         if stat == "mean":
-            return np.nanmean(win, axis=2)
-        if stat == "max":
-            return np.nanmax(win, axis=2)
-        if stat == "std":
-            return np.nanstd(win, axis=2)
-    raise ValueError(stat)
+            res = np.nanmean(win, axis=2)
+        elif stat == "max":
+            res = np.nanmax(win, axis=2)
+        elif stat == "std":
+            res = np.nanstd(win, axis=2)
+        else:
+            raise ValueError(stat)
+    # reference parity (_moving.pyx): an all-nodata window refills with
+    # the nodata value (0.0 here), it does not emit NaN
+    return np.where(np.isnan(res), 0.0, res)
 
 
 @pytest.mark.parametrize("stat,w", [("mean", 3), ("max", 5), ("std", 3)])
@@ -220,7 +224,10 @@ def test_moving_weighted_matches_numpy(spark, small_docs):
     valid = ~np.isnan(win)
     num = np.where(valid, win * wt, 0.0).sum(axis=2)
     den = (valid * wt).sum(axis=2)
-    expected = num / den
+    with np.errstate(invalid="ignore", divide="ignore"):
+        expected = num / den
+    # reference parity: all-nodata windows refill with nodata (0.0)
+    expected = np.where(np.isnan(expected), 0.0, expected)
     got = np.full((256, 256), np.nan)
     got[out["row"], out["col"]] = out["band_blue_mean"].values
     np.testing.assert_allclose(got, expected, rtol=1e-12, equal_nan=True)
