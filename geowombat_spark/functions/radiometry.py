@@ -40,7 +40,14 @@ def radiance_to_toar(
     """Radiance → top-of-atmosphere reflectance:
     ``rho = (pi * L * d^2) / (esun * cos(theta_s))`` (``sr.py:791-828``).
     ``bands`` maps column → esun. Zenith is a scene constant, so the whole
-    factor folds to one literal multiply per band."""
+    factor folds to one literal multiply per band.
+
+    DOCUMENTED DEVIATION: the reference evaluates ``cos(solar_za * 0.01)``
+    on its centidegree-scaled angle without a deg→rad conversion
+    (``sr.py:815-826``) — i.e. cosine of a DEGREE value. The physical
+    formula needs radians; this implementation uses
+    ``cos(radians(zenith))``, so outputs differ from the reference for any
+    nonzero zenith by design (correctness over bug parity)."""
     cos_t = math.cos(math.radians(solar_zenith_deg))
     d2 = earth_sun_dist * earth_sun_dist
     for b, esun in bands.items():
@@ -285,7 +292,13 @@ def qa_masker(
             flag = F.shiftright(F.col(qa_col).cast("long"), offset).bitwiseAND(
                 (1 << width) - 1
             )
-            bad = bad | (flag > 0)
+            # 1-bit flags and multi-bit CLASS fields (e.g. modis-state
+            # landwater): any set bit fires. 2-bit CONFIDENCE fields
+            # (reference conf_dict: notdet=0, no=1, maybe=2, yes=3): only
+            # maybe/yes indicate presence — level 1 explicitly means 'no'
+            # and must NOT mask the pixel.
+            is_conf = width >= 2 and m.endswith("_conf")
+            bad = bad | (flag >= (2 if is_conf else 1))
     return df.withColumn(out, F.when(bad, F.lit(0)).otherwise(F.lit(1)))
 
 
@@ -374,8 +387,13 @@ def toar_to_sr(
         toar_diff = toar - p_r
         transmission = t_sv(r, cos_sza) * t_sv(r, cos_vza)
         s_atm = 0.92 * r * math.exp(-r)
-        sr = toar_diff / (toar_diff * F.lit(s_atm) + transmission)
-        sr = F.least(F.greatest(sr, F.lit(0.0)), F.lit(1.0))
+        raw_sr = toar_diff / (toar_diff * F.lit(s_atm) + transmission)
+        # NULL-preserving clip: least/greatest SKIP nulls, so clipping a
+        # NULL (src_nodata) pixel directly would emit 0.0 "valid black"
+        # and starve the dst_nodata coalesce below
+        sr = F.when(
+            raw_sr.isNull(), F.lit(None).cast("double")
+        ).otherwise(F.least(F.greatest(raw_sr, F.lit(0.0)), F.lit(1.0)))
         if dst_nodata is not None:
             sr = F.coalesce(sr, F.lit(float(dst_nodata)))
         df = df.withColumn(b, sr)
@@ -485,7 +503,15 @@ def dark_object_values(
             for b in bands
         ]
     row = df.agg(*aggs).collect()[0]
-    return {b: float(row[b]) for b in bands}
+    dark = {}
+    for b in bands:
+        if row[b] is None:
+            raise ValueError(
+                f"dark_object_values: no non-null pixels for {b!r} — the "
+                "input is empty or fully masked; correct before DOS"
+            )
+        dark[b] = float(row[b])
+    return dark
 
 
 def dos_correct(

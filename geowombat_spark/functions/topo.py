@@ -32,8 +32,6 @@ Spark shape:
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -183,9 +181,20 @@ def norm_topo(
 
     All outputs clip to [0, 1] over valid samples, like the reference.
     When fewer than ``min_samples`` valid samples exist the band is
-    returned unadjusted (reference :223-224). ``band_coeffs`` supplies
-    precomputed ``(m, b)`` per band and skips the regression
-    (reference :218-227).
+    returned unadjusted (reference :223-224) — enforced also when
+    ``band_coeffs`` supplies precomputed ``(m, b)`` per band and skips
+    the regression (reference :218-227 checks the floor in that branch
+    too). Degenerate regressions (zero illumination variance, ``m = 0``,
+    zero denominators) return the band unadjusted instead of aborting
+    under the ANSI runtime.
+
+    DOCUMENTED DEVIATION: nodata is flagged on the RAW band values,
+    before ``scale_factor`` is applied. The reference scales first
+    (``data = data * scale_factor`` precedes the nodata comparison,
+    :400-410), which destroys the sentinel whenever
+    ``scale_factor != 1`` — a raw -9999 becomes -0.9999 and is treated
+    as a valid regression sample. Flagging pre-scale preserves the
+    sentinel's meaning (correctness over bug parity).
     """
     method = method.strip().lower()
     if method not in _METHODS:
@@ -241,12 +250,24 @@ def norm_topo(
             {b: F.col(b) * F.lit(float(scale_factor)) for b in bands}
         )
 
-    clip01 = lambda c: F.least(F.greatest(c, F.lit(0.0)), F.lit(1.0))  # noqa: E731
+    # NULL-preserving clip: least/greatest SKIP nulls, so clipping a NULL
+    # (nodata-as-NULL) band value directly would emit 0.0 "valid black"
+    clip01 = lambda c: F.when(  # noqa: E731
+        c.isNull(), F.lit(None).cast("double")
+    ).otherwise(F.least(F.greatest(c, F.lit(0.0)), F.lit(1.0)))
 
     if method == "cos":
         out = {}
         for b in bands:
-            sr_a = F.col(b) * F.col("_cos_z") / F.col("_il")
+            # zero illumination (90° incidence) → unadjusted passthrough
+            # (ANSI runtime would abort on the division otherwise)
+            sr_a = F.coalesce(
+                F.when(
+                    F.col("_il") != 0.0,
+                    F.col(b) * F.col("_cos_z") / F.col("_il"),
+                ),
+                F.col(b),
+            )
             out[b] = clip01(
                 F.when(F.col("_nodata_samp") == 1, F.col(b)).otherwise(sr_a)
             )
@@ -254,13 +275,23 @@ def norm_topo(
             "_cos_z", "_il", "_nodata_samp", "_slope", "_aspect"
         )
 
+    # The pre-agg plan below re-executes for the final projection; when
+    # the terrain came from the internal slope_aspect (a halo shuffle +
+    # applyInPandas stencil), persist so the stencil runs ONCE, not once
+    # for the coefficient job and again for the main query.
+    if slope is None or aspect is None:
+        from pyspark import StorageLevel
+
+        d = d.persist(StorageLevel.MEMORY_AND_DISK)
+
     # OLS sr ~ il per band over valid samples: one global aggregate row,
-    # broadcast back. covar_pop/var_pop give sklearn's closed form.
-    if band_coeffs:
-        coeff = None
-    else:
-        valid = F.col("_nodata_samp") == 0
-        aggs = [F.sum(valid.cast("long")).alias("_n_valid")]
+    # broadcast back. covar_pop/var_pop give sklearn's closed form. The
+    # min_samples floor applies EVEN with user-supplied band_coeffs
+    # (reference topo.py:215-224: too few valid samples → unadjusted), so
+    # the valid count is always aggregated.
+    valid = F.col("_nodata_samp") == 0
+    aggs = [F.sum(valid.cast("long")).alias("_n_valid")]
+    if not band_coeffs:
         for b in bands:
             aggs.append(
                 F.covar_pop(F.when(valid, F.col("_il")), F.when(valid, F.col(b))).alias(f"_cov_{b}")
@@ -269,22 +300,33 @@ def norm_topo(
         aggs.append(F.avg(F.when(valid, F.col("_il"))).alias("_avg_il"))
         for b in bands:
             aggs.append(F.avg(F.when(valid, F.col(b))).alias(f"_avg_{b}"))
-        coeff = d.agg(*aggs)
-        d = d.crossJoin(F.broadcast(coeff))
+    coeff = d.agg(*aggs)
+    d = d.crossJoin(F.broadcast(coeff))
 
     out = {}
     for b in bands:
         if band_coeffs:
             m, bb = band_coeffs[b]
             m_c, b_c = F.lit(float(m)), F.lit(float(bb))
-            enough = F.lit(True)
         else:
-            m_c = F.col(f"_cov_{b}") / F.col("_var_il")
+            # NULL when the illumination has no variance (uniform
+            # slope/aspect): the ANSI runtime would otherwise abort with
+            # DIVIDE_BY_ZERO; NULL flows to the a=1 / m=0 passthroughs
+            # below (the reference maps the degenerate case to
+            # unadjusted output the same way, via NaN → a_factor=1)
+            m_c = F.when(
+                F.col("_var_il") != 0.0,
+                F.col(f"_cov_{b}") / F.col("_var_il"),
+            )
             b_c = F.col(f"_avg_{b}") - m_c * F.col("_avg_il")
-            enough = F.col("_n_valid") >= F.lit(int(min_samples))
+        enough = F.col("_n_valid") >= F.lit(int(min_samples))
         if method == "c":
-            c_c = b_c / m_c
-            a = (F.col("_cos_z") + c_c) / (F.col("_il") + c_c)
+            c_c = F.when(m_c != 0.0, b_c / m_c)  # NULL when m degenerate
+            denom = F.col("_il") + c_c
+            a = F.coalesce(
+                F.when(denom != 0.0, (F.col("_cos_z") + c_c) / denom),
+                F.lit(1.0),  # degenerate c / zero denominator → unadjusted
+            )
             a = F.when(F.isnan(a), F.lit(1.0)).otherwise(a)
             sr_a = F.col(b) * a
             adj = clip01(
@@ -293,13 +335,13 @@ def norm_topo(
                 ).otherwise(sr_a)
             )
         else:  # empirical-rotation
-            sr_a = F.col(b) - m_c * (F.col("_il") - F.col("_cos_z"))
+            m_er = F.coalesce(m_c, F.lit(0.0))  # degenerate → unadjusted
+            sr_a = F.col(b) - m_er * (F.col("_il") - F.col("_cos_z"))
             adj = clip01(
                 F.when(F.col("_nodata_samp") == 1, F.col(b)).otherwise(sr_a)
             )
         out[b] = F.when(enough, adj).otherwise(F.col(b))
     d = d.withColumns(out)
     drop = ["_cos_z", "_il", "_nodata_samp", "_slope", "_aspect"]
-    if coeff is not None:
-        drop += coeff.columns
+    drop += coeff.columns
     return d.drop(*drop)

@@ -241,7 +241,6 @@ def with_zorder_column(df, out: str = "cell_id", row_col: str = "row", col_col: 
         (2, 0x3333333333333333),
         (1, 0x5555555555555555),
     )
-    tmp = {}
     for name, src in (("_zr", row_col), ("_zc", col_col)):
         e = F.col(src).cast("long").bitwiseAND(F.lit(0xFFFFFFFF))
         df = df.withColumn(name, e)
@@ -252,7 +251,6 @@ def with_zorder_column(df, out: str = "cell_id", row_col: str = "row", col_col: 
                     F.col(name).bitwiseOR(F.shiftleft(F.col(name), shift))
                 ).bitwiseAND(F.lit(mask)),
             )
-        tmp[name] = name
     df = df.withColumn(out, F.shiftleft(F.col("_zr"), 1).bitwiseOR(F.col("_zc")))
     return df.drop("_zr", "_zc")
 
@@ -410,8 +408,6 @@ def segment_supercover(
     crossings conservatively include both side-adjacent cells (GDAL's
     any-touch counts a corner graze as touched).
     """
-    import math
-
     cc, cr = math.floor(c0), math.floor(r0)
     ec, er = math.floor(c1), math.floor(r1)
     cells = {(cr, cc)}

@@ -117,3 +117,33 @@ def test_brovey_reads_original_bands_not_chained(spark):
     ).collect()[0]
     # I = 20, ratio = 0.5 for BOTH bands
     assert out["band_blue"] == 5.0 and out["band_green"] == 15.0
+
+
+def test_toar_to_sr_nodata_propagates(spark):
+    """src_nodata pixels come out as dst_nodata, never 0.0 'valid black'
+    (least/greatest skip NULLs, so an unguarded clip would swallow the
+    NULL before the dst coalesce)."""
+    from geowombat_spark.functions.radiometry import toar_to_sr
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"band_red": [0.3, -32768.0], "pix": [0, 1]})
+    )
+    out = (
+        toar_to_sr(
+            df, {"band_red": 0.65}, solar_za=30.0, solar_az=120.0,
+            sensor_za=5.0, sensor_az=60.0, angle_factor=1.0,
+            src_nodata=-32768, dst_nodata=-32768,
+        )
+        .orderBy("pix")
+        .toPandas()
+    )
+    assert 0.0 < out["band_red"].iloc[0] <= 1.0
+    assert out["band_red"].iloc[1] == -32768.0
+
+
+def test_dark_object_values_empty_input_is_loud(spark):
+    from geowombat_spark.functions.radiometry import dark_object_values
+
+    empty = spark.createDataFrame([], "band_red double")
+    with pytest.raises(ValueError, match="no non-null pixels"):
+        dark_object_values(empty, ("band_red",))

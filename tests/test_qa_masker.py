@@ -112,3 +112,17 @@ def test_ard_modis_s2toa_layouts(spark):
     )
     assert mo["qa_ok"].tolist() == [1, 0, 0]
     assert QA_SENSOR_BITS["modis-state"]["landwater"] == (6, 2)
+
+
+def test_conf_fields_mask_only_maybe_and_yes(spark):
+    """2-bit confidence fields follow the reference conf_dict (notdet=0,
+    no=1, maybe=2, yes=3): level 1 explicitly means 'no cloud' and must
+    pass; class fields (landwater) keep any-nonzero semantics."""
+    # l8-c1 cloud_conf at bits (7, 2)
+    df = spark.createDataFrame(
+        pd.DataFrame({"pix": [0, 1, 2, 3], "qa": [c << 7 for c in range(4)]})
+    )
+    out = (
+        qa_masker(df, "qa", "l8-c1", ("cloud_conf",)).orderBy("pix").toPandas()
+    )
+    assert out["qa_ok"].tolist() == [1, 1, 0, 0]

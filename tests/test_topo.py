@@ -173,3 +173,37 @@ def test_norm_topo_band_coeffs_skip_regression(spark, topo_docs):
     )
     assert "band_a" in out.columns
     assert out.count() == 64 * 64
+
+
+def test_norm_topo_degenerate_illumination_passthrough(spark):
+    """Constant slope/aspect → zero illumination variance: the ANSI
+    runtime must NOT abort with DIVIDE_BY_ZERO; both regression methods
+    return the band unadjusted (reference NaN → a_factor=1 semantics)."""
+    pdf = _topo_pdf()
+    pdf["slope_c"] = 10.0
+    pdf["aspect_c"] = 90.0
+    pdf["solar_za"] = 3000.0
+    pdf["solar_az"] = 12000.0
+    docs = spark.createDataFrame(pdf).repartition(4)
+    for method in ("c", "empirical-rotation"):
+        out = norm_topo(
+            docs, TG, ("band_a",), slope="slope_c",
+            aspect="aspect_c", method=method, min_samples=1,
+        ).toPandas().sort_values(["row", "col"])
+        np.testing.assert_allclose(
+            out["band_a"].values,
+            np.clip(pdf.sort_values(["row", "col"])["band_a"].values, 0, 1),
+            rtol=1e-12,
+        )
+
+
+def test_norm_topo_band_coeffs_respect_min_samples(spark, topo_docs):
+    """band_coeffs does NOT bypass the min_samples floor (reference
+    checks it in that branch too): an impossible floor returns the band
+    unadjusted even with coefficients supplied."""
+    out = norm_topo(
+        topo_docs, TG, ("band_a",), method="c",
+        band_coeffs={"band_a": (0.5, 0.1)}, min_samples=10 ** 9,
+    ).toPandas().sort_values(["row", "col"])
+    exp = _topo_pdf().sort_values(["row", "col"])["band_a"].values
+    np.testing.assert_allclose(out["band_a"].values, exp, rtol=1e-12)
