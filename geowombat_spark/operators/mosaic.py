@@ -88,7 +88,14 @@ def concat(
             s = s.withColumn("t", F.lit(time_names[i]))
         tagged.append(s.select("t", *key_cols, *bands))
     u = reduce(lambda a, b: a.unionByName(b), tagged)
-    if time_names is not None and len(set(time_names)) < len(time_names):
+    # Duplicate time layers mosaic into one (xarray_.py:681-709). With
+    # explicit unique time_names the union is provably duplicate-free and
+    # the shuffle is skipped; otherwise (time_names=None: sources carry
+    # their own t columns the planner cannot inspect without a job) the
+    # overlap resolve ALWAYS runs — a no-op agg for disjoint times is one
+    # map-side-combined shuffle, silently duplicated (t, cell) rows that
+    # double-count in every downstream stat are a correctness bug.
+    if time_names is None or len(set(time_names)) < len(time_names):
         agg_fn = _OVERLAP[overlap]
         u = u.groupBy("t", *key_cols).agg(*[agg_fn(b).alias(b) for b in bands])
     return u

@@ -107,20 +107,21 @@ def sample_stratified_deterministic(
 
 
 def thin_min_dist(points: pd.DataFrame, min_dist: float) -> pd.DataFrame:
-    """Greedy keep-first min-distance thinning of a sampled point set —
-    parity with ``_remove_near_points`` (``sops.py:56-81``: drops the
-    *second* point of each near pair). Driver-side because the input is the
-    already-sampled (small) set; the distributed candidate generator for
-    big sets is ``operators.knn.near_pairs``.
+    """Min-distance thinning of a sampled point set — exact parity with
+    ``_remove_near_points`` (``sops.py:56-81``): the KD-tree pairs every
+    (i, j), i < j, within ``min_dist`` (inclusive, scipy ``query_pairs``
+    semantics) and drops the set of FIRST indices — one pass, no greedy
+    re-evaluation, so a chain p0~p1~p2 keeps only p2 (rm = {0, 1}), and
+    the SECOND point of an isolated pair survives. Driver-side because
+    the input is the already-sampled (small) set; the distributed
+    candidate generator for big sets is ``operators.knn.near_pairs``.
     """
     xs = points["x"].values
     ys = points["y"].values
     n = len(points)
-    keep = np.ones(n, dtype=bool)
-    for i in range(n):
-        if not keep[i]:
-            continue
+    rm = np.zeros(n, dtype=bool)
+    for i in range(n - 1):
         d2 = (xs[i + 1 :] - xs[i]) ** 2 + (ys[i + 1 :] - ys[i]) ** 2
-        close = np.where(d2 < min_dist**2)[0] + i + 1
-        keep[close] = False
-    return points[keep]
+        if (d2 <= min_dist**2).any():
+            rm[i] = True
+    return points[~rm]

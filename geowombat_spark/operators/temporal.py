@@ -59,6 +59,11 @@ def series_stats(
     if time_names is None:
         time_names = [r[0] for r in docs.select(time_col).distinct().orderBy(time_col).collect()]
     n_t = len(time_names)
+    if n_t == 0:
+        raise ValueError(
+            "series_stats: no time steps (empty input or empty "
+            "time_names) — nothing to aggregate"
+        )
     t_idx = None
     for i, t in enumerate(time_names):
         cond = F.col(time_col) == t
@@ -92,6 +97,12 @@ def series_stats(
                 (F.sum(F.col("_v") * F.col("_v")) / (F.max("_v") * F.max("_v") * F.lit(float(n_t)))).alias(stat)
             )
         elif stat.startswith("abs_slope_q"):
+            # DOCUMENTED DEVIATION: regr_slope skips NULL (nodata) pairs
+            # and returns NULL when a quarter has < 2 valid samples; the
+            # reference's lstsq lets one NaN poison the quarter's slope
+            # to NaN and then forces it to 0.0. Skipping nodata keeps
+            # the trend of the remaining samples (correctness over bug
+            # parity); all-/near-empty quarters stay NULL, not fake 0.
             q = int(stat[-1]) - 1
             lo, hi = _quarter_bounds(n_t)[q]
             in_q = (F.col("_ti") >= lo) & (F.col("_ti") < hi)
@@ -109,7 +120,16 @@ def series_stats(
                 F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
                 lambda a, b: F.abs(b["v"] - a["v"]),
             )
-            mad = F.aggregate(diffs, F.lit(0.0), lambda acc, d: acc + d) / F.size(diffs)
+            # nanmean semantics (reference parity, and what the DuckDB
+            # oracle's `WHERE d IS NOT NULL` computes): a diff touching a
+            # nodata sample is SKIPPED, it must not poison the fold to
+            # NULL nor inflate the denominator
+            valid_d = F.filter(diffs, lambda d: d.isNotNull())
+            mad = F.when(
+                F.size(valid_d) > 0,
+                F.aggregate(valid_d, F.lit(0.0), lambda acc, d: acc + d)
+                / F.size(valid_d),
+            )
             aggs.append(_scale_min_max(mad, 0.0, 0.05, 0.0, 1.0).alias(stat))
         else:
             raise ValueError(f"unknown stat {stat}")
@@ -185,6 +205,7 @@ def series_apply(
     band: str = "band_blue",
     time_col: str = "t",
     group_col: str = "tile_id",
+    time_names: list | None = None,
 ) -> DataFrame:
     """TimeModule protocol: a user numpy kernel over the co-located time
     cube of each tile (``core/series.py:289-379``; windowed reader
@@ -221,16 +242,40 @@ def series_apply(
     out_schema = "row bigint, col bigint" + "".join(
         f", {n} double" for n in out_names
     )
+    # GLOBAL time axis, fixed for every tile (the reference windows one
+    # [T, ...] cube for the whole stack): deriving T per tile would give
+    # tiles missing an acquisition a shorter cube, and any T-dependent
+    # kernel (quarter bounds, norm energy) would disagree across seams.
+    if time_names is None:
+        time_names = [
+            r[0]
+            for r in docs.select(time_col).distinct().orderBy(time_col).collect()
+        ]
+    times_global = np.sort(np.asarray(time_names))
 
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        times = np.sort(pdf[time_col].unique())
-        piv = pdf.pivot_table(
-            index=["row", "col"], columns=time_col, values=band, aggfunc="first"
-        ).reindex(columns=times)
-        cube = piv.to_numpy(dtype=np.float64).T  # [T, N]
+        times = times_global
+        # Direct [T, N] cube build over the OBSERVED (row, col) cells:
+        # a cell whose series is all-NaN stays (the reference computes
+        # over every pixel of the block). Neither pivot_table default
+        # (drops all-NaN index rows) nor dropna=False (explodes the
+        # index to the row×col cartesian product) gives that.
+        k = (
+            pdf["row"].to_numpy(np.int64) * 4294967296
+            + pdf["col"].to_numpy(np.int64)
+        )
+        ci, uk = pd.factorize(k, sort=True)
+        ti = pd.Categorical(pdf[time_col], categories=list(times)).codes
+        cube = np.full((len(times), len(uk)), np.nan)
+        vals = pdf[band].astype("float64").to_numpy()
+        ok = ti >= 0
+        # reversed assignment keeps the FIRST occurrence of a duplicate
+        # (t, cell) sample, matching the old aggfunc="first"
+        cube[ti[ok][::-1], ci[ok][::-1]] = vals[ok][::-1]
         out = np.asarray(kernel(cube, times), dtype=np.float64)  # [C, N]
+        uk = np.asarray(uk, dtype=np.int64)
         res = pd.DataFrame(
-            {"row": piv.index.get_level_values(0), "col": piv.index.get_level_values(1)}
+            {"row": uk // 4294967296, "col": uk % 4294967296}
         )
         for i, name in enumerate(out_names):
             res[name] = out[i]

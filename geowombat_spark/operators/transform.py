@@ -191,8 +191,14 @@ def _mode_agg(fwd: DataFrame, bands: tuple[str, ...]) -> DataFrame:
 
     out = None
     for b in bands:
-        counts = fwd.groupBy("_dr", "_dc", b).agg(
-            F.count(F.lit(1)).alias("_n")
+        # nodata (NULL) never competes as a modal value (GDAL mode
+        # resampling ignores nodata) — without the filter the asc
+        # nulls-first tie-break would crown NULL over an equally frequent
+        # real value
+        counts = (
+            fwd.filter(F.col(b).isNotNull())
+            .groupBy("_dr", "_dc", b)
+            .agg(F.count(F.lit(1)).alias("_n"))
         )
         w = Window.partitionBy("_dr", "_dc").orderBy(
             F.desc("_n"), F.asc(b)
@@ -316,4 +322,9 @@ def transform_crs_grid(
             }
         ).select("row", "col", "x", "y", *bands)
 
-    raise ValueError(f"unknown resampling {resampling!r}")
+    raise ValueError(
+        f"resampling {resampling!r} is not supported for CRS-CHANGING "
+        "warps (only 'nearest' and the forward aggregates avg/min/max/"
+        "sum are); med/q1/q3/mode/bilinear exist on the same-CRS "
+        "transform_grid path"
+    )

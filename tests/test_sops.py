@@ -141,8 +141,13 @@ def test_sample_stratified(spark, docs):
 def test_thin_min_dist():
     pts = pd.DataFrame({"x": [0.0, 5.0, 100.0, 102.0], "y": [0.0, 0.0, 0.0, 0.0]})
     out = thin_min_dist(pts, min_dist=10.0)
-    # keep-first greedy: drops x=5 (near x=0) and x=102 (near x=100)
-    np.testing.assert_array_equal(out["x"].values, [0.0, 100.0])
+    # reference _remove_near_points: drop the FIRST index of each near
+    # pair -> pairs (0,1) and (2,3) drop x=0 and x=100
+    np.testing.assert_array_equal(out["x"].values, [5.0, 102.0])
+    # chain: p0~p1~p2 with p0,p2 far apart -> rm={0,1}, only p2 survives
+    chain = pd.DataFrame({"x": [0.0, 6.0, 12.0], "y": [0.0, 0.0, 0.0]})
+    out2 = thin_min_dist(chain, min_dist=10.0)
+    np.testing.assert_array_equal(out2["x"].values, [12.0])
 
 
 def test_bounds_overlay():
