@@ -520,6 +520,8 @@ def dos_correct(
     pct: float | None = None,
     dark_target: float = 0.01,
     clip: bool = True,
+    src_nodata: float | None = None,
+    dst_nodata: float | None = None,
 ) -> DataFrame:
     """Chavez (1988) dark-object subtraction over TOAR bands.
 
@@ -528,13 +530,34 @@ def dos_correct(
     ``corrected = band − haze_b`` clipped to [0, 1]. The haze levels come
     from :func:`dark_object_values` (one aggregate job); the per-pixel
     correction is a literal subtract per band — whole-stage codegen, no
-    second shuffle."""
-    dark = dark_object_values(df, bands, pct)
+    second shuffle.
+
+    ``src_nodata`` pixels are nulled BEFORE the dark-object aggregate (so
+    a nodata sentinel can never masquerade as the scene's dark object) and
+    the clip is NULL-preserving (``least``/``greatest`` skip NULLs, so a
+    bare clip would turn a nodata pixel into 0.0 "valid black" — same
+    pattern as :func:`toar_to_sr`). ``dst_nodata`` re-flags NULL output."""
+    work = df
+    if src_nodata is not None:
+        work = work.withColumns(
+            {
+                b: F.nullif(F.col(b).cast("double"), F.lit(float(src_nodata)))
+                for b in bands
+            }
+        )
+    dark = dark_object_values(work, bands, pct)
     for b in bands:
         haze = dark[b] - float(dark_target)
-        c = F.col(b).cast("double") - F.lit(haze)
+        src = F.col(b).cast("double")
+        if src_nodata is not None:
+            src = F.nullif(src, F.lit(float(src_nodata)))
+        c = src - F.lit(haze)
         if clip:
-            c = F.least(F.greatest(c, F.lit(0.0)), F.lit(1.0))
+            c = F.when(c.isNull(), F.lit(None).cast("double")).otherwise(
+                F.least(F.greatest(c, F.lit(0.0)), F.lit(1.0))
+            )
+        if dst_nodata is not None:
+            c = F.coalesce(c, F.lit(float(dst_nodata)))
         df = df.withColumn(b, c)
     return df
 

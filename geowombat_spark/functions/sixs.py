@@ -356,10 +356,14 @@ def toar_to_sr_sixs(
             toar = F.nullif(toar, F.lit(float(src_nodata)))
         sr_s = ((toar / t_g) - p_alpha) / (t_s * t_v)
         sr = sr_s / (F.lit(1.0) + s_alb * sr_s)
-        # greatest/least skip NULLs, so clip only non-null inputs — a
-        # nodata pixel must stay NULL until the dst_nodata fill.
+        # greatest/least skip NULLs, so clip only non-null RESULTS — a
+        # nodata pixel must stay NULL until the dst_nodata fill, and a
+        # NULL coefficient (sparse user LUT: lut_coeffs_nearest's left
+        # join silently misses absent nodes) must not clip a valid toar
+        # pixel to 0.0 "valid black" either. Gating on sr covers both
+        # (NULL toar ⇒ NULL sr).
         sr = F.when(
-            toar.isNotNull(),
+            sr.isNotNull(),
             F.least(F.greatest(sr, F.lit(0.0)), F.lit(1.0)),
         )
         if dst_nodata is not None:

@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import DEFAULT_MAX_BUCKET
+from .dedup import DEFAULT_MAX_BUCKET, capped_bucket_frame
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -168,15 +168,10 @@ def hyperplane_lsh_pairs(
     sig = df.select(id_col, vec_col).mapInPandas(
         _sig_all, "vec_id bigint, table int, bucket bigint"
     )
-    if max_bucket_size is not None:
-        sizes = sig.groupBy("table", "bucket").agg(
-            F.count(F.lit(1)).alias("_bn")
-        )
-        sig = sig.join(
-            sizes.filter(F.col("_bn") <= max_bucket_size),
-            ["table", "bucket"],
-            "inner",
-        ).drop("_bn")
+    # window-cap + DISK_ONLY persist: the matmul signature stage runs
+    # exactly once, not once per join side + once for the size aggregate
+    # (see dedup.capped_bucket_frame)
+    sig = capped_bucket_frame(sig, ["table", "bucket"], max_bucket_size)
     a, b = sig.alias("a"), sig.alias("b")
     cands = (
         a.join(b, ["table", "bucket"])

@@ -301,14 +301,28 @@ def repetition_stats(
         F.greatest(sz - 1, F.lit(1)),
     )
     n_bi = F.greatest(F.size(bi), F.lit(1))
-    # count of the modal bigram: max over distinct values of their
-    # occurrence count — aggregate over the (small, in-row) array
+    # count of the modal bigram = longest equal run in the SORTED bigram
+    # array: one array_sort (O(m log m)) + one linear fold, all in-row.
+    # The former distinct×filter formulation re-scanned the full array per
+    # distinct bigram — O(distinct·m) blows up on exactly the 100k-token
+    # web documents a Gopher-style repetition filter exists to catch.
+    def _run_step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            F.greatest(acc["best"], run).alias("best"),
+            run.alias("run"),
+            x.alias("prev"),
+        )
+
     top = F.aggregate(
-        F.array_distinct(bi),
-        F.lit(0),
-        lambda acc, g: F.greatest(
-            acc, F.size(F.filter(bi, (lambda gg: lambda x: x == gg)(g)))
+        F.array_sort(bi),
+        F.struct(
+            F.lit(0).alias("best"),
+            F.lit(0).alias("run"),
+            F.lit(None).cast("string").alias("prev"),
         ),
+        _run_step,
+        lambda acc: acc["best"],
     )
     return df.withColumns(
         {

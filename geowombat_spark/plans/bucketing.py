@@ -60,10 +60,13 @@ def _n_shuffles(plan: str) -> int:
     """Count SHUFFLE exchanges only: 'BroadcastExchange' is a broadcast
     (no repartitioning of either side) and must not trip the guard — a
     co-bucketed join whose small side falls under
-    autoBroadcastJoinThreshold plans BroadcastHashJoin legitimately."""
+    autoBroadcastJoinThreshold plans BroadcastHashJoin legitimately.
+    'ReusedExchange' likewise must not count: a reused *broadcast*
+    exchange prints as ReusedExchange, and a reused shuffle exchange's
+    original is already counted once."""
     import re
 
-    return len(re.findall(r"(?<!Broadcast)Exchange", plan))
+    return len(re.findall(r"(?<!Broadcast)(?<!Reused)Exchange", plan))
 
 
 def plan_has_shuffle(df: DataFrame) -> bool:

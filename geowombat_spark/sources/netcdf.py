@@ -118,6 +118,19 @@ def _build_header(
         (b, (0, 1), {"_FillValue": float(fill)}, grid.nrows * grid.ncols * 8)
         for b in bands
     ]
+    # CDF-2 permits at most ONE variable over 2^32-4 bytes, and only the
+    # LAST one (its vsize becomes the 2^32-1 overflow marker; any earlier
+    # oversized variable would make subsequent begin offsets unrepresentable
+    # to spec-conforming readers). Guard loudly rather than emit a file
+    # third-party readers may reject.
+    oversized = [nm for nm, _d, _a, vs in specs if vs >= 2**32 - 4]
+    if oversized and (len(oversized) > 1 or oversized[0] != specs[-1][0]):
+        raise ValueError(
+            f"CDF-2 allows only the last variable to exceed 4 GiB-4; "
+            f"oversized here: {oversized} (last variable is "
+            f"{specs[-1][0]!r}). Split bands into separate files or use "
+            "the Zarr sink (to_zarr) for shapes this large."
+        )
 
     def var_entry(nm, dimids, atts, vsize, begin):
         vs = vsize if vsize < 2**32 - 4 else 2**32 - 1  # spec overflow mark

@@ -65,6 +65,53 @@ def _zarray_doc(grid: GridSpec, dtype: str, fill_value: float,
     }
 
 
+def _check_publish_state(path: str) -> None:
+    """Surface a crashed overwrite-publish before touching the store.
+
+    The overwrite publish is two POSIX renames (``final → .old`` then
+    ``.inprogress → final``) — NOT atomic as a pair. A crash between them
+    leaves the last complete store at ``<path>.old`` and the new complete
+    store at ``<path>.inprogress`` (all chunk writes finish before the
+    publish begins), with nothing at ``path``. This guard runs at the top
+    of :func:`to_zarr` and :func:`open_zarr`:
+
+    - final missing + ``.old`` present + ``.inprogress`` present → the
+      crash window above: complete the publish (rename ``.inprogress`` →
+      final) and warn, leaving ``.old`` for manual inspection.
+    - final missing + ``.old`` present, no ``.inprogress`` → raise; the
+      user must restore by renaming ``<path>.old`` back.
+    - final present + ``.old`` present → a publish succeeded but the
+      retired store was not deleted (crash after the second rename):
+      warn; the ``.old`` copy is safe to delete.
+    """
+    old = path.rstrip("/") + ".old"
+    inprog = path.rstrip("/") + ".inprogress"
+    if not os.path.exists(old):
+        return
+    final_exists = os.path.exists(os.path.join(path, ".zgroup"))
+    if final_exists:
+        warnings.warn(
+            f"leftover retired store {old}: a previous overwrite publish "
+            "completed but did not clean up; the .old copy may be deleted",
+            stacklevel=3,
+        )
+        return
+    if os.path.exists(os.path.join(inprog, ".zgroup")):
+        os.rename(inprog, path)
+        warnings.warn(
+            f"completed a crashed overwrite publish of {path} from "
+            f"{inprog}; the previous store remains at {old} for manual "
+            "inspection and may be deleted",
+            stacklevel=3,
+        )
+        return
+    raise RuntimeError(
+        f"zarr store {path} is missing but a retired copy exists at "
+        f"{old} (crashed overwrite publish, no complete .inprogress "
+        f"store found) — restore it with: mv {old} {path}"
+    )
+
+
 def to_zarr(
     df: DataFrame,
     path: str,
@@ -88,6 +135,7 @@ def to_zarr(
     """
     import shutil
 
+    _check_publish_state(path)
     final_path, replacing = path, False
     if os.path.exists(os.path.join(path, ".zgroup")):
         if not overwrite:
@@ -197,6 +245,7 @@ def open_zarr(
     all bands, which ``GridSpec.nodata`` conventions guarantee). A missing
     chunk file reads as all-fill, per the zarr spec.
     """
+    _check_publish_state(path)
     with open(os.path.join(path, ".zattrs")) as fh:
         attrs = json.load(fh)
     grid = GridSpec(**attrs["grid"])

@@ -202,6 +202,33 @@ def test_repetition_stats(spark):
     assert out.loc[2, "dup_line_frac"] == 0.0
 
 
+def test_repetition_stats_long_doc_linear(spark):
+    """A 60k-token document with many distinct bigrams must complete fast.
+
+    The pre-r4 kernel was O(distinct·length) per row (full array re-scan
+    per distinct bigram — ~10^9 comparisons on this fixture); the sorted
+    longest-equal-run fold is O(m log m) and finishes in seconds. Also
+    pins exact values on a doc whose modal bigram is known."""
+    import time
+
+    from geowombat_spark.pipeline.text import repetition_stats
+
+    # 59,994 tokens, 27,001 distinct bigrams (value = i mod 27001):
+    # residues 0..5990 occur 3×, the rest 2× → modal count is exactly 3
+    words = " ".join(f"w{i % 27001}" for i in range(59_994))
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": [words]})
+    )
+    t0 = time.time()
+    out = repetition_stats(docs).collect()[0]
+    elapsed = time.time() - t0
+    assert elapsed < 60, f"repetition_stats took {elapsed:.1f}s on 60k tokens"
+    # modal bigram: consecutive tokens i,i+1 with i%27001, (i+1)%27001 —
+    # pairs ('w{k} w{k+1}') each appear floor-ish 2-3 times; exact modal
+    # count is 3 (period 27001 over 59993 bigrams → first 5991 pairs ×3)
+    assert out["top_bigram_frac"] == round(3 / 59_993, 6)
+
+
 def test_rebalance_sources(spark):
     from geowombat_spark.pipeline.curate import rebalance_sources
 

@@ -147,3 +147,35 @@ def test_dark_object_values_empty_input_is_loud(spark):
     empty = spark.createDataFrame([], "band_red double")
     with pytest.raises(ValueError, match="no non-null pixels"):
         dark_object_values(empty, ("band_red",))
+
+
+def test_dos_correct_nodata_null_preserved(spark):
+    """NULL / src_nodata pixels must never become 0.0 'valid black' via the
+    clip (least/greatest skip NULLs), must be EXCLUDED from the dark-object
+    aggregate, and dst_nodata re-flags them."""
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "band_blue": [0.05, 0.30, None, -9999.0],
+            }
+        )
+    )
+    # src_nodata excluded from dark-object min: haze = 0.05-0.01 = 0.04
+    # (if -9999 leaked into the min, every pixel would clip to 0)
+    out = rad.dos_correct(
+        df, ("band_blue",), src_nodata=-9999.0
+    ).collect()
+    vals = sorted((r["band_blue"] for r in out), key=lambda v: (v is None, v))
+    assert vals[0] == pytest.approx(0.01)
+    assert vals[1] == pytest.approx(0.26)
+    assert vals[2] is None and vals[3] is None
+    # dst_nodata fills the NULLs back
+    out2 = rad.dos_correct(
+        df, ("band_blue",), src_nodata=-9999.0, dst_nodata=-1.0
+    ).collect()
+    assert sorted(r["band_blue"] for r in out2) == [
+        pytest.approx(-1.0),
+        pytest.approx(-1.0),
+        pytest.approx(0.01),
+        pytest.approx(0.26),
+    ]

@@ -106,21 +106,29 @@ def test_netcdf_scipy_crosscheck(spark, cells, tmp_path):
 
 
 def test_netcdf_cdf2_64bit_offsets_engage():
-    """Header math at 100-TB-credible sizes: a 40000x40000 float64 band is
-    12.8 GB, so the second band's begin exceeds 2^32 and vsize overflows
-    int32 — the CDF-2 64-bit begin and the spec's overflow marker must
-    both engage (no file written; pure offset arithmetic)."""
+    """Header math at 100-TB-credible sizes, on SPEC-LEGAL layouts.
+
+    (a) eight 2.1 GB bands: cumulative begins pass 2^32, so the CDF-2
+    64-bit begin field must engage while every vsize stays a real value;
+    (b) one 12.8 GB band as the LAST variable: the spec's 2^32-1 vsize
+    overflow marker engages (the only placement CDF-2 allows — see
+    test_netcdf_multivar_4gib_guard for the illegal shapes)."""
     big = GridSpec(left=0, top=0, cellx=10, celly=10,
-                   nrows=40000, ncols=40000, tile_rows=512, tile_cols=512)
+                   nrows=16384, ncols=16384, tile_rows=512, tile_cols=512)
+    names = [f"b{i}" for i in range(1, 9)]
     header, begins, total = _build_header(
-        big, ["b1", "b2"], 0.0, {"grid": json.dumps(big.as_dict())}
+        big, names, 0.0, {"grid": json.dumps(big.as_dict())}
     )
-    vbytes = 40000 * 40000 * 8
+    vbytes = 16384 * 16384 * 8  # 2.147 GB, under the 4 GiB-4 cap
     assert begins["b2"] - begins["b1"] == vbytes
-    assert begins["b2"] > 2**32  # needs the 64-bit begin field
-    assert total == begins["b2"] + vbytes
+    assert begins["b4"] > 2**32  # needs the 64-bit begin field
+    assert total == begins["b8"] + vbytes
+
+    huge = GridSpec(left=0, top=0, cellx=10, celly=10,
+                    nrows=40000, ncols=40000, tile_rows=512, tile_cols=512)
+    header, begins, total = _build_header(huge, ["b1"], 0.0, {})
     # the declared vsize field carries the spec's overflow marker
-    off = header.find(b"b2\x00\x00") + 4
+    off = header.find(b"b1\x00\x00") + 4
     ndims = struct.unpack_from(">i", header, off)[0]
     assert ndims == 2
     # field layout after ndims: dimids 8B, attr list (8B header + 40B
@@ -128,6 +136,7 @@ def test_netcdf_cdf2_64bit_offsets_engage():
     # 8B = 32B), nc_type 4B, then vsize
     vsize = struct.unpack_from(">I", header, off + 4 + 8 + 8 + 32 + 4)[0]
     assert vsize == 2**32 - 1  # the spec's overflow marker
+    assert total == begins["b1"] + 40000 * 40000 * 8
 
 
 def test_netcdf_overwrite_guard(spark, cells, tmp_path):
@@ -167,3 +176,23 @@ def test_gw_open_bounds_window(spark, cells, tmp_path):
     full = gw.open(spark, nc)
     want = full.filter("row < 10 and col < 10").count()
     assert len(rows) == want
+
+
+def test_netcdf_multivar_4gib_guard():
+    """CDF-2 permits only the LAST variable to exceed 4 GiB-4; a multi-band
+    grid with >4 GiB bands must raise, not emit a spec-invalid file."""
+    import pytest
+
+    from geowombat_spark.sources.netcdf import _build_header
+
+    # 23171^2 * 8 bytes ~= 4.295 GB per band (> 2^32-4)
+    big = GridSpec(
+        left=0.0, top=0.0, cellx=1.0, celly=1.0,
+        nrows=23171, ncols=23171, tile_rows=1024, tile_cols=1024,
+        nodata=0.0,
+    )
+    # single oversized band IS the last variable -> legal (overflow marker)
+    _h, begins, _t = _build_header(big, ["b0"], 0.0, {})
+    assert begins["b0"] > 0
+    with pytest.raises(ValueError, match="only the last variable"):
+        _build_header(big, ["b0", "b1"], 0.0, {})

@@ -186,3 +186,32 @@ def test_linear_single_node_axis(spark):
         assert row[f"six_{c}"] == pytest.approx(
             sum(lo_hi) / len(lo_hi), rel=1e-12
         )
+
+
+def test_toar_to_sr_sixs_sparse_lut_null_coeff_stays_null(spark):
+    """A NULL coefficient row (sparse user LUT: lut_coeffs_nearest's left
+    join misses absent nodes) must not clip a valid toar pixel to 0.0
+    'valid black' — sr stays NULL (then dst_nodata, if given)."""
+    import pandas as pd
+
+    from geowombat_spark.functions.sixs import toar_to_sr_sixs
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "band_blue": [0.2, 0.2],
+                "six_t_g": [0.9, None],
+                "six_p_alpha": [0.01, None],
+                "six_s_alb": [0.1, None],
+                "six_t_s": [0.8, None],
+                "six_t_v": [0.85, None],
+            }
+        )
+    )
+    out = toar_to_sr_sixs(df, ["band_blue"], doy=180).collect()
+    vals = [r["band_blue"] for r in out]
+    assert sum(v is None for v in vals) == 1
+    good = [v for v in vals if v is not None][0]
+    assert 0.0 < good < 1.0
+    out2 = toar_to_sr_sixs(df, ["band_blue"], doy=180, dst_nodata=-1.0)
+    assert sorted(r["band_blue"] for r in out2.collect())[0] == -1.0

@@ -119,3 +119,30 @@ def test_zarr_band_subset_and_coords(spark, cells, tmp_path):
     assert sub.columns == ["row", "col", "band_green", "x", "y"]
     r = sub.filter((F.col("row") == 0) & (F.col("col") == 3)).first()
     assert r.x == 35.0 and r.y == -5.0  # center coords from the affine
+
+
+def test_zarr_crashed_publish_recovery(spark, cells, tmp_path):
+    """Crash-window recovery for the two-rename overwrite publish.
+
+    Simulates a crash between `final -> .old` and `.inprogress -> final`:
+    the next to_zarr/open_zarr must complete the publish from the intact
+    .inprogress store (and warn), not fail or silently rebuild."""
+    store = str(tmp_path / "c.zarr")
+    to_zarr(cells, store, GRID, bands=("band_blue",))
+    n = open_zarr(spark, store).count()
+    # stage the crash state: final renamed away, new store complete
+    os.rename(store, store + ".inprogress")
+    import shutil
+
+    shutil.copytree(store + ".inprogress", store + ".old")
+    with pytest.warns(UserWarning, match="crashed overwrite publish"):
+        assert open_zarr(spark, store).count() == n
+    assert os.path.exists(os.path.join(store, ".zgroup"))
+    assert os.path.exists(store + ".old")  # kept for manual inspection
+    # leftover .old beside a healthy final store -> warn only
+    with pytest.warns(UserWarning, match="retired store"):
+        assert open_zarr(spark, store).count() == n
+    # .old with NEITHER final nor .inprogress -> loud error with recovery
+    os.rename(store, store + ".gone")
+    with pytest.raises(RuntimeError, match="restore it with"):
+        open_zarr(spark, store)
