@@ -22,7 +22,7 @@ import math
 from collections.abc import Callable
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from geowombat_spark.grid import GridSpec, round_window
@@ -507,9 +507,124 @@ def q_lsh_cosine_pairs(spark, sf_dir):
 
 
 def q_sample_random(spark, sf_dir):
-    # rows-only check: Spark rand(seed) has no SQL mirror
+    """Hash-deterministic uniform sample (value-level: md5 order is the
+    same in DuckDB). The seeded-RNG variant (sample.sample_random) stays
+    for API parity with sops.py:213-296 and shares the identical
+    TakeOrderedAndProject top-k plan — this query pins the distributed
+    top-k sampling shape itself."""
     gd = grid_docs(spark, sf_dir)
-    return sample.sample_random(gd, n=50, seed=42).select("doc_id", "row", "col")
+    return sample.sample_random_deterministic(gd, n=50).select(
+        "doc_id", "row", "col"
+    )
+
+
+def q_focal_expand(spark, sf_dir):
+    """Morphological expand (_moving.pyx:230-257): target class 1 grows
+    into 0 cells through the plus-shaped w=3 weight support (corners have
+    inverse-distance weight 0); 1s and foreign classes pass through."""
+    gd = grid_docs(spark, sf_dir)
+    masked = gd.withColumn(
+        "band_blue",
+        F.when(F.col("band_blue") % 7 == 0, F.lit(1.0)).otherwise(F.lit(0.0)),
+    )
+    out = focal.moving(
+        masked, GRID, stat="expand", w=3, band="band_blue", keep=("doc_id",)
+    )
+    return out.select("doc_id", F.col("band_blue_expand").alias("expanded"))
+
+
+def q_ann_ivf_recall(spark, sf_dir):
+    """IVF full-probe equivalence: at nprobe = nlist every cell is
+    scanned, so IVF's output must reconstruct the exact brute-force top-k
+    set — recall@10 = 1.0 by construction IF the whole IVF machinery
+    (seeded centroid training, cell assignment, per-cell scan, global
+    ranking) is correct. One row per query; the oracle asserts
+    recall_ok = 1 exactly, so any lost neighbor turns the round red.
+    The probe-LIMITED path (nprobe < nlist) stays covered by the
+    rows-only q_ann_ivf and by the clustered-fixture recall ≥ 0.9 pin in
+    tests/test_pipeline.py:271 (isotropic random test embeddings make a
+    fixed probe-limited recall floor scale-dependent, hence dishonest as
+    a driver invariant)."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 5)
+    truth = ann.brute_force_topk(e, q, k=10).select(
+        "query_id", F.col("vec_id").alias("true_id")
+    )
+    approx = ann.ivf_topk(e, q, k=10, nlist=16, nprobe=16)
+    hits = (
+        approx.join(
+            truth,
+            (approx["query_id"] == truth["query_id"])
+            & (approx["vec_id"] == truth["true_id"]),
+        )
+        .groupBy(approx["query_id"])
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    return (
+        truth.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(10).cast("long").alias("k"),
+            (F.coalesce(F.col("_hits"), F.lit(0)) == 10)
+            .cast("long")
+            .alias("recall_ok"),
+        )
+    )
+
+
+def q_ann_pq_recall(spark, sf_dir):
+    """PQ-ADC sharp invariants, one row per query: (a) exactly k rows
+    come back; (b) every returned cosine EQUALS the true cosine of that
+    (query, vec) pair — the rescore really is exact, not an ADC
+    approximation leaking through; (c) ranks are consistent with
+    (cosine desc, vec_id asc). All three are scale-independent and
+    deterministic, so the oracle asserts them exactly. Recall-vs-brute on
+    CLUSTERED data (where PQ is meaningful) is pinned ≥ 0.9 in
+    tests/test_pipeline.py:337; on these isotropic random embeddings a
+    fixed recall floor would be scale-dependent (measured 0.9 at sf0.01
+    → 0.5 at sf0.1 for the same params), hence not a stable invariant."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 5)
+    pq = ann.pq_topk(e, q, k=10, m_sub=4, ksub=16, refine=4)
+    qv = q.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qe")
+    )
+    cv = e.select("vec_id", F.col("embedding").alias("_ce"))
+    dot = F.aggregate(
+        F.zip_with("_qe", "_ce", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    checked = (
+        pq.join(qv, "query_id")
+        .join(cv, "vec_id")
+        .withColumn(
+            "_true_cos",
+            F.round(dot / (norm(F.col("_qe")) * norm(F.col("_ce"))), 6),
+        )
+        .withColumn(
+            "_rank2",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cosine"), F.asc("vec_id")
+                )
+            ),
+        )
+    )
+    return checked.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min((F.col("cosine") == F.col("_true_cos")).cast("long")).alias(
+            "rescore_exact"
+        ),
+        F.min((F.col("rank") == F.col("_rank2")).cast("long")).alias(
+            "ranked_ok"
+        ),
+    )
 
 
 def q_spans(spark, sf_dir):
@@ -1872,16 +1987,70 @@ def q_audio_codec(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so every query lands in the driver's 50-entry CORRECTNESS
-    window over rounds. The r3 window (first 50): the 18 queries that have
-    never had a driver row, the 13 whose only row was r1, the 13 new r3
-    queries (q_dos, q_pansharpen, q_stream_dedup, q_zarr, q_netcdf,
-    q_sixs, q_vocab_oov, q_quality_buckets, q_dup_coverage,
-    q_dedup_incremental, q_neardup_incremental, q_media_codec,
-    q_audio_codec), then 6 backfill slots for the highest-risk
-    already-green queries (code touched this round or structurally
-    complex). Queries 51+ all hold green r2 rows."""
+    window over rounds. The r4 window (first 50): the 44 queries whose
+    latest driver row is r1/r2 (rotated out by the r3 window — all 44
+    re-verified green via tools/check_oracle.py during r3 review), the 3
+    new r4 queries (q_focal_expand, q_ann_ivf_recall, q_ann_pq_recall),
+    and 3 backfill slots for r3-green queries whose code r4 touched
+    (q_minhash_lsh, q_simhash_pairs — persisted capped LSH frames; q_dos —
+    NULL-preserving clip + src_nodata). Queries 51+ all hold green r3
+    rows. With r3∪r4 every query has a driver row from the last two
+    rounds."""
     return {
-        # --- never driver-checked (18) --------------------------------
+        # --- latest driver row is r1/r2: rotate into the r4 window (44) --
+        "q_ann_ivf": q_ann_ivf,
+        "q_ann_topk": q_ann_topk,
+        "q_band_math": q_band_math,
+        "q_bandpass": q_bandpass,
+        "q_bm25": q_bm25,
+        "q_calc_area": q_calc_area,
+        "q_char_lm": q_char_lm,
+        "q_clip": q_clip,
+        "q_cluster_embeddings": q_cluster_embeddings,
+        "q_coregister": q_coregister,
+        "q_decontaminate": q_decontaminate,
+        "q_dedup_exact": q_dedup_exact,
+        "q_events_window": q_events_window,
+        "q_extract_crs": q_extract_crs,
+        "q_extract_points": q_extract_points,
+        "q_extract_polygons": q_extract_polygons,
+        "q_fingerprint": q_fingerprint,
+        "q_focal_mean": q_focal_mean,
+        "q_knn_join": q_knn_join,
+        "q_lang_id": q_lang_id,
+        "q_lineitem_pricing": q_lineitem_pricing,
+        "q_lsh_cosine_pairs": q_lsh_cosine_pairs,
+        "q_mask": q_mask,
+        "q_media_decode": q_media_decode,
+        "q_minhash_sig": q_minhash_sig,
+        "q_mosaic": q_mosaic,
+        "q_near_pairs": q_near_pairs,
+        "q_pack_sequences": q_pack_sequences,
+        "q_pii_scrub": q_pii_scrub,
+        "q_qa_sensor_masks": q_qa_sensor_masks,
+        "q_quality": q_quality,
+        "q_repetition": q_repetition,
+        "q_replace": q_replace,
+        "q_sample_random": q_sample_random,
+        "q_sample_systematic": q_sample_systematic,
+        "q_series_stats": q_series_stats,
+        "q_set_nodata": q_set_nodata,
+        "q_simhash": q_simhash,
+        "q_solar_angles": q_solar_angles,
+        "q_source_mix": q_source_mix,
+        "q_spans": q_spans,
+        "q_subset": q_subset,
+        "q_token_estimate": q_token_estimate,
+        "q_token_stats": q_token_stats,
+        # --- new in r4 (3) --------------------------------------------
+        "q_focal_expand": q_focal_expand,
+        "q_ann_ivf_recall": q_ann_ivf_recall,
+        "q_ann_pq_recall": q_ann_pq_recall,
+        # --- backfill: green r3 rows, code touched in r4 (3) ----------
+        "q_minhash_lsh": q_minhash_lsh,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_dos": q_dos,
+        # --- green r3 rows (the 50-entry window ends above) -----------
         "q_polygonize": q_polygonize,
         "q_warp_nearest": q_warp_nearest,
         "q_warp_avg": q_warp_avg,
@@ -1900,7 +2069,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cloud_shadows": q_cloud_shadows,
         "q_ml_predict": q_ml_predict,
         "q_ann_pq": q_ann_pq,
-        # --- last checked in r1 (13) ----------------------------------
         "q_band_mask": q_band_mask,
         "q_tasseled_cap": q_tasseled_cap,
         "q_vi_suite2": q_vi_suite2,
@@ -1914,8 +2082,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rasterize": q_rasterize,
         "q_qa_mask": q_qa_mask,
         "q_dn_toar": q_dn_toar,
-        # --- new in r3 (3) --------------------------------------------
-        "q_dos": q_dos,
         "q_pansharpen": q_pansharpen,
         "q_stream_dedup": q_stream_dedup,
         "q_zarr": q_zarr,
@@ -1928,58 +2094,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_neardup_incremental": q_neardup_incremental,
         "q_media_codec": q_media_codec,
         "q_audio_codec": q_audio_codec,
-        # --- backfill: green in r2, code touched in r3 / complex ------
         "q_recode": q_recode,
-        "q_minhash_lsh": q_minhash_lsh,
-        "q_simhash_pairs": q_simhash_pairs,
         "q_jaccard_pairs": q_jaccard_pairs,
         "q_embed_neardup": q_embed_neardup,
         "q_tile_manifest": q_tile_manifest,
-        # --- green r2 rows (the 50-entry window ends above) -----------
-        "q_token_estimate": q_token_estimate,
-        "q_repetition": q_repetition,
-        "q_coregister": q_coregister,
-        "q_extract_points": q_extract_points,
-        "q_extract_polygons": q_extract_polygons,
-        "q_near_pairs": q_near_pairs,
-        "q_knn_join": q_knn_join,
-        "q_mosaic": q_mosaic,
-        "q_series_stats": q_series_stats,
-        "q_solar_angles": q_solar_angles,
-        "q_qa_sensor_masks": q_qa_sensor_masks,
-        "q_decontaminate": q_decontaminate,
-        "q_pack_sequences": q_pack_sequences,
-        "q_pii_scrub": q_pii_scrub,
-        "q_bandpass": q_bandpass,
-        "q_cluster_embeddings": q_cluster_embeddings,
-        "q_bm25": q_bm25,
-        "q_char_lm": q_char_lm,
-        "q_source_mix": q_source_mix,
-        "q_extract_crs": q_extract_crs,
-        "q_clip": q_clip,
-        "q_mask": q_mask,
-        "q_subset": q_subset,
-        "q_replace": q_replace,
-        "q_calc_area": q_calc_area,
-        "q_sample_systematic": q_sample_systematic,
-        "q_band_math": q_band_math,
-        "q_focal_mean": q_focal_mean,
-        "q_events_window": q_events_window,
-        "q_lineitem_pricing": q_lineitem_pricing,
-        "q_token_stats": q_token_stats,
-        "q_quality": q_quality,
-        "q_lang_id": q_lang_id,
-        "q_fingerprint": q_fingerprint,
-        "q_dedup_exact": q_dedup_exact,
-        "q_minhash_sig": q_minhash_sig,
-        "q_simhash": q_simhash,
-        "q_ann_topk": q_ann_topk,
-        "q_ann_ivf": q_ann_ivf,
-        "q_lsh_cosine_pairs": q_lsh_cosine_pairs,
-        "q_sample_random": q_sample_random,
-        "q_spans": q_spans,
-        "q_media_decode": q_media_decode,
-        "q_set_nodata": q_set_nodata,
     }
 
 
@@ -2615,6 +2733,39 @@ SELECT doc_id, band_green FROM (
          row_number() OVER (ORDER BY hv, doc_id) AS rn
   FROM h WHERE band_green >= 100.0 AND band_green < 200.0)
 WHERE rn <= 25
+"""
+
+    o["q_sample_random"] = f"""
+WITH {G_SQL},
+h AS (SELECT doc_id, row, col, {_HV} AS hv FROM g)
+SELECT doc_id, row, col FROM h ORDER BY hv, doc_id LIMIT 50
+"""
+
+    o["q_focal_expand"] = f"""
+WITH {G_SQL},
+m AS (SELECT doc_id, row, col,
+        CASE WHEN CAST(band_blue AS BIGINT) % 7 = 0 THEN 1.0 ELSE 0.0 END AS mask
+      FROM g)
+SELECT a.doc_id,
+  CASE WHEN a.mask = 0.0 AND max(b.mask) = 1.0 THEN 1.0 ELSE a.mask END
+    AS expanded
+FROM m a JOIN m b ON abs(a.row - b.row) + abs(a.col - b.col) <= 1
+GROUP BY a.doc_id, a.mask
+"""
+
+    # recall invariant rows: the Spark side computes recall@10 of the ANN
+    # method vs its own exact brute-force pass (both deterministic); the
+    # oracle asserts recall_ok = 1 for every query — a recall dip below
+    # 0.9 hash-mismatches the round red.
+    o["q_ann_ivf_recall"] = """
+SELECT DISTINCT vec_id AS query_id, CAST(10 AS BIGINT) AS k,
+       CAST(1 AS BIGINT) AS recall_ok
+FROM embeddings WHERE vec_id < 5
+"""
+    o["q_ann_pq_recall"] = """
+SELECT DISTINCT vec_id AS query_id, CAST(10 AS BIGINT) AS n_rows,
+       CAST(1 AS BIGINT) AS rescore_exact, CAST(1 AS BIGINT) AS ranked_ok
+FROM embeddings WHERE vec_id < 5
 """
 
     o["q_group_dates"] = f"""

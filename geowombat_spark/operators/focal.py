@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ..grid import GridSpec
 
-_STATS = ("mean", "min", "max", "var", "std", "perc", "sum")
+_STATS = ("mean", "min", "max", "var", "std", "perc", "sum", "expand")
 
 
 def halo_assignments(df: DataFrame, grid: GridSpec, hw: int) -> DataFrame:
@@ -141,6 +141,21 @@ def _window_stat(stat: str, perc: int | None):
                 return np.nanstd(flat, axis=2)
             if stat == "perc":
                 return np.nanpercentile(flat, perc, axis=2)
+            if stat == "expand":
+                # morphological expand of the target class 1 into 0 cells
+                # (``_moving.pyx:230-257`` ``_get_expand``): a center of
+                # exactly 0 flips to 1.0 if ANY window cell inside the
+                # weight support (weight > 0 — the inverse-distance weights
+                # are 0 only at the 4 exact corners, so the support at w=3
+                # is the plus-shaped 4-neighborhood) equals exactly 1;
+                # every other center (1, nodata, any other class) passes
+                # through unchanged. NaN (absent/clipped-edge) cells never
+                # count as hits.
+                ww = int(round(np.sqrt(flat.shape[-1])))
+                support = window_weights(ww).ravel() > 0
+                center = flat[..., flat.shape[-1] // 2]
+                hit = ((flat == 1.0) & support).any(axis=2)
+                return np.where((center == 0.0) & hit, 1.0, center)
         raise ValueError(stat)
 
     return kernel
@@ -196,6 +211,11 @@ def moving(
     )
     src = docs.select("row", "col", "cell_id", *keep, F.col(band).alias("_v"))
     refill = None
+    if stat == "expand":
+        # the reference's _get_expand ignores nodata entirely — 0 is the
+        # expandable background class, so nulling a nodata of 0 (the
+        # default) would disable the kernel; values pass through raw.
+        nodata = None
     if nodata is not None:
         src = src.withColumn("_v", F.nullif(F.col("_v"), F.lit(float(nodata))))
         refill = float(nodata)

@@ -26,6 +26,23 @@ def sample_random(docs: DataFrame, n: int, seed: int = 42) -> DataFrame:
     return docs.orderBy(F.rand(seed)).limit(n)
 
 
+def sample_random_deterministic(
+    docs: DataFrame, n: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Hash-deterministic uniform sample: the ``n`` smallest md5 hashes of
+    the row identity (ties by id). Same TakeOrderedAndProject top-k plan
+    as :func:`sample_random`, but selection is a pure function of the row
+    — identical across engines, runs, partitionings and cluster sizes
+    (and SQL-mirrorable, so it is value-checkable against DuckDB). The
+    production variant for reproducible training-data sampling;
+    :func:`sample_random` keeps the reference's seeded-RNG API
+    (``sops.py:213-296``)."""
+    from ..pipeline.text import md5_int
+
+    h = md5_int(F.col(id_col).cast("string"))
+    return docs.orderBy(h, F.col(id_col)).limit(n)
+
+
 def sample_systematic(docs: DataFrame, grid: GridSpec, spacing: float) -> DataFrame:
     """Every ⌊spacing/cell⌋-th row/col (``sops.py:297-327``)."""
     step_r = max(int(spacing / grid.celly), 1)

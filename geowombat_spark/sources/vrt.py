@@ -28,6 +28,71 @@ from ..grid import GridSpec
 VRT_VERSION = 1
 
 
+def _vrt_xml(desc: dict) -> str:
+    """Serialize the descriptor as GDAL VRT XML (the public format at
+    gdal.org/drivers/raster/vrt.html — the same on-disk shape the
+    reference produces via ``rio_shutil.copy(WarpedVRT, ..., driver=
+    'VRT')`` at ``io.py:516-528``): ``<VRTDataset>`` with the target
+    grid's size/SRS/GeoTransform and one ``<VRTRasterBand>`` per band
+    whose source references the corpus path with Src/Dst rects and the
+    resampling algorithm. The full logical-plan payload also rides in a
+    ``<Metadata domain="GEOWOMBAT_SPARK">`` block so :func:`open_vrt`
+    replays the exact plan from the XML alone; a plain GDAL reader sees
+    only standard elements."""
+    from xml.etree.ElementTree import Element, SubElement, indent, tostring
+
+    src = GridSpec(**desc["src_grid"])
+    dst = GridSpec(**desc["dst_grid"])
+    root = Element(
+        "VRTDataset",
+        rasterXSize=str(dst.ncols),
+        rasterYSize=str(dst.nrows),
+    )
+    SubElement(root, "SRS", dataAxisToSRSAxisMapping="1,2").text = dst.crs
+    SubElement(root, "GeoTransform").text = (
+        f"{dst.left:.16g}, {dst.cellx:.16g}, 0.0, "
+        f"{dst.top:.16g}, 0.0, {-dst.celly:.16g}"
+    )
+    md = SubElement(root, "Metadata", domain="GEOWOMBAT_SPARK")
+    SubElement(md, "MDI", key="descriptor").text = json.dumps(desc)
+    nodata = desc.get("nodata")
+    for i, b in enumerate(desc["bands"], start=1):
+        band = SubElement(
+            root, "VRTRasterBand", dataType="Float64", band=str(i)
+        )
+        SubElement(band, "Description").text = b
+        if nodata is not None:
+            SubElement(band, "NoDataValue").text = f"{float(nodata):.16g}"
+        # ComplexSource carries <NODATA> (masked warp); SimpleSource is
+        # the plain case — mirrors what WarpedVRT emits
+        tag = "SimpleSource" if nodata is None else "ComplexSource"
+        s = SubElement(band, tag, resampling=desc["resampling"])
+        SubElement(s, "SourceFilename", relativeToVRT="0").text = desc[
+            "source"
+        ]
+        SubElement(s, "SourceBand").text = str(i)
+        SubElement(
+            s,
+            "SrcRect",
+            xOff="0",
+            yOff="0",
+            xSize=str(src.ncols),
+            ySize=str(src.nrows),
+        )
+        SubElement(
+            s,
+            "DstRect",
+            xOff="0",
+            yOff="0",
+            xSize=str(dst.ncols),
+            ySize=str(dst.nrows),
+        )
+        if nodata is not None:
+            SubElement(s, "NODATA").text = f"{float(nodata):.16g}"
+    indent(root)
+    return tostring(root, encoding="unicode") + "\n"
+
+
 def to_vrt(
     source: str,
     filename: str,
@@ -37,12 +102,18 @@ def to_vrt(
     resampling: str = "nearest",
     nodata: float | None = None,
     overwrite: bool = False,
+    fmt: str = "xml",
 ) -> dict | None:
-    """Write a VRT descriptor for ``source`` (a tiled-parquet corpus path).
+    """Write a VRT for ``source`` (a tiled-parquet corpus path).
 
     Mirrors ``io.py:455-505``: existing file + ``overwrite=False`` warns and
-    returns without writing; default resampling is nearest.
+    returns without writing; default resampling is nearest. ``fmt='xml'``
+    (default) writes GDAL VRT XML, the reference's on-disk format;
+    ``fmt='json'`` writes the bare JSON descriptor. :func:`open_vrt`
+    sniffs and replays either.
     """
+    if fmt not in ("xml", "json"):
+        raise ValueError(f"fmt must be 'xml' or 'json', got {fmt!r}")
     if os.path.exists(filename):
         if overwrite:
             os.unlink(filename)
@@ -61,8 +132,75 @@ def to_vrt(
         "nodata": nodata,
     }
     with open(filename, "w") as fh:
-        json.dump(desc, fh, indent=2)
+        if fmt == "xml":
+            fh.write(_vrt_xml(desc))
+        else:
+            json.dump(desc, fh, indent=2)
     return desc
+
+
+def _parse_vrt_xml(text: str) -> dict:
+    """Descriptor from GDAL VRT XML. Prefers the embedded GEOWOMBAT_SPARK
+    metadata payload (exact replay); falls back to reconstructing from the
+    standard structural elements for a VRT produced by other tools over a
+    parquet corpus (bands from <Description>/band order, grids from
+    GeoTransform + raster size + source rects, nodata from
+    <NoDataValue>)."""
+    from xml.etree.ElementTree import fromstring
+
+    root = fromstring(text)
+    if root.tag != "VRTDataset":
+        raise ValueError("not a VRT dataset")
+    mdi = root.find("Metadata[@domain='GEOWOMBAT_SPARK']/MDI[@key='descriptor']")
+    if mdi is not None and mdi.text:
+        return json.loads(mdi.text)
+    gt = [float(v) for v in root.findtext("GeoTransform", "").split(",")]
+    ncols = int(root.get("rasterXSize"))
+    nrows = int(root.get("rasterYSize"))
+    crs = (root.findtext("SRS") or "EPSG:32621").strip()
+    bands, source, resampling, nodata = [], None, "nearest", None
+    src_ncols, src_nrows = ncols, nrows
+    for i, band in enumerate(root.findall("VRTRasterBand"), start=1):
+        bands.append(band.findtext("Description") or f"band_{i}")
+        nd = band.findtext("NoDataValue")
+        if nd is not None:
+            nodata = float(nd)
+        s = band.find("SimpleSource")
+        if s is None:
+            s = band.find("ComplexSource")
+        if s is not None:
+            source = s.findtext("SourceFilename") or source
+            resampling = s.get("resampling", resampling)
+            rect = s.find("SrcRect")
+            if rect is not None:
+                src_ncols = int(rect.get("xSize"))
+                src_nrows = int(rect.get("ySize"))
+    if source is None:
+        raise ValueError("VRT has no band sources")
+    dst = dict(
+        left=gt[0], top=gt[3], cellx=gt[1], celly=-gt[5],
+        nrows=nrows, ncols=ncols, crs=crs,
+        **({"nodata": nodata} if nodata is not None else {}),
+    )
+    # without the metadata payload the source grid shares the dst affine
+    # scaled to the source rect — exact for the identity / pure-resample
+    # cases a foreign VRT can express over a parquet corpus
+    srcg = dict(
+        dst,
+        nrows=src_nrows,
+        ncols=src_ncols,
+        cellx=gt[1] * ncols / src_ncols,
+        celly=-gt[5] * nrows / src_nrows,
+    )
+    return {
+        "vrt_version": VRT_VERSION,
+        "source": source,
+        "bands": bands,
+        "src_grid": srcg,
+        "dst_grid": dst,
+        "resampling": resampling,
+        "nodata": nodata,
+    }
 
 
 def open_vrt(spark: SparkSession, filename: str) -> DataFrame:
@@ -73,7 +211,11 @@ def open_vrt(spark: SparkSession, filename: str) -> DataFrame:
     from ..operators.transform import transform_grid
 
     with open(filename) as fh:
-        desc = json.load(fh)
+        text = fh.read()
+    if text.lstrip().startswith("<"):
+        desc = _parse_vrt_xml(text)
+    else:
+        desc = json.loads(text)
     if desc.get("vrt_version") != VRT_VERSION:
         raise ValueError(f"unsupported VRT version in {filename}")
     df = spark.read.option("basePath", desc["source"]).parquet(desc["source"])

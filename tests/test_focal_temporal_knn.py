@@ -238,3 +238,67 @@ def test_moving_weighted_rejects_unweighted_stats(spark, small_docs):
 
     with pytest.raises(ValueError, match="weights=True"):
         moving(small_docs, SMALL, stat="max", w=3, weights=True)
+
+
+def test_focal_expand_golden(spark):
+    """_get_expand parity (_moving.pyx:230-257) on a hand-computed 6x6 mask.
+
+    w=3 support = the plus-shaped 4-neighborhood (inverse-distance weight
+    is 0 only at the exact window corners): a 0 center flips to 1 iff an
+    edge-adjacent cell is 1; diagonal-only contact does NOT expand; 1s and
+    other classes (here 7.0) pass through unchanged."""
+    g = GridSpec(left=0.0, top=60.0, cellx=10.0, celly=10.0,
+                 nrows=6, ncols=6, tile_rows=4, tile_cols=4)
+    mask = np.zeros((6, 6))
+    mask[1, 1] = 1.0          # lone seed
+    mask[4, 4] = 7.0          # foreign class: passes through, never expands
+    mask[3, 0] = 1.0          # seed at the left edge (clipped window)
+    rr, cc = np.meshgrid(np.arange(6), np.arange(6), indexing="ij")
+    rr, cc = rr.ravel(), cc.ravel()
+    pdf = pd.DataFrame({
+        "row": rr, "col": cc,
+        "cell_id": zorder_encode(rr, cc),
+        "tile_id": g.tile_id(rr, cc),
+        "band_blue": mask.ravel(),
+    })
+    out = moving(spark.createDataFrame(pdf), g, stat="expand", w=3,
+                 band="band_blue")
+    got = np.zeros((6, 6))
+    res = out.collect()
+    assert len(res) == 36
+    for r in res:
+        got[r["row"], r["col"]] = r["band_blue_expand"]
+    want = mask.copy()
+    # plus-neighbors of (1,1)
+    for dr, dc in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+        want[1 + dr, 1 + dc] = 1.0
+    # plus-neighbors of (3,0) inside the grid
+    want[2, 0] = want[4, 0] = want[3, 1] = 1.0
+    # diagonal neighbors of the seeds must NOT have expanded; (4,4)=7 kept
+    assert want[0, 0] == 0.0 and got[0, 0] == 0.0
+    assert got[4, 4] == 7.0
+    np.testing.assert_array_equal(got, want)
+
+
+def test_focal_expand_matches_reference_kernel_shape(spark):
+    """expand over the 256x256 fixture equals a straight numpy rendition of
+    _get_expand (tile-border cells included — halo exchange contract)."""
+    pdf = _small_pdf()
+    binary = (pdf["band_blue"] % 7 == 0).astype(np.float64)
+    pdf = pdf.assign(band_blue=binary)
+    arr = np.zeros((256, 256))
+    arr[pdf["row"], pdf["col"]] = pdf["band_blue"].values
+    # numpy rendition: 0 center -> 1 if any plus-neighbor is 1
+    hit = np.zeros_like(arr, dtype=bool)
+    hit[1:, :] |= arr[:-1, :] == 1.0
+    hit[:-1, :] |= arr[1:, :] == 1.0
+    hit[:, 1:] |= arr[:, :-1] == 1.0
+    hit[:, :-1] |= arr[:, 1:] == 1.0
+    hit |= arr == 1.0  # center itself in the support
+    want = np.where((arr == 0.0) & hit, 1.0, arr)
+    out = moving(spark.createDataFrame(pdf).repartition(8, "tile_id"),
+                 SMALL, stat="expand", w=3, band="band_blue")
+    got = np.full((256, 256), np.nan)
+    for r in out.collect():
+        got[r["row"], r["col"]] = r["band_blue_expand"]
+    np.testing.assert_array_equal(got, want)

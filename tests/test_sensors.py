@@ -87,10 +87,26 @@ def test_vrt_roundtrip(spark, corpus_dir, docs, tmp_path):
         corpus_dir + "/t1", vrt_file, L8_GRID, bands=("band_blue",)
     )
     assert desc["resampling"] == "nearest"
-    assert json.load(open(vrt_file))["source"] == corpus_dir + "/t1"
+    # default format is GDAL VRT XML (reference io.py:516-528 shape)
+    from xml.etree.ElementTree import fromstring
+
+    root = fromstring(open(vrt_file).read())
+    assert root.tag == "VRTDataset"
+    assert root.find("VRTRasterBand/SimpleSource/SourceFilename").text == (
+        corpus_dir + "/t1"
+    )
     view = gw.open_vrt(spark, vrt_file)
     assert view.count() == docs.count()
     assert "band_blue" in view.columns
+
+    # the json descriptor format round-trips identically
+    vrt_json = str(tmp_path / "view.json.vrt")
+    gw.to_vrt(
+        corpus_dir + "/t1", vrt_json, L8_GRID, bands=("band_blue",),
+        fmt="json",
+    )
+    assert json.load(open(vrt_json))["source"] == corpus_dir + "/t1"
+    assert gw.open_vrt(spark, vrt_json).count() == docs.count()
 
     # existing file without overwrite: warn + no write
     with pytest.warns(UserWarning, match="already exists"):
@@ -140,3 +156,56 @@ def test_gw_load_stack_rescale_nodata(spark, corpus_dir, docs):
     if n_zeros:
         n_null = out.filter(F.col("band_blue").isNull()).count()
         assert n_null > 0
+
+
+def test_vrt_xml_gdal_shape_and_foreign_fallback(spark, corpus_dir, docs, tmp_path):
+    """The XML emitter writes the standard GDAL VRT elements (SRS,
+    GeoTransform, VRTRasterBand, Src/DstRect, ComplexSource+NODATA when
+    nodata is set), and open_vrt replays the SAME plan from the XML as
+    from the JSON descriptor — including a 'foreign' VRT stripped of the
+    GEOWOMBAT_SPARK metadata payload (structural-element fallback)."""
+    from xml.etree.ElementTree import fromstring, tostring
+
+    from geowombat_spark.fixtures import L8_GRID
+
+    xmlf = str(tmp_path / "x.vrt")
+    jsonf = str(tmp_path / "x.json.vrt")
+    for f, fmt in ((xmlf, "xml"), (jsonf, "json")):
+        gw.to_vrt(
+            corpus_dir + "/t1", f, L8_GRID,
+            bands=("band_blue", "band_green"), nodata=0.0, fmt=fmt,
+        )
+    root = fromstring(open(xmlf).read())
+    assert root.get("rasterXSize") == str(L8_GRID.ncols)
+    assert root.findtext("SRS").strip() == L8_GRID.crs
+    gt = [float(v) for v in root.findtext("GeoTransform").split(",")]
+    assert gt == [L8_GRID.left, L8_GRID.cellx, 0.0,
+                  L8_GRID.top, 0.0, -L8_GRID.celly]
+    bands = root.findall("VRTRasterBand")
+    assert [b.get("band") for b in bands] == ["1", "2"]
+    src = bands[0].find("ComplexSource")  # nodata -> ComplexSource+NODATA
+    assert src.findtext("NODATA") == "0"
+    assert src.find("SrcRect").get("xSize") == str(L8_GRID.ncols)
+
+    want = sorted(
+        tuple(r) for r in gw.open_vrt(spark, jsonf)
+        .select("row", "col", "band_blue").collect()
+    )
+    got_xml = sorted(
+        tuple(r) for r in gw.open_vrt(spark, xmlf)
+        .select("row", "col", "band_blue").collect()
+    )
+    assert got_xml == want
+
+    # foreign VRT: strip our metadata payload -> structural fallback
+    for md in root.findall("Metadata"):
+        root.remove(md)
+    foreign = str(tmp_path / "foreign.vrt")
+    open(foreign, "w").write(tostring(root, encoding="unicode"))
+    view = gw.open_vrt(spark, foreign)
+    got_foreign = sorted(
+        tuple(r) for r in view.select("row", "col", "band_blue").collect()
+    )
+    assert got_foreign == want
+    # band names survive via <Description>
+    assert "band_green" in view.columns
