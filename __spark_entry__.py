@@ -592,13 +592,24 @@ def q_ann_pq_recall(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qe")
     )
     cv = e.select("vec_id", F.col("embedding").alias("_ce"))
+    # Cast each float32 element to double BEFORE multiplying: pq_topk's
+    # reference cosine is computed fully in float64 numpy, and a
+    # single-precision product here rounds differently at the 6-dp
+    # boundary for ~0.3% of pairs (measured at sf0.1) — a latent
+    # false-red in the exact-equality rescore pin.
     dot = F.aggregate(
-        F.zip_with("_qe", "_ce", lambda a, b: a * b),
+        F.zip_with(
+            "_qe", "_ce", lambda a, b: a.cast("double") * b.cast("double")
+        ),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
     norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v * v)
+        F.aggregate(
+            c,
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
     )
     checked = (
         pq.join(qv, "query_id")

@@ -61,12 +61,23 @@ def brute_force_topk(
             sims = np.round(qm @ c.T, 6)  # (nq, batch)
             cids = pdf[id_col].values.astype(np.int64)
             take = min(k, sims.shape[1])
-            # local top-k per query: argpartition then exact order later
-            part = np.argpartition(-sims, take - 1, axis=1)[:, :take]
-            qi = np.repeat(ids, take)
-            ci = cids[part.ravel()]
-            sc = np.take_along_axis(sims, part, axis=1).ravel()
-            yield pd.DataFrame({"query_id": qi, "vec_id": ci, "cosine": sc})
+            # Tie-SAFE local top-k per query: keep every column whose
+            # rounded cosine >= the take-th largest in this batch, never
+            # exactly `take` columns — argpartition picks arbitrarily
+            # among 6-dp-equal cosines, so a tie straddling an Arrow
+            # batch boundary could forward different members in two runs
+            # (or in brute-force vs IVF, whose batch boundaries differ).
+            # The global window then breaks ties by vec_id, so the final
+            # top-k set is deterministic and batching-independent.
+            kth = -np.partition(-sims, take - 1, axis=1)[:, take - 1]
+            qi_idx, ci_idx = np.nonzero(sims >= kth[:, None])
+            yield pd.DataFrame(
+                {
+                    "query_id": ids[qi_idx],
+                    "vec_id": cids[ci_idx],
+                    "cosine": sims[qi_idx, ci_idx],
+                }
+            )
 
     local = corpus.select(id_col, vec_col).mapInPandas(
         _score, "query_id bigint, vec_id bigint, cosine double"
@@ -168,9 +179,9 @@ def hyperplane_lsh_pairs(
     sig = df.select(id_col, vec_col).mapInPandas(
         _sig_all, "vec_id bigint, table int, bucket bigint"
     )
-    # window-cap + DISK_ONLY persist: the matmul signature stage runs
-    # exactly once, not once per join side + once for the size aggregate
-    # (see dedup.capped_bucket_frame)
+    # window-cap + MEMORY_AND_DISK persist: the matmul signature stage
+    # runs exactly once, not once per join side + once for the size
+    # aggregate (see dedup.capped_bucket_frame)
     sig = capped_bucket_frame(sig, ["table", "bucket"], max_bucket_size)
     a, b = sig.alias("a"), sig.alias("b")
     cands = (
@@ -327,13 +338,17 @@ def ivf_topk(
                     continue
                 sims = np.round(qm[qi] @ c[mask].T, 6)
                 take = min(k, sims.shape[0])
-                part = np.argpartition(-sims, take - 1)[:take]
+                # tie-safe local top-k (see brute_force_topk._score):
+                # keep all rows at or above the take-th cosine so ties
+                # survive to the deterministic global window.
+                kth = -np.partition(-sims, take - 1)[take - 1]
+                keep = sims >= kth
                 frames.append(
                     pd.DataFrame(
                         {
                             "query_id": ids[qi],
-                            "vec_id": cids[mask][part],
-                            "cosine": sims[part],
+                            "vec_id": cids[mask][keep],
+                            "cosine": sims[keep],
                         }
                     )
                 )

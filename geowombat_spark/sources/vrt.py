@@ -157,7 +157,15 @@ def _parse_vrt_xml(text: str) -> dict:
     gt = [float(v) for v in root.findtext("GeoTransform", "").split(",")]
     ncols = int(root.get("rasterXSize"))
     nrows = int(root.get("rasterYSize"))
-    crs = (root.findtext("SRS") or "EPSG:32621").strip()
+    # SRS is optional in the GDAL VRT schema, but fabricating a CRS for a
+    # foreign VRT would silently stamp wrong georeferencing on every
+    # downstream warp/extract/area op — fail loudly instead.
+    crs = (root.findtext("SRS") or "").strip()
+    if not crs:
+        raise ValueError(
+            "foreign VRT has no <SRS> element; cannot infer a CRS — add an "
+            "<SRS> (e.g. EPSG:32621) or regenerate the VRT with to_vrt()"
+        )
     bands, source, resampling, nodata = [], None, "nearest", None
     src_ncols, src_nrows = ncols, nrows
     for i, band in enumerate(root.findall("VRTRasterBand"), start=1):

@@ -65,7 +65,7 @@ def _zarray_doc(grid: GridSpec, dtype: str, fill_value: float,
     }
 
 
-def _check_publish_state(path: str) -> None:
+def _check_publish_state(path: str, repair: bool = False) -> None:
     """Surface a crashed overwrite-publish before touching the store.
 
     The overwrite publish is two POSIX renames (``final → .old`` then
@@ -73,17 +73,25 @@ def _check_publish_state(path: str) -> None:
     leaves the last complete store at ``<path>.old`` and the new complete
     store at ``<path>.inprogress`` (all chunk writes finish before the
     publish begins), with nothing at ``path``. This guard runs at the top
-    of :func:`to_zarr` and :func:`open_zarr`:
+    of :func:`to_zarr` (``repair=True``) and :func:`open_zarr`
+    (``repair=False``):
 
-    - final missing + ``.old`` present + ``.inprogress`` present → the
-      crash window above: complete the publish (rename ``.inprogress`` →
-      final) and warn, leaving ``.old`` for manual inspection.
+    - final missing + ``.old`` present + ``.inprogress`` present → either
+      the crash window above OR a LIVE writer between its two renames.
+      Only the writer path (``repair=True``) may finish the publish
+      (rename ``.inprogress`` → final) — a reader doing that rename would
+      race a concurrent writer's own second rename and crash it. The
+      read-only path instead polls briefly for the final store to appear
+      (a live publish completes in milliseconds) and raises with recovery
+      instructions if it never does.
     - final missing + ``.old`` present, no ``.inprogress`` → raise; the
       user must restore by renaming ``<path>.old`` back.
     - final present + ``.old`` present → a publish succeeded but the
       retired store was not deleted (crash after the second rename):
       warn; the ``.old`` copy is safe to delete.
     """
+    import time
+
     old = path.rstrip("/") + ".old"
     inprog = path.rstrip("/") + ".inprogress"
     if not os.path.exists(old):
@@ -97,14 +105,28 @@ def _check_publish_state(path: str) -> None:
         )
         return
     if os.path.exists(os.path.join(inprog, ".zgroup")):
-        os.rename(inprog, path)
-        warnings.warn(
-            f"completed a crashed overwrite publish of {path} from "
-            f"{inprog}; the previous store remains at {old} for manual "
-            "inspection and may be deleted",
-            stacklevel=3,
+        if repair:
+            os.rename(inprog, path)
+            warnings.warn(
+                f"completed a crashed overwrite publish of {path} from "
+                f"{inprog}; the previous store remains at {old} for manual "
+                "inspection and may be deleted",
+                stacklevel=3,
+            )
+            return
+        # Read-only caller: ride out a live in-flight publish (the window
+        # between the writer's two renames is sub-millisecond), but never
+        # mutate the store ourselves.
+        for _ in range(20):
+            time.sleep(0.05)
+            if os.path.exists(os.path.join(path, ".zgroup")):
+                return
+        raise RuntimeError(
+            f"zarr store {path} is missing; a retired copy exists at "
+            f"{old} and a complete new store at {inprog} (crashed "
+            "overwrite publish). Re-run to_zarr to finish the publish, "
+            f"or finish it manually with: mv {inprog} {path}"
         )
-        return
     raise RuntimeError(
         f"zarr store {path} is missing but a retired copy exists at "
         f"{old} (crashed overwrite publish, no complete .inprogress "
@@ -135,7 +157,7 @@ def to_zarr(
     """
     import shutil
 
-    _check_publish_state(path)
+    _check_publish_state(path, repair=True)
     final_path, replacing = path, False
     if os.path.exists(os.path.join(path, ".zgroup")):
         if not overwrite:

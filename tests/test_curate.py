@@ -222,7 +222,10 @@ def test_repetition_stats_long_doc_linear(spark):
     t0 = time.time()
     out = repetition_stats(docs).collect()[0]
     elapsed = time.time() - t0
-    assert elapsed < 60, f"repetition_stats took {elapsed:.1f}s on 60k tokens"
+    # generous ceiling: the shared host has 2-5x noise windows; the point
+    # is the complexity class — the old O(distinct·length) kernel took
+    # >10 minutes on this fixture, the linear one low single-digit seconds
+    assert elapsed < 180, f"repetition_stats took {elapsed:.1f}s on 60k tokens"
     # modal bigram: consecutive tokens i,i+1 with i%27001, (i+1)%27001 —
     # pairs ('w{k} w{k+1}') each appear floor-ish 2-3 times; exact modal
     # count is 3 (period 27001 over 59993 bigrams → first 5991 pairs ×3)

@@ -209,3 +209,12 @@ def test_vrt_xml_gdal_shape_and_foreign_fallback(spark, corpus_dir, docs, tmp_pa
     assert got_foreign == want
     # band names survive via <Description>
     assert "band_green" in view.columns
+
+    # a foreign VRT with no <SRS> must fail loudly, not fabricate a CRS
+    srs = root.find("SRS")
+    if srs is not None:
+        root.remove(srs)
+    nosrs = str(tmp_path / "nosrs.vrt")
+    open(nosrs, "w").write(tostring(root, encoding="unicode"))
+    with pytest.raises(ValueError, match="no <SRS>"):
+        gw.open_vrt(spark, nosrs)

@@ -125,8 +125,11 @@ def test_zarr_crashed_publish_recovery(spark, cells, tmp_path):
     """Crash-window recovery for the two-rename overwrite publish.
 
     Simulates a crash between `final -> .old` and `.inprogress -> final`:
-    the next to_zarr/open_zarr must complete the publish from the intact
-    .inprogress store (and warn), not fail or silently rebuild."""
+    the next to_zarr (writer) must complete the publish from the intact
+    .inprogress store (and warn). open_zarr (reader) must NOT mutate the
+    store — a reader renaming .inprogress would race a live writer's own
+    second rename — it polls briefly (live publishes finish in ms) then
+    raises with recovery instructions."""
     store = str(tmp_path / "c.zarr")
     to_zarr(cells, store, GRID, bands=("band_blue",))
     n = open_zarr(spark, store).count()
@@ -135,8 +138,14 @@ def test_zarr_crashed_publish_recovery(spark, cells, tmp_path):
     import shutil
 
     shutil.copytree(store + ".inprogress", store + ".old")
+    # reader: read-only — raises, store untouched
+    with pytest.raises(RuntimeError, match="finish it manually"):
+        open_zarr(spark, store)
+    assert os.path.exists(store + ".inprogress")
+    # writer: repairs the crashed publish and warns
     with pytest.warns(UserWarning, match="crashed overwrite publish"):
-        assert open_zarr(spark, store).count() == n
+        to_zarr(cells, store, GRID, bands=("band_blue",))
+    assert open_zarr(spark, store).count() == n
     assert os.path.exists(os.path.join(store, ".zgroup"))
     assert os.path.exists(store + ".old")  # kept for manual inspection
     # leftover .old beside a healthy final store -> warn only
