@@ -199,13 +199,23 @@ def hyperplane_lsh_pairs(
     vb = df.select(
         F.col(id_col).alias("vec_b"), F.col(vec_col).alias("emb_b")
     )
+    # float64 products (cast BEFORE multiply): float32 rounding differs
+    # from an exact float64 cosine at the 6-dp boundary for ~0.3% of
+    # pairs, which would both misfilter threshold-edge pairs and break
+    # value-level comparison against a float64 oracle
     dot = F.aggregate(
-        F.zip_with("emb_a", "emb_b", lambda x, y: x * y),
+        F.zip_with(
+            "emb_a", "emb_b", lambda x, y: x.cast("double") * y.cast("double")
+        ),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
     norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v * v)
+        F.aggregate(
+            c,
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
     )
     return (
         cands.join(va, "vec_a")
