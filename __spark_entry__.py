@@ -1340,6 +1340,66 @@ def q_ml_predict(spark, sf_dir):
     return out.select("doc_id", F.col("pred").cast("long").alias("pred"))
 
 
+def q_ml_score_audit(spark, sf_dir):
+    """Value-level companion to q_ml_predict: the fitted MLlib
+    LogisticRegression margins are re-derived JVM-side from the trained
+    coefficientMatrix/interceptVector as plan literals (Column-expression
+    float64 linear form — independent of MLlib's BLAS transform), and the
+    model's prediction must be the argmax of the recomputed margins
+    (1e-9 ulp-tie guard). n_cells pins exactly-once corpus coverage; the
+    oracle asserts the corpus count and zero disagreements. Training
+    itself stays engine-internal (q_ml_predict, rows-only by declared
+    design), but a wrong prediction column, feature-order swap, or stale
+    model broadcast turns this red."""
+    from pyspark.ml.classification import LogisticRegression
+
+    from geowombat_spark import ml as gml
+
+    gd = grid_docs(spark, sf_dir)
+    labels = pd.DataFrame(
+        [
+            {"fid": 1, "cls": 1.0,
+             "rings": [[35.0, -35.0, 325.0, -35.0, 325.0, -145.0, 35.0, -145.0, 35.0, -35.0]]},
+            {"fid": 2, "cls": 2.0,
+             "rings": [[395.0, -215.0, 725.0, -215.0, 725.0, -385.0, 395.0, -385.0, 395.0, -215.0]]},
+        ]
+    )
+    bands = ("band_blue", "band_green", "band_red", "band_nir")
+    model = gml.fit(
+        spark, gd, GRID, LogisticRegression(maxIter=8, tol=1e-4),
+        labels=labels, col="cls", bands=bands,
+    )
+    pred = gml.predict(gd, model)
+    lr = model.stages[-1]
+    cm = lr.coefficientMatrix.toArray()
+    icept = lr.interceptVector.toArray()
+    if cm.shape[0] == 1:
+        # binomial: prediction = margin > 0 (default 0.5 threshold)
+        margin = F.lit(float(icept[0]))
+        for c, w in zip(bands, cm[0]):
+            margin = margin + F.col(c) * F.lit(float(w))
+        pred2 = (margin > 0).cast("double")
+        mis = (F.col("pred") != pred2) & (F.abs(margin) > 1e-9)
+    else:
+        margins = []
+        for k in range(cm.shape[0]):
+            mk = F.lit(float(icept[k]))
+            for c, w in zip(bands, cm[k]):
+                mk = mk + F.col(c) * F.lit(float(w))
+            margins.append(mk)
+        best = F.greatest(*margins)
+        assigned = F.element_at(
+            F.array(*margins), F.col("pred").cast("int") + 1
+        )
+        mis = (best - assigned) > 1e-9
+    return pred.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.coalesce(F.sum(mis.cast("long")), F.lit(0).cast("long")).alias(
+            "n_mismatched"
+        ),
+    )
+
+
 def q_cloud_shadows(spark, sf_dir):
     """estimate_shadows (radiometry/mask.py:22-114): per-height scene
     shift scalars from one tiny aggregate (the reference's eager
@@ -2083,12 +2143,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so every query lands in the driver's 50-entry CORRECTNESS
     window over rounds. The r4 window (first 50): the 44 queries whose
     latest driver row is r1/r2 (rotated out by the r3 window — all 44
-    re-verified green via tools/check_oracle.py during r3 review), the 5
-    new r4 queries (q_focal_expand, q_ann_ivf_recall, q_ann_pq_recall,
-    q_lsh_precision, q_cluster_assign), and 1 backfill slot for an
-    r3-green query whose code r4 touched (q_minhash_lsh — persisted
-    capped LSH frames). Queries 51+ all hold green r3 rows; the other
-    r4-touched ones (q_simhash_pairs, q_dos) were re-verified green via
+    re-verified green via tools/check_oracle.py during r3 review) and the
+    6 new r4 queries (q_focal_expand, q_ann_ivf_recall, q_ann_pq_recall,
+    q_lsh_precision, q_cluster_assign, q_ml_score_audit). Queries 51+
+    all hold green r3 rows; the ones whose code r4 touched
+    (q_minhash_lsh, q_simhash_pairs — persisted LSH frames; q_dos —
+    NULL-safe clip; q_ann_topk is in-window) were re-verified green via
     tools/check_oracle.py this round. With r3∪r4 every query has a
     driver row from the last two rounds."""
     return {
@@ -2137,17 +2197,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_subset": q_subset,
         "q_token_estimate": q_token_estimate,
         "q_token_stats": q_token_stats,
-        # --- new in r4 (5) --------------------------------------------
+        # --- new in r4 (6) --------------------------------------------
         "q_focal_expand": q_focal_expand,
         "q_ann_ivf_recall": q_ann_ivf_recall,
         "q_ann_pq_recall": q_ann_pq_recall,
         "q_lsh_precision": q_lsh_precision,
         "q_cluster_assign": q_cluster_assign,
-        # --- backfill: green r3 rows, code touched in r4 (1) ----------
+        "q_ml_score_audit": q_ml_score_audit,
+        # --- green r3 rows (the 50-entry window ends above; the r4 code
+        #     changes touching q_minhash_lsh/q_simhash_pairs (persisted
+        #     LSH frames) and q_dos (NULL-safe clip) were re-verified
+        #     green via tools/check_oracle.py this round) ---------------
         "q_minhash_lsh": q_minhash_lsh,
-        # --- green r3 rows (the 50-entry window ends above; the LSH
-        #     persist + clip changes touching q_simhash_pairs/q_dos were
-        #     re-verified green via tools/check_oracle.py this round) ----
         "q_simhash_pairs": q_simhash_pairs,
         "q_dos": q_dos,
         "q_polygonize": q_polygonize,
@@ -2726,6 +2787,13 @@ SELECT CAST(0 AS BIGINT) AS n_noncanonical,
     o["q_cluster_assign"] = """
 SELECT (SELECT count(*) FROM embeddings) AS n_vectors,
        CAST(0 AS BIGINT) AS n_misassigned
+"""
+
+    # q_ml_score_audit: exactly-once corpus coverage + zero
+    # prediction-vs-recomputed-margin-argmax disagreements
+    o["q_ml_score_audit"] = """
+SELECT (SELECT count(*) FROM documents) AS n_cells,
+       CAST(0 AS BIGINT) AS n_mismatched
 """
 
     o["q_ann_topk"] = f"""
