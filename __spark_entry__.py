@@ -1802,27 +1802,34 @@ def q_stream_dedup(spark, sf_dir):
     )
     tmp = tempfile.mkdtemp(prefix="gw_stream_")
     sink = f"q_stream_sink_{os.path.basename(tmp).split('_')[-1]}"
-    # the max-agg plus four staged writes would otherwise scan the source
-    # five times; cache it for the staging phase
+    # staging scans the cached source twice (max agg + ONE partitioned
+    # write that emits all four micro-batch files), not once per batch
     d = d.cache()
     try:
         mx = int(d.agg(F.max("doc_id")).collect()[0][0])
         step = mx // 4 + 1
         stream_dir = os.path.join(tmp, "in")
         os.makedirs(stream_dir)
-        for i in range(4):
-            stage = os.path.join(tmp, f"stage{i}")
-            (
-                d.filter(
-                    (F.col("doc_id") >= i * step)
-                    & (F.col("doc_id") < (i + 1) * step)
-                )
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(stage)
+        staged = os.path.join(tmp, "staged")
+        (
+            d.withColumn(
+                "_batch", (F.col("doc_id") / step).cast("int")
             )
-            part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-            shutil.move(part, os.path.join(stream_dir, f"{i:02d}.parquet"))
+            # one task per batch value -> exactly one file per _batch dir
+            .repartition(4, "_batch")
+            .write.partitionBy("_batch")
+            .mode("overwrite")
+            .parquet(staged)
+        )
+        for i in range(4):
+            parts = _glob.glob(
+                os.path.join(staged, f"_batch={i}", "part-*.parquet")
+            )
+            if len(parts) != 1:  # a batch landed in >1 file: fall back
+                raise RuntimeError(
+                    f"expected one staged file for batch {i}, got {parts}"
+                )
+            shutil.move(parts[0], os.path.join(stream_dir, f"{i:02d}.parquet"))
         stream = (
             spark.readStream.schema(
                 "doc_id bigint, text string, event_ts timestamp"

@@ -281,7 +281,7 @@ def main() -> None:
         try:
             run_noop(fn(spark, SF_DIR))
             dt = time.time() - t0
-            qtimes[name] = round(dt, 3)
+            qtimes[name] = round(dt, 2)  # 2 dp: keeps the stdout line short
             total += dt
             log(f"[bench] {name}: {dt:.3f}s")
         except Exception as e:  # keep the bench robust: report, don't die
@@ -296,17 +296,28 @@ def main() -> None:
         sink = run_sink(spark, BENCH_DOCS)
         log(f"[bench] sink: {sink}")
 
+    # Key order + compact separators matter: the round driver records only
+    # the LAST 2000 characters of stdout (BENCH_r{N}.json "tail"), so the
+    # scalar summary (value/sf/cpus/flagship/sink) goes at the END of the
+    # line where it always survives; with ~100 queries the head of the
+    # queries dict may be cut from the tail, so the complete result is
+    # also persisted to BENCH/bench_last.json.
     out = {
         "metric": "extract+clip spatial-join throughput (docs/sec) + full query suite wall time",
-        "value": round(total, 3),
         "unit": "sec",
         "queries": qtimes,
+        "value": round(total, 3),
         "sf": sf,
         "cpus": CPUS,
         "flagship": flagship,
         "sink": sink,
     }
-    print(json.dumps(out), flush=True)
+    try:
+        with open(os.path.join(REPO, "BENCH", "bench_last.json"), "w") as fh:
+            json.dump(out, fh, indent=1)
+    except OSError:
+        pass  # read-only checkout: stdout line is still the contract
+    print(json.dumps(out, separators=(",", ":")), flush=True)
     spark.stop()
 
 
