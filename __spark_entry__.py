@@ -1921,6 +1921,40 @@ def q_netcdf(spark, sf_dir):
     )
 
 
+def q_vrt(spark, sf_dir):
+    """GDAL VRT XML round-trip as a lazy warp view (sources/vrt.py vs
+    reference core/io.py:455-559 to_vrt): the grid cells are staged as a
+    parquet corpus, a GDAL-shaped VRT XML (SRS / GeoTransform /
+    VRTRasterBand / Src-DstRect, embedded replay payload) is written over
+    it with a COARSER destination grid, and open_vrt must replay the
+    exact nearest-neighbor warp from the XML — the same destination
+    lattice the q_warp_nearest oracle computes in SQL. Pins the XML
+    serialize→parse→plan-replay chain end-to-end, not just the parser."""
+    import os
+    import shutil
+    import tempfile
+
+    from geowombat_spark.sources import vrt as _vrt
+
+    gd = grid_docs(spark, sf_dir).select(
+        "row", "col", "x", "y", "band_blue", "band_green"
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"gw_vrt_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src_pq = os.path.join(base, "cells")
+    gd.write.mode("overwrite").parquet(src_pq)
+    f = os.path.join(base, "view.vrt")
+    _vrt.to_vrt(
+        src_pq, f, GRID, dst_grid=DST_GRID,
+        bands=("band_blue", "band_green"), resampling="nearest", fmt="xml",
+    )
+    out = _vrt.open_vrt(spark, f)
+    return out.select("row", "col", "x", "y", "band_blue", "band_green")
+
+
 def q_vocab_oov(spark, sf_dir):
     """Vocabulary construction + out-of-vocabulary scoring
     (pipeline/text.build_vocab / oov_stats): corpus top-50 vocab via a
@@ -2265,6 +2299,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jaccard_pairs": q_jaccard_pairs,
         "q_embed_neardup": q_embed_neardup,
         "q_tile_manifest": q_tile_manifest,
+        # new in r4 but below the line (window is full): evidence this
+        # round is a green tools/check_oracle run; rotates into the r5
+        # window with the rest of the 51+ block
+        "q_vrt": q_vrt,
     }
 
 
@@ -3119,6 +3157,21 @@ SELECT comp.comp, c.value, CAST(count(*) AS BIGINT) AS n_cells,
   min(c.col) AS col_min, max(c.col) AS col_max
 FROM c JOIN comp ON comp.lab = c.lab
 GROUP BY comp.comp, c.value
+"""
+
+    # q_vrt replays the identical nearest warp through the VRT XML view,
+    # so it shares q_warp_nearest's oracle lattice
+    o["q_vrt"] = f"""
+WITH {G_SQL},
+lat AS (
+  SELECT CAST(i AS BIGINT) AS row, CAST(j AS BIGINT) AS col,
+         -15.0 + (CAST(j AS DOUBLE) + 0.5) * 60.0 AS x,
+         15.0 - (CAST(i AS DOUBLE) + 0.5) * 60.0 AS y
+  FROM UNNEST(range(12)) AS t1(i), UNNEST(range(14)) AS t2(j))
+SELECT l.row, l.col, l.x, l.y, g.band_blue, g.band_green
+FROM lat l LEFT JOIN g
+  ON g.row = CAST(floor((0.0 - l.y) / 30.0) AS BIGINT)
+ AND g.col = CAST(floor((l.x - 0.0) / 30.0) AS BIGINT)
 """
 
     o["q_warp_nearest"] = f"""
