@@ -186,6 +186,36 @@ def test_hyperplane_lsh_pairs_self_similarity(spark, emb_df):
     assert {(r["vec_a"], r["vec_b"]) for r in out} >= {(0, 999)}
 
 
+def test_topk_tie_safe_across_partitionings(spark, emb_df):
+    """Duplicated vectors force exact rounded-cosine ties; the per-batch
+    local shortlist must keep ALL tie members (not an arbitrary
+    argpartition pick) so the deterministic global (cosine desc, vec_id)
+    window yields the identical top-k set under any partitioning."""
+    df, mat = emb_df
+    dup = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [1000 + i for i in range(40)],
+                "embedding": [mat[i].tolist() for i in range(40)],
+            }
+        )
+    )
+    full = df.unionAll(dup)
+    queries = df.filter(F.col("vec_id") < 3)
+    results = []
+    for nparts in (1, 3, 8):
+        out = ann.brute_force_topk(full.repartition(nparts), queries, k=10)
+        results.append(
+            sorted((r["query_id"], r["rank"], r["vec_id"]) for r in out.collect())
+        )
+    assert results[0] == results[1] == results[2]
+    # each original top vector's duplicate ties with it; the tie must
+    # break to the LOWER vec_id first
+    for q, rank, vid in results[0]:
+        if vid >= 1000:
+            assert (q, rank - 1, vid - 1000) in results[0]
+
+
 def test_ivf_topk_runs_and_ranks(spark, emb_df):
     df, mat = emb_df
     queries = df.filter(F.col("vec_id") < 2)
