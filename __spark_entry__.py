@@ -1783,7 +1783,6 @@ def q_stream_dedup(spark, sf_dir):
     the per-key-bucket unique count — which must equal the batch
     DISTINCT aggregate the oracle computes, no matter how the stream
     interleaved arrivals."""
-    import glob as _glob
     import os
     import shutil
     import tempfile
@@ -1808,28 +1807,9 @@ def q_stream_dedup(spark, sf_dir):
     try:
         mx = int(d.agg(F.max("doc_id")).collect()[0][0])
         step = mx // 4 + 1
-        stream_dir = os.path.join(tmp, "in")
-        os.makedirs(stream_dir)
-        staged = os.path.join(tmp, "staged")
-        (
-            d.withColumn(
-                "_batch", (F.col("doc_id") / step).cast("int")
-            )
-            # one task per batch value -> exactly one file per _batch dir
-            .repartition(4, "_batch")
-            .write.partitionBy("_batch")
-            .mode("overwrite")
-            .parquet(staged)
+        stream_dir = _stage_micro_batches(
+            spark, d, tmp, 4, (F.col("doc_id") / step).cast("int")
         )
-        for i in range(4):
-            parts = _glob.glob(
-                os.path.join(staged, f"_batch={i}", "part-*.parquet")
-            )
-            if len(parts) != 1:  # a batch landed in >1 file: fall back
-                raise RuntimeError(
-                    f"expected one staged file for batch {i}, got {parts}"
-                )
-            shutil.move(parts[0], os.path.join(stream_dir, f"{i:02d}.parquet"))
         stream = (
             spark.readStream.schema(
                 "doc_id bigint, text string, event_ts timestamp"
@@ -1850,6 +1830,171 @@ def q_stream_dedup(spark, sf_dir):
             spark.table(sink)
             .groupBy(F.substring("dup_key", 1, 1).alias("key_bucket"))
             .agg(F.count(F.lit(1)).cast("long").alias("n_unique"))
+        )
+    finally:
+        d.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _stage_micro_batches(spark, df, tmp, n_batches, batch_col):
+    """Write ``df`` as ``n_batches`` single-file parquet micro-batches under
+    ``tmp/in`` (one partitioned write → one file per batch value, the
+    q_stream_dedup staging pattern). ``batch_col`` is an int Column in
+    [0, n_batches). Returns the stream directory."""
+    import glob as _glob
+    import os
+    import shutil
+
+    stream_dir = os.path.join(tmp, "in")
+    os.makedirs(stream_dir)
+    staged = os.path.join(tmp, "staged")
+    (
+        df.withColumn("_batch", batch_col)
+        .repartition(n_batches, "_batch")
+        .write.partitionBy("_batch")
+        .mode("overwrite")
+        .parquet(staged)
+    )
+    for i in range(n_batches):
+        parts = _glob.glob(
+            os.path.join(staged, f"_batch={i}", "part-*.parquet")
+        )
+        if len(parts) != 1:
+            raise RuntimeError(
+                f"expected one staged file for batch {i}, got {parts}"
+            )
+        dst = os.path.join(stream_dir, f"{i:02d}.parquet")
+        shutil.move(parts[0], dst)
+        # FileStreamSource orders files by MODIFICATION TIME (ties by
+        # path), and rename preserves the part-file's mtime from the
+        # parallel write — i.e. random task-finish order. Stamp strictly
+        # increasing mtimes so micro-batch order is the batch index,
+        # deterministically.
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    return stream_dir
+
+
+def q_stream_rollup(spark, sf_dir):
+    """Watermarked event-time windowed rollup driven to completion in
+    APPEND mode (streaming/ingest.tile_rollup): event times span 10
+    minutes (``doc_id % 600`` seconds), micro-batches are doc_id RANGES so
+    every batch covers the full event-time span — after batch 1 the
+    watermark eventually sits at max−2 min, so later-batch rows whose
+    1-minute window already closed under the watermark in force during
+    THEIR batch are LATE and deterministically dropped, and a window
+    finalizes once the watermark passes its end (availableNow's closing
+    no-data micro-batch applies the final watermark and flushes every
+    finalized window). Two empirically-pinned Spark semantics ride this
+    query (verified via StreamingQueryProgress on 4.1.2): a batch's max
+    event time enters the watermark at COMMIT, so the watermark in force
+    during batch b derives from batches ≤ b−2; and FileStreamSource
+    orders files by MTIME, so the staged files get strictly increasing
+    stamped mtimes (rename preserves the parallel write's task-finish
+    mtimes, which would make arrival order — and thus the late-drop set
+    — nondeterministic). The oracle mirrors the algebra exactly:
+    2-PRECEDING prefix-max watermark for the late-drop leg, global-max
+    watermark for the emission leg, grouped per (window, tile), pinned
+    value-level."""
+    import os
+    import shutil
+    import tempfile
+
+    from geowombat_spark.streaming.ingest import tile_rollup
+
+    d = grid_docs(spark, sf_dir).select(
+        "doc_id",
+        "tile_id",
+        F.col("band_blue").alias("value"),
+        F.timestamp_seconds(
+            F.lit(1_767_225_600) + F.col("doc_id") % 600
+        ).alias("event_ts"),
+    )
+    tmp = tempfile.mkdtemp(prefix="gw_rollup_")
+    sink = f"q_rollup_sink_{os.path.basename(tmp).split('_')[-1]}"
+    d = d.cache()
+    try:
+        mx = int(d.agg(F.max("doc_id")).collect()[0][0])
+        step = mx // 4 + 1
+        stream_dir = _stage_micro_batches(
+            spark, d, tmp, 4, (F.col("doc_id") / step).cast("int")
+        )
+        stream = (
+            spark.readStream.schema(
+                "doc_id bigint, tile_id bigint, value double,"
+                " event_ts timestamp"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stream_dir)
+        )
+        rollup = tile_rollup(
+            stream, window="1 minute", watermark="2 minutes"
+        )
+        q = (
+            rollup.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(sink).select(
+            F.col("window_start").cast("long").alias("window_start"),
+            "tile_id",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "mean_value",
+        )
+    finally:
+        d.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_stream_stateful(spark, sf_dir):
+    """Custom stateful streaming operator driven to completion
+    (streaming/ingest.running_tile_stats, ``applyInPandasWithState``):
+    micro-batches are ``doc_id % 4`` so EVERY tile receives rows in all
+    four triggers and the per-tile (n, total) state genuinely accumulates
+    across batches; update-mode emissions land in a memory sink and the
+    final state per tile — the max-n row; n is strictly increasing
+    because every batch adds non-null rows to every tile — must equal
+    the batch count/sum/avg aggregate the oracle computes, independent
+    of arrival interleaving."""
+    import os
+    import shutil
+    import tempfile
+
+    from geowombat_spark.streaming.ingest import running_tile_stats
+
+    d = grid_docs(spark, sf_dir).select(
+        "doc_id", "tile_id", F.col("band_green").alias("value")
+    )
+    tmp = tempfile.mkdtemp(prefix="gw_state_")
+    sink = f"q_state_sink_{os.path.basename(tmp).split('_')[-1]}"
+    d = d.cache()
+    try:
+        d.count()  # materialize once; staging reuses the cache
+        stream_dir = _stage_micro_batches(
+            spark, d, tmp, 4, (F.col("doc_id") % 4).cast("int")
+        )
+        stream = (
+            spark.readStream.schema(
+                "doc_id bigint, tile_id bigint, value double"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stream_dir)
+        )
+        q = (
+            running_tile_stats(stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(sink).groupBy("tile_id").agg(
+            F.max("n").cast("long").alias("n_docs"),
+            F.max_by("total", "n").alias("total_value"),
+            F.max_by("mean", "n").alias("mean_value"),
         )
     finally:
         d.unpersist()
@@ -2187,7 +2332,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     re-verified green via tools/check_oracle.py during r3 review) and the
     6 new r4 queries (q_focal_expand, q_ann_ivf_recall, q_ann_pq_recall,
     q_lsh_precision, q_cluster_assign, q_ml_score_audit). Queries 51+
-    all hold green r3 rows; the ones whose code r4 touched
+    all hold green r3 rows (except the window-overflow r4 additions
+    q_vrt/q_stream_rollup/q_stream_stateful at the very end, verified
+    green via tools/check_oracle.py at sf0.01 AND sf0.1 this round);
+    the ones whose code r4 touched
     (q_minhash_lsh, q_simhash_pairs — persisted LSH frames; q_dos —
     NULL-safe clip; q_ann_topk is in-window) were re-verified green via
     tools/check_oracle.py this round. With r3∪r4 every query has a
@@ -2303,6 +2451,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round is a green tools/check_oracle run; rotates into the r5
         # window with the rest of the 51+ block
         "q_vrt": q_vrt,
+        "q_stream_rollup": q_stream_rollup,
+        "q_stream_stateful": q_stream_stateful,
     }
 
 
@@ -3864,6 +4014,53 @@ FROM p
 SELECT substr(md5(lower(trim(text))), 1, 1) AS key_bucket,
        CAST(count(DISTINCT md5(lower(trim(text)))) AS BIGINT) AS n_unique
 FROM documents GROUP BY 1
+"""
+
+    # Append-mode watermark algebra, mirrored exactly (verified against
+    # StreamingQueryProgress on Spark 4.1.2): a batch's max event time is
+    # folded into the watermark when the batch COMMITS, so the watermark
+    # in FORCE while batch b executes derives from batches ≤ b−2 (prefix
+    # running max, 2 PRECEDING; batch b−1's max hasn't taken effect yet).
+    # Batch b's rows are dropped iff their window closed under that
+    # in-force watermark. A window is emitted iff its end ≤ the FINAL
+    # watermark — availableNow runs a closing no-data micro-batch that
+    # applies the last commit's watermark and flushes every finalized
+    # window. Only non-empty windows produce rows — a window whose every
+    # row was late never had state, so it emits nothing.
+    o["q_stream_rollup"] = f"""
+WITH {G_SQL},
+s AS (SELECT CAST(max(doc_id) // 4 + 1 AS BIGINT) AS step FROM g),
+r AS (
+  SELECT doc_id, band_blue, CAST(row // {GRID.tile_rows} AS BIGINT) AS tile_id,
+         CAST(doc_id // s.step AS BIGINT) AS b,
+         CAST(doc_id % 600 AS BIGINT) AS off,
+         CAST((doc_id % 600) // 60 * 60 AS BIGINT) AS wstart
+  FROM g, s),
+bm AS (SELECT b, max(off) AS bmax FROM r GROUP BY b),
+wm AS (
+  SELECT b, max(bmax) OVER (ORDER BY b
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) - 120 AS wm_at
+  FROM bm),
+fin AS (SELECT max(off) - 120 AS final_wm FROM r),
+kept AS (
+  SELECT r.* FROM r JOIN wm USING (b)
+  WHERE wm.wm_at IS NULL OR r.wstart + 60 > wm.wm_at)
+SELECT CAST(1767225600 + wstart AS BIGINT) AS window_start,
+       tile_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(band_blue), 6) AS mean_value
+FROM kept, fin
+WHERE wstart + 60 <= fin.final_wm
+GROUP BY 1, 2
+"""
+
+    o["q_stream_stateful"] = f"""
+WITH {G_SQL}
+SELECT CAST(row // {GRID.tile_rows} AS BIGINT) AS tile_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(sum(band_green), 6) AS total_value,
+       round(avg(band_green), 6) AS mean_value
+FROM g GROUP BY 1
 """
 
     o["q_zarr"] = f"""
