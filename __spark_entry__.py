@@ -2281,6 +2281,54 @@ def q_media_codec(spark, sf_dir):
     )
 
 
+def q_png_codec(spark, sf_dir):
+    """REAL PNG decode parity (pipeline/multimodal.decode_png via
+    decode_media): per doc, a genuine zlib-compressed 8-bit RGB PNG is
+    built with pixel(k) = (k*11 + 3*doc_id) % 256 on a (7, 9, 3)
+    lattice and per-row filter type (doc_id + row) % 5 — so all five
+    PNG filters (None/Sub/Up/Average/Paeth) are exercised across the
+    corpus — shipped through the Arrow decode stage, and the decoded
+    width/height/frames/mean come back. The oracle recomputes the pixel
+    function in closed-form SQL — value parity certifies the chunk
+    walk, zlib inflate, and every unfilter path, not just plumbing."""
+    import numpy as np
+
+    from geowombat_spark.pipeline import multimodal as mm
+
+    docs = _docs(spark, sf_dir).select("doc_id").filter(
+        F.col("doc_id") % 5 == 2
+    )
+
+    def _attach(it):
+        k = np.arange(7 * 9 * 3, dtype=np.int64)
+        for pdf in it:
+            outs = [
+                mm.encode_png(
+                    ((k * 11 + 3 * int(d)) % 256)
+                    .astype(np.uint8)
+                    .reshape(7, 9, 3),
+                    filters=[(int(d) + r) % 5 for r in range(7)],
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype(np.int64),
+                    "media_ref": [
+                        f"media://png/{int(d)}" for d in pdf["doc_id"]
+                    ],
+                    "media_bytes": pd.Series(outs, dtype=object),
+                }
+            )
+
+    payloads = docs.mapInPandas(
+        _attach, "doc_id bigint, media_ref string, media_bytes binary"
+    )
+    return mm.decode_media(payloads).select(
+        "doc_id", "width", "height", "n_frames", "mean_intensity"
+    )
+
+
 def q_audio_codec(spark, sf_dir):
     """REAL audio decode parity (pipeline/multimodal.decode_wav via
     decode_audio): per doc, a genuine RIFF/WAVE 16-bit PCM payload whose
@@ -2453,6 +2501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vrt": q_vrt,
         "q_stream_rollup": q_stream_rollup,
         "q_stream_stateful": q_stream_stateful,
+        "q_png_codec": q_png_codec,
     }
 
 
@@ -4181,6 +4230,14 @@ SELECT doc_id,
        round((SELECT avg((k * 7 + doc_id) % 256) FROM range(144) t(k))
              / 255.0, 6) AS mean_intensity
 FROM documents WHERE doc_id % 3 = 0
+"""
+
+    o["q_png_codec"] = """
+SELECT doc_id,
+       9 AS width, 7 AS height, 1 AS n_frames,
+       round((SELECT avg((k * 11 + 3 * doc_id) % 256) FROM range(189) t(k))
+             / 255.0, 6) AS mean_intensity
+FROM documents WHERE doc_id % 5 = 2
 """
 
     # exact closed-form RMS: samples are the integers v = (k*13+doc_id)

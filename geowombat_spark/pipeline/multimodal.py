@@ -15,9 +15,10 @@ SQL oracle.
 
 Media handling: media bytes are opaque ``binary`` columns with typed
 metadata. The decode / feature-extract / resize steps are Pandas-UDF
-``mapInPandas`` stages. The decode is REAL for byte-layout image formats
-(binary PPM and uncompressed 24-bit BMP — pure-numpy parsers, no codec
-library needed: :func:`decode_ppm` / :func:`decode_bmp`, exercised by
+``mapInPandas`` stages. The decode is REAL for image formats a pure-numpy
+parser (+ stdlib zlib) covers — binary PPM, uncompressed 24-bit BMP, and
+8-bit non-interlaced PNG with all five filter types (:func:`decode_ppm` /
+:func:`decode_bmp` / :func:`decode_png`, exercised by
 :func:`decode_media` and :func:`resize_media`); payloads without a known
 container fall back to a deterministic md5-derived stub (``_fake_decode``)
 — swap that for a PIL/ffmpeg call in production (clearly marked below),
@@ -222,6 +223,167 @@ def decode_bmp(raw: bytes) -> np.ndarray:
     return img[..., ::-1].copy()  # BGR → RGB
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (PNG spec §9.4), vectorized over the channel axis.
+    All arithmetic in int16 — the predictor compares SIGNED distances."""
+    a = a.astype(np.int16)
+    b = b.astype(np.int16)
+    c = c.astype(np.int16)
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def encode_png(arr: np.ndarray, filters: list[int] | None = None) -> bytes:
+    """Encode an (h, w, 3) uint8 array as an 8-bit RGB PNG (color type 2,
+    non-interlaced; stdlib zlib for IDAT, no codec library).
+
+    ``filters`` optionally pins the per-row filter type (0=None, 1=Sub,
+    2=Up, 3=Average, 4=Paeth) so every unfilter path in
+    :func:`decode_png` is exercisable byte-for-byte; default all-0."""
+    import struct
+    import zlib
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) uint8, got {a.shape}")
+    h, w = a.shape[:2]
+    ftypes = [0] * h if filters is None else list(filters)
+    if len(ftypes) != h or any(f not in (0, 1, 2, 3, 4) for f in ftypes):
+        raise ValueError("filters must give one type in 0..4 per row")
+    zero = np.zeros((1, 3), np.uint8)
+    out = bytearray()
+    for y in range(h):
+        raw = a[y]
+        prior = a[y - 1] if y else np.zeros_like(raw)
+        left = np.vstack([zero, raw[:-1]])
+        up_left = np.vstack([zero, prior[:-1]])
+        f = ftypes[y]
+        if f == 0:
+            filt = raw
+        elif f == 1:
+            filt = raw - left
+        elif f == 2:
+            filt = raw - prior
+        elif f == 3:
+            filt = raw - (
+                (left.astype(np.uint16) + prior.astype(np.uint16)) // 2
+            ).astype(np.uint8)
+        else:
+            filt = raw - _paeth(left, prior, up_left)
+        out.append(f)
+        out += filt.tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(raw: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG (color types 0 gray / 2 RGB /
+    6 RGBA) into an (h, w, 3) uint8 RGB array — pure numpy + stdlib
+    zlib, all five filter types unfiltered per spec. Bounds- and
+    CRC-checked chunk walk: truncated or corrupt payloads raise
+    ValueError (never scan past EOF)."""
+    import struct
+    import zlib
+
+    if raw[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    ended = False
+    while pos + 8 <= len(raw) and not ended:
+        clen, ctype = struct.unpack_from(">I4s", raw, pos)
+        if pos + 12 + clen > len(raw):
+            raise ValueError("truncated PNG chunk")
+        data = raw[pos + 8 : pos + 8 + clen]
+        (crc,) = struct.unpack_from(">I", raw, pos + 8 + clen)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            ended = True
+        pos += 12 + clen
+    if ihdr is None or not ended:
+        raise ValueError("missing IHDR/IEND")
+    w, h, depth, ctype_n, comp, filt_m, interlace = ihdr
+    if depth != 8 or comp != 0 or filt_m != 0 or interlace != 0:
+        raise ValueError(
+            "only 8-bit non-interlaced PNG supported "
+            f"(depth={depth}, interlace={interlace})"
+        )
+    channels = {0: 1, 2: 3, 6: 4}.get(ctype_n)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {ctype_n}")
+    if w <= 0 or h <= 0:
+        raise ValueError("bad PNG dimensions")
+    plain = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(plain) != h * (1 + stride):
+        raise ValueError("IDAT length mismatch")
+    scan = np.frombuffer(plain, np.uint8).reshape(h, 1 + stride)
+    ftypes, rows = scan[:, 0], scan[:, 1:]
+    img = np.zeros((h, w, channels), np.uint8)
+    zero = np.zeros((1, channels), np.uint8)
+    for y in range(h):
+        filt = rows[y].reshape(w, channels)
+        prior = img[y - 1] if y else np.zeros((w, channels), np.uint8)
+        f = int(ftypes[y])
+        if f == 0:
+            img[y] = filt
+        elif f == 1:
+            # Sub: raw[x] = filt[x] + raw[x-1] — a running sum along x,
+            # i.e. cumsum mod 256 per channel (vectorized, no x loop)
+            img[y] = np.cumsum(filt.astype(np.uint64), axis=0).astype(
+                np.uint8
+            )
+        elif f == 2:
+            img[y] = filt + prior
+        elif f == 3:
+            row = img[y]
+            for x in range(w):
+                left = row[x - 1] if x else zero[0]
+                row[x] = filt[x] + (
+                    (left.astype(np.uint16) + prior[x].astype(np.uint16))
+                    // 2
+                ).astype(np.uint8)
+        elif f == 4:
+            row = img[y]
+            for x in range(w):
+                left = row[x - 1] if x else zero[0]
+                ul = prior[x - 1] if x else zero[0]
+                row[x] = filt[x] + _paeth(left, prior[x], ul)
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+    if channels == 1:
+        return np.repeat(img, 3, axis=2)
+    return img[..., :3].copy() if channels == 4 else img
+
+
 def ppm_frames(raw: bytes) -> list[np.ndarray]:
     """Decode a concatenated-P6 stream (the engine's trivial 'video'
     container: frames are back-to-back binary PPMs) into a list of
@@ -303,6 +465,10 @@ def _real_decode(raw: bytes) -> tuple[int, int, int, float] | None:
             px = decode_bmp(raw)
             h, w = px.shape[:2]
             return w, h, 1, round(float(px.mean()) / 255.0, 6)
+        if raw[: len(_PNG_SIG)] == _PNG_SIG:
+            px = decode_png(raw)
+            h, w = px.shape[:2]
+            return w, h, 1, round(float(px.mean()) / 255.0, 6)
         return None
     except Exception:
         return None
@@ -335,8 +501,8 @@ def decode_media(media_df: DataFrame) -> DataFrame:
             raws = list(pdf["media_bytes"])
             has_null = any(r is None for r in raws)
             magics = {bytes(r[:2]) for r in raws if r}
-            if has_null or (magics & {b"P6", b"BM"}):
-                # REAL decode path (pure-numpy PPM/BMP): per-item by
+            if has_null or (magics & {b"P6", b"BM", b"\x89P"}):
+                # REAL decode path (pure-numpy PPM/BMP/PNG): per-item by
                 # nature, the Arrow batch amortizes the boundary. Items
                 # in the batch without a known container fall back to
                 # the stub; undecodable ones to NULL features.
@@ -499,7 +665,7 @@ RESIZE_SCHEMA = (
 def resize_media(
     media_df: DataFrame, out_w: int = 64, out_h: int = 64
 ) -> DataFrame:
-    """Nearest-neighbor resize of decodable image payloads (PPM/BMP),
+    """Nearest-neighbor resize of decodable image payloads (PPM/BMP/PNG),
     re-encoded as PPM — a real pixel transform over the binary column
     (Arrow-batched mapInPandas, same plumbing as :func:`decode_media`).
     Payloads without a known container yield NULL bytes/dims (flagged,
@@ -516,6 +682,8 @@ def resize_media(
                         px = decode_ppm(raw)
                     elif raw[:2] == b"BM":
                         px = decode_bmp(raw)
+                    elif raw[: len(_PNG_SIG)] == _PNG_SIG:
+                        px = decode_png(bytes(raw))
                     else:
                         raise ValueError("no known container")
                     ys = np.arange(out_h) * px.shape[0] // out_h

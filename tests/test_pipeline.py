@@ -820,6 +820,90 @@ def test_decode_media_real_formats(spark):
     assert out["media://blob"]["width"] != 6 or out["media://blob"]["height"] != 4
 
 
+def test_png_codec_guards_and_variants():
+    """PNG decode: gray and RGBA color types normalize to (h, w, 3);
+    corrupt CRC, truncation, and unsupported shapes raise ValueError
+    (bounds-checked chunk walk — never scans past EOF)."""
+    import struct
+    import zlib
+
+    import pytest
+
+    img = _checker_img(5, 7)
+    enc = multimodal.encode_png(img, filters=[4, 3, 2, 1, 0])
+    assert np.array_equal(multimodal.decode_png(enc), img)
+
+    def _chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    # gray (color type 0) replicates to 3 channels; RGBA (6) drops alpha
+    gray = img[..., 0]
+    graw = b"".join(bytes([0]) + gray[y].tobytes() for y in range(5))
+    g = (
+        multimodal._PNG_SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 5, 8, 0, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(graw))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(
+        multimodal.decode_png(g), np.repeat(gray[..., None], 3, axis=2)
+    )
+    rgba = np.dstack([img, np.full((5, 7), 9, np.uint8)])
+    araw = b"".join(bytes([0]) + rgba[y].tobytes() for y in range(5))
+    a = (
+        multimodal._PNG_SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 5, 8, 6, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(araw))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(multimodal.decode_png(a), img)
+
+    bad = bytearray(enc)
+    bad[30] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        multimodal.decode_png(bytes(bad))
+    with pytest.raises(ValueError, match="IHDR|truncated"):
+        multimodal.decode_png(enc[:40])
+    with pytest.raises(ValueError, match="color type"):
+        multimodal.decode_png(
+            multimodal._PNG_SIG
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 5, 8, 3, 0, 0, 0))
+            + _chunk(b"IEND", b"")
+        )
+
+
+def test_decode_media_png_dispatch(spark):
+    """decode_media routes PNG payloads through the real zlib+unfilter
+    decode in the same Arrow batch as PPM/stub payloads."""
+    img = _checker_img(4, 6)
+    rows = [
+        (1, "media://png", bytearray(
+            multimodal.encode_png(img, filters=[0, 1, 2, 4]))),
+        (2, "media://ppm", bytearray(multimodal.encode_ppm(img))),
+        (3, "media://blob", bytearray(hashlib.md5(b"y").digest())),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, media_ref string, media_bytes binary"
+    )
+    out = {r["media_ref"]: r for r in multimodal.decode_media(df).collect()}
+    want_mean = round(float(img.mean()) / 255.0, 6)
+    for ref in ("media://png", "media://ppm"):
+        r = out[ref]
+        assert (r["width"], r["height"], r["n_frames"]) == (6, 4, 1)
+        assert abs(r["mean_intensity"] - want_mean) < 1e-9
+    # resize decodes PNG too: 2x2 nearest == the numpy index rule
+    rs = {
+        r["media_ref"]: r
+        for r in multimodal.resize_media(df, out_w=2, out_h=2).collect()
+    }
+    got = multimodal.decode_ppm(bytes(rs["media://png"]["media_bytes"]))
+    ys, xs = np.arange(2) * 4 // 2, np.arange(2) * 6 // 2
+    assert np.array_equal(got, img[ys][:, xs])
+
+
 def test_resize_media_nearest(spark):
     """resize_media: nearest-neighbor pixels match the numpy index rule
     exactly; undecodable payloads yield NULLs, not dropped rows."""

@@ -347,6 +347,25 @@ def test_ppm_bmp_roundtrip_property(h, w, seed):
 
 
 @given(
+    st.integers(1, 12),
+    st.integers(1, 12),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_property(h, w, seed):
+    """Any (h, w, 3) uint8 image survives PNG encode→decode byte-exactly
+    under ANY per-row filter assignment — all five unfilter paths
+    (None/Sub/Up/Average/Paeth) are property-checked, not just the
+    encoder's default."""
+    from geowombat_spark.pipeline import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    filters = rng.integers(0, 5, size=h).tolist()
+    assert np.array_equal(mm.decode_png(mm.encode_png(img, filters)), img)
+
+
+@given(
     st.integers(1, 5),
     st.integers(1, 2),
     st.integers(1, 400),
