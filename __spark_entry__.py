@@ -526,19 +526,23 @@ def q_lsh_precision(spark, sf_dir):
     )
     exact = dedup.embedding_neardup_pairs(
         emb, threshold=0.45, method="block", n_blocks=8
-    ).select("vec_a", "vec_b")
-    fp = lsh.join(exact, ["vec_a", "vec_b"], "left_anti")
-    return (
-        lsh.agg(
-            F.coalesce(
-                F.sum((F.col("vec_a") >= F.col("vec_b")).cast("long")),
-                F.lit(0).cast("long"),
-            ).alias("n_noncanonical"),
-            (F.count(F.lit(1)) - F.count_distinct(F.col("vec_a"), F.col("vec_b")))
-            .cast("long")
-            .alias("n_dup_pairs"),
-        )
-        .crossJoin(fp.agg(F.count(F.lit(1)).alias("n_false_positives")))
+    ).select("vec_a", "vec_b", F.lit(1).alias("_hit"))
+    # ONE pass over the expensive LSH subtree: a left join marks each LSH
+    # pair as exact-confirmed or not, and a single aggregate computes all
+    # three counters (two aggs + crossJoin executed the candidate-join +
+    # cosine-verify subtree twice — the dominant cost of this query).
+    marked = lsh.join(exact, ["vec_a", "vec_b"], "left")
+    return marked.agg(
+        F.coalesce(
+            F.sum((F.col("vec_a") >= F.col("vec_b")).cast("long")),
+            F.lit(0).cast("long"),
+        ).alias("n_noncanonical"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("vec_a"), F.col("vec_b")))
+        .cast("long")
+        .alias("n_dup_pairs"),
+        F.coalesce(
+            F.sum(F.col("_hit").isNull().cast("long")), F.lit(0).cast("long")
+        ).alias("n_false_positives"),
     )
 
 
@@ -556,6 +560,12 @@ def q_cluster_assign(spark, sf_dir):
 
     emb = _emb(spark, sf_dir)
     assigned, cents = cluster_embeddings(emb, k=16)
+    # deliberately NOT ann.cosine_expr: the assigner's comparison is
+    # one-sidedly normalized (centroids are already unit; only ||e|| is
+    # divided out, with the numpy path's ||0||:=1 zero-vector guard) and
+    # the margin compare is on RAW doubles with a 1e-9 ulp guard, not a
+    # 6-dp-rounded value — sharing the pair-path cosine would change the
+    # audited quantity.
     nrm_raw = F.sqrt(
         F.aggregate(
             "_e",
@@ -675,32 +685,14 @@ def q_ann_pq_recall(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qe")
     )
     cv = e.select("vec_id", F.col("embedding").alias("_ce"))
-    # Cast each float32 element to double BEFORE multiplying: pq_topk's
-    # reference cosine is computed fully in float64 numpy, and a
-    # single-precision product here rounds differently at the 6-dp
-    # boundary for ~0.3% of pairs (measured at sf0.1) — a latent
-    # false-red in the exact-equality rescore pin.
-    dot = F.aggregate(
-        F.zip_with(
-            "_qe", "_ce", lambda a, b: a.cast("double") * b.cast("double")
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            c,
-            F.lit(0.0),
-            lambda acc, v: acc + v.cast("double") * v.cast("double"),
-        )
-    )
     checked = (
         pq.join(qv, "query_id")
         .join(cv, "vec_id")
-        .withColumn(
-            "_true_cos",
-            F.round(dot / (norm(F.col("_qe")) * norm(F.col("_ce"))), 6),
-        )
+        # ann.cosine_expr is the ONE shared float64 Column cosine
+        # (cast-before-multiply; see its docstring) — pq_topk's reference
+        # cosine is float64 numpy, so any private re-implementation here
+        # risks re-opening the 6-dp-boundary false-red this pin closed.
+        .withColumn("_true_cos", ann.cosine_expr("_qe", "_ce"))
         .withColumn(
             "_rank2",
             F.row_number().over(
@@ -3011,10 +3003,13 @@ FROM sh64 a JOIN sh64 b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
+    # threshold on the ROUNDED cosine — the engine's pair paths share
+    # rounded-boundary semantics (emitted iff the displayed 6-dp cosine
+    # passes; see dedup._blocked_cosine_pairs), so the oracle must too
     o["q_embed_neardup"] = f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round({_COS}, 6) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {_COS} >= 0.4
+WHERE round({_COS}, 6) >= 0.4
 """
 
     # q_lsh_precision: the invariant half is structural zeros; the oracle

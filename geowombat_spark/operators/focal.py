@@ -191,6 +191,19 @@ def moving(
         raise ValueError(
             f"weights=True supports {_WEIGHTED_STATS}, not {stat!r}"
         )
+    if stat == "expand" and nodata is not None and float(nodata) != 0.0:
+        # expand ignores nodata by design (the reference's _get_expand
+        # treats every non-target value as background) — reject an
+        # EXPLICIT foreign nodata loudly rather than silently discarding
+        # it: a caller migrating moving(..., nodata=-9999) expects -9999
+        # cells nulled like every other stat, and expand cannot honor
+        # that contract. The 0.0 default passes (0 IS the background
+        # class, so ignoring it is the documented semantics).
+        raise ValueError(
+            "stat='expand' does not support nodata masking (the "
+            "reference kernel treats every non-target value as "
+            "background); pass nodata=None or pre-mask the band"
+        )
     hw = w // 2
     if hw > min(grid.tile_rows, grid.tile_cols):
         # halo duplication reaches ADJACENT tiles only: a half-width

@@ -33,6 +33,38 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / n[:, None]
 
 
+def cosine_expr(emb_a, emb_b, dp: int | None = 6):
+    """Float64 cosine of two array columns as a pure Column fold.
+
+    Every element is cast to double BEFORE multiplying: float32 products
+    round differently from an exact float64 cosine at the 6-dp boundary
+    for ~0.3% of pairs (measured at sf0.1), which both misfilters
+    threshold-edge pairs and breaks value-level comparison against a
+    float64 oracle. ``dp`` rounds the result (None = raw). This is THE
+    shared cosine for every JVM-side verify/rescore path — keep the
+    numerics in one place so a precision fix can never miss a copy."""
+    a, b = F.col(emb_a) if isinstance(emb_a, str) else emb_a, (
+        F.col(emb_b) if isinstance(emb_b, str) else emb_b
+    )
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+    def norm(c):
+        return F.sqrt(
+            F.aggregate(
+                c,
+                F.lit(0.0),
+                lambda acc, v: acc + v.cast("double") * v.cast("double"),
+            )
+        )
+
+    cos = dot / (norm(a) * norm(b))
+    return F.round(cos, dp) if dp is not None else cos
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -61,16 +93,25 @@ def brute_force_topk(
             sims = np.round(qm @ c.T, 6)  # (nq, batch)
             cids = pdf[id_col].values.astype(np.int64)
             take = min(k, sims.shape[1])
-            # Tie-SAFE local top-k per query: keep every column whose
-            # rounded cosine >= the take-th largest in this batch, never
-            # exactly `take` columns — argpartition picks arbitrarily
-            # among 6-dp-equal cosines, so a tie straddling an Arrow
-            # batch boundary could forward different members in two runs
-            # (or in brute-force vs IVF, whose batch boundaries differ).
-            # The global window then breaks ties by vec_id, so the final
-            # top-k set is deterministic and batching-independent.
-            kth = -np.partition(-sims, take - 1, axis=1)[:, take - 1]
-            qi_idx, ci_idx = np.nonzero(sims >= kth[:, None])
+            # Tie-SAFE *and bounded* local top-k per query: order each
+            # row by the exact total order the global window uses
+            # ((cosine desc, vec_id asc)) and take the first `take`.
+            # argpartition alone picks arbitrarily among 6-dp-equal
+            # cosines, so a tie straddling an Arrow batch boundary could
+            # forward different members in two runs (or in brute-force vs
+            # IVF, whose batch boundaries differ); a keep-all-ties filter
+            # is deterministic but unbounded (a batch full of identical
+            # cosines — e.g. zero vectors — would emit the whole batch
+            # per query). Because local and global use the SAME total
+            # order, every locally dropped row is dominated by `take`
+            # batch-mates and can never enter the global top-k — so the
+            # result is identical to keep-all-ties, at ≤ take rows per
+            # query per batch.
+            order = np.lexsort(
+                (np.broadcast_to(cids, sims.shape), -sims), axis=-1
+            )[:, :take]
+            qi_idx = np.repeat(np.arange(sims.shape[0]), take)
+            ci_idx = order.ravel()
             yield pd.DataFrame(
                 {
                     "query_id": ids[qi_idx],
@@ -199,31 +240,10 @@ def hyperplane_lsh_pairs(
     vb = df.select(
         F.col(id_col).alias("vec_b"), F.col(vec_col).alias("emb_b")
     )
-    # float64 products (cast BEFORE multiply): float32 rounding differs
-    # from an exact float64 cosine at the 6-dp boundary for ~0.3% of
-    # pairs, which would both misfilter threshold-edge pairs and break
-    # value-level comparison against a float64 oracle
-    dot = F.aggregate(
-        F.zip_with(
-            "emb_a", "emb_b", lambda x, y: x.cast("double") * y.cast("double")
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            c,
-            F.lit(0.0),
-            lambda acc, v: acc + v.cast("double") * v.cast("double"),
-        )
-    )
     return (
         cands.join(va, "vec_a")
         .join(vb, "vec_b")
-        .withColumn(
-            "cosine",
-            F.round(dot / (norm(F.col("emb_a")) * norm(F.col("emb_b"))), 6),
-        )
+        .withColumn("cosine", cosine_expr("emb_a", "emb_b"))
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
@@ -348,11 +368,10 @@ def ivf_topk(
                     continue
                 sims = np.round(qm[qi] @ c[mask].T, 6)
                 take = min(k, sims.shape[0])
-                # tie-safe local top-k (see brute_force_topk._score):
-                # keep all rows at or above the take-th cosine so ties
-                # survive to the deterministic global window.
-                kth = -np.partition(-sims, take - 1)[take - 1]
-                keep = sims >= kth
+                # tie-safe bounded local top-k (see brute_force_topk.
+                # _score): same (cosine desc, vec_id asc) total order as
+                # the global window, truncated at `take`.
+                keep = np.lexsort((cids[mask], -sims))[:take]
                 frames.append(
                     pd.DataFrame(
                         {

@@ -322,6 +322,10 @@ def decode_png(raw: bytes) -> np.ndarray:
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"bad CRC in {ctype!r} chunk")
         if ctype == b"IHDR":
+            if clen != 13:
+                # a CRC-valid but mis-sized IHDR must still be the
+                # documented ValueError, not struct.error
+                raise ValueError(f"bad IHDR length {clen} (expected 13)")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"IDAT":
             idat += data
@@ -341,7 +345,10 @@ def decode_png(raw: bytes) -> np.ndarray:
         raise ValueError(f"unsupported PNG color type {ctype_n}")
     if w <= 0 or h <= 0:
         raise ValueError("bad PNG dimensions")
-    plain = zlib.decompress(bytes(idat))
+    try:
+        plain = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # corrupt IDAT stream → documented contract
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
     stride = w * channels
     if len(plain) != h * (1 + stride):
         raise ValueError("IDAT length mismatch")

@@ -172,6 +172,17 @@ def _parse_vrt_xml(text: str) -> dict:
         bands.append(band.findtext("Description") or f"band_{i}")
         nd = band.findtext("NoDataValue")
         if nd is not None:
+            # the descriptor carries ONE nodata for all bands — letting
+            # the last band's value silently win would mask the wrong
+            # pixels in every other band, so conflicting per-band values
+            # fail as loudly as a missing SRS does above
+            if nodata is not None and float(nd) != nodata:
+                raise ValueError(
+                    "foreign VRT declares conflicting per-band "
+                    f"NoDataValue ({nodata} vs {float(nd)}); the replay "
+                    "descriptor supports a single nodata — harmonize the "
+                    "bands or regenerate with to_vrt()"
+                )
             nodata = float(nd)
         s = band.find("SimpleSource")
         if s is None:
