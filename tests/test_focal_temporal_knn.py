@@ -302,3 +302,19 @@ def test_focal_expand_matches_reference_kernel_shape(spark):
     for r in out.collect():
         got[r["row"], r["col"]] = r["band_blue_expand"]
     np.testing.assert_array_equal(got, want)
+
+
+def test_focal_expand_rejects_foreign_nodata(spark):
+    """expand ignores nodata by design (every non-target value is
+    background); an EXPLICIT foreign nodata must fail loudly instead of
+    being silently discarded."""
+    from geowombat_spark.fixtures import L8_GRID
+
+    df = spark.createDataFrame(
+        [(0, 0, 0, 1.0)], "row long, col long, cell_id long, band_blue double"
+    )
+    with pytest.raises(ValueError, match="expand.*nodata|nodata masking"):
+        moving(df, L8_GRID, stat="expand", nodata=-9999.0)
+    # the 0.0 default and an explicit None both pass validation
+    moving(df, L8_GRID, stat="expand")
+    moving(df, L8_GRID, stat="expand", nodata=None)

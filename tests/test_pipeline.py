@@ -1062,3 +1062,82 @@ def test_brovey_null_intensity_propagates(spark):
     by_pan = sorted(rows, key=lambda r: (r["band_blue"] is not None))
     assert by_pan[0]["band_blue"] is None  # NULL propagated
     assert by_pan[1]["band_blue"] == 0.0   # zero clamped
+
+
+def test_topk_bounded_under_massive_ties(spark):
+    """A batch full of identical cosines (e.g. 500 copies of one vector)
+    must still emit exactly k rows per query — the local shortlist orders
+    by the global window's own (cosine desc, vec_id asc) total order and
+    truncates at k, so it is simultaneously deterministic AND bounded
+    (keep-all-ties would forward the entire batch per query here)."""
+    rows = [(int(i), [1.0, 0.0, 0.0, 0.0]) for i in range(500)] + [
+        (1000, [0.0, 1.0, 0.0, 0.0])
+    ]
+    tie = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = tie.filter(F.col("vec_id") == 0)
+    for nparts in (1, 7):
+        got = (
+            ann.brute_force_topk(tie.repartition(nparts), q, k=10)
+            .orderBy("rank")
+            .collect()
+        )
+        assert len(got) == 10
+        assert [r["vec_id"] for r in got] == list(range(10))
+        assert all(r["cosine"] == 1.0 for r in got)
+
+
+def test_capped_bucket_frame_registry_bounded(spark):
+    """capped_bucket_frame keeps at most _MAX_LIVE_CAPPED_FRAMES persisted
+    frames: older ones are unpersisted FIFO, so per-batch pipeline calls
+    in a long-lived session cannot grow executor storage without bound."""
+    base = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "vec_id long, bucket long"
+    )
+    before = list(dedup._LIVE_CAPPED_FRAMES)
+    frames = []
+    for i in range(dedup._MAX_LIVE_CAPPED_FRAMES + 4):
+        f = dedup.capped_bucket_frame(
+            base.withColumn("n", F.lit(i)), ["bucket"], 100
+        )
+        f.count()
+        frames.append(f)
+    assert len(dedup._LIVE_CAPPED_FRAMES) <= dedup._MAX_LIVE_CAPPED_FRAMES
+    # the newest frames are still cached; the oldest were unpersisted
+    assert frames[-1].storageLevel.useMemory or frames[-1].storageLevel.useDisk
+    evicted = frames[0]
+    assert not (evicted.storageLevel.useMemory or evicted.storageLevel.useDisk)
+    # evicted frames still compute correctly (lazy recompute)
+    assert evicted.count() == 30
+    # cleanup so other tests see a quiet registry
+    for f in dedup._LIVE_CAPPED_FRAMES[len(before):]:
+        f.unpersist(blocking=False)
+
+
+def test_decode_png_error_contract_is_valueerror(spark):
+    """Mis-sized (but CRC-valid) IHDR and corrupt IDAT bytes must raise
+    the documented ValueError — never a leaked struct.error/zlib.error."""
+    import struct
+    import zlib
+
+    def _chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    short_ihdr = (
+        multimodal._PNG_SIG
+        + _chunk(b"IHDR", b"\x00" * 12)
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="IHDR length"):
+        multimodal.decode_png(short_ihdr)
+
+    bad_idat = (
+        multimodal._PNG_SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + _chunk(b"IDAT", b"\x99\x98\x97")
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="IDAT"):
+        multimodal.decode_png(bad_idat)

@@ -218,3 +218,26 @@ def test_vrt_xml_gdal_shape_and_foreign_fallback(spark, corpus_dir, docs, tmp_pa
     open(nosrs, "w").write(tostring(root, encoding="unicode"))
     with pytest.raises(ValueError, match="no <SRS>"):
         gw.open_vrt(spark, nosrs)
+
+
+def test_foreign_vrt_conflicting_band_nodata_raises():
+    """A foreign VRT whose bands declare DIFFERENT NoDataValues must fail
+    loudly — the replay descriptor carries one nodata, and last-band-wins
+    would mask the wrong pixels in every other band."""
+    import pytest
+
+    from geowombat_spark.sources.vrt import _parse_vrt_xml
+
+    xml = """<VRTDataset rasterXSize="4" rasterYSize="4">
+    <SRS>EPSG:32621</SRS><GeoTransform>0,1,0,0,0,-1</GeoTransform>
+    <VRTRasterBand><Description>b1</Description><NoDataValue>0</NoDataValue>
+    <SimpleSource><SourceFilename>x.parquet</SourceFilename></SimpleSource>
+    </VRTRasterBand>
+    <VRTRasterBand><Description>b2</Description>
+    <NoDataValue>-9999</NoDataValue></VRTRasterBand>
+    </VRTDataset>"""
+    with pytest.raises(ValueError, match="conflicting per-band"):
+        _parse_vrt_xml(xml)
+    # equal per-band values are fine (one shared nodata)
+    ok = xml.replace("-9999", "0")
+    assert _parse_vrt_xml(ok)["nodata"] == 0.0
