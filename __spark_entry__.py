@@ -2273,6 +2273,59 @@ def q_media_codec(spark, sf_dir):
     )
 
 
+def q_fetch(spark, sf_dir):
+    """Distributed asset fetch (sources/fetch.py; GeoDownloads shape,
+    util/web.py:341-520): a deterministic 'remote' is staged from the
+    first 40 documents' utf-8 text, the manifest carries real sha256 per
+    asset, and two defect classes are PLANTED — doc_id%20==7 gets a
+    wrong checksum (must quarantine) and doc_id%20==13 points at an
+    absent source (must report missing). The fetch itself is a
+    distributed mapInPandas over manifest partitions; the report row's
+    counts and total bytes are re-derived by the oracle from the same
+    documents table (bytes_total = sum of octet_length over the clean
+    assets), so a wrong copy, a missed quarantine, or a resume-skip
+    misfire all turn the round red. Staging (40 tiny files) is driver-side
+    harness setup, not the operator."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from geowombat_spark.sources import fetch as fx
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    remote = os.path.join(tempfile.gettempdir(), f"gw_remote_{tag}")
+    outdir = os.path.join(tempfile.gettempdir(), f"gw_fetched_{tag}")
+    shutil.rmtree(remote, ignore_errors=True)
+    shutil.rmtree(outdir, ignore_errors=True)
+    os.makedirs(remote)
+    rows = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+        .collect()
+    )
+    manifest = []
+    for r in rows:
+        did = int(r["doc_id"])
+        payload = (r["text"] or "").encode("utf-8")
+        name = f"doc_{did}.txt"
+        if did % 20 != 13:  # 13-class sources are deliberately absent
+            with open(os.path.join(remote, name), "wb") as f:
+                f.write(payload)
+        sha = hashlib.sha256(payload).hexdigest()
+        if did % 20 == 7:  # planted checksum mismatch -> quarantine
+            sha = "0" * 64
+        manifest.append(
+            (name, "file://" + os.path.join(remote, name), len(payload), sha)
+        )
+    m = spark.createDataFrame(
+        manifest, "asset_id string, uri string, size long, sha256 string"
+    )
+    status = fx.fetch_assets(m, outdir, n_partitions=8)
+    return fx.fetch_report(status)
+
+
 def q_png_codec(spark, sf_dir):
     """REAL PNG decode parity (pipeline/multimodal.decode_png via
     decode_media): per doc, a genuine zlib-compressed 8-bit RGB PNG is
@@ -2373,8 +2426,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     6 new r4 queries (q_focal_expand, q_ann_ivf_recall, q_ann_pq_recall,
     q_lsh_precision, q_cluster_assign, q_ml_score_audit). Queries 51+
     all hold green r3 rows (except the window-overflow r4 additions
-    q_vrt/q_stream_rollup/q_stream_stateful at the very end, verified
-    green via tools/check_oracle.py at sf0.01 AND sf0.1 this round);
+    q_vrt/q_stream_rollup/q_stream_stateful/q_png_codec/q_fetch at the
+    very end, verified green via tools/check_oracle.py at sf0.01 AND
+    sf0.1 this round);
     the ones whose code r4 touched
     (q_minhash_lsh, q_simhash_pairs — persisted LSH frames; q_dos —
     NULL-safe clip; q_ann_topk is in-window) were re-verified green via
@@ -2494,6 +2548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_rollup": q_stream_rollup,
         "q_stream_stateful": q_stream_stateful,
         "q_png_codec": q_png_codec,
+        "q_fetch": q_fetch,
     }
 
 
@@ -4233,6 +4288,23 @@ SELECT doc_id,
        round((SELECT avg((k * 11 + 3 * doc_id) % 256) FROM range(189) t(k))
              / 255.0, 6) AS mean_intensity
 FROM documents WHERE doc_id % 5 = 2
+"""
+
+    # q_fetch: counts re-derived from the planted id classes and
+    # bytes_total from the SAME documents text the query staged as the
+    # 'remote' — a wrong copy, missed quarantine, or resume misfire on the
+    # fresh outdir all change a value here
+    o["q_fetch"] = """
+SELECT CAST(count(*) AS BIGINT) AS n_assets,
+       CAST(count(*) FILTER (WHERE doc_id % 20 NOT IN (7, 13)) AS BIGINT)
+         AS n_fetched,
+       CAST(0 AS BIGINT) AS n_skipped,
+       CAST(count(*) FILTER (WHERE doc_id % 20 = 7) AS BIGINT) AS n_corrupt,
+       CAST(count(*) FILTER (WHERE doc_id % 20 = 13) AS BIGINT) AS n_missing,
+       CAST(sum(CASE WHEN doc_id % 20 NOT IN (7, 13)
+                THEN coalesce(octet_length(CAST(text AS BLOB)), 0)
+                ELSE 0 END) AS BIGINT) AS bytes_total
+FROM documents WHERE doc_id < 40
 """
 
     # exact closed-form RMS: samples are the integers v = (k*13+doc_id)

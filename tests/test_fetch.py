@@ -1,0 +1,125 @@
+"""Distributed asset fetch (sources/fetch.py; reference
+GeoDownloads.download_gcp shape, util/web.py:341-520) — resume, verify,
+quarantine, wildcard search, offline scheme gate."""
+
+import hashlib
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from geowombat_spark.sources.fetch import (
+    fetch_assets,
+    fetch_report,
+    search_assets,
+)
+
+
+@pytest.fixture(scope="module")
+def remote_dir():
+    d = tempfile.mkdtemp(prefix="gw_remote_")
+    payloads = {}
+    for i in range(6):
+        name = f"scene_{i}_B{i % 3 + 1}.bin"
+        data = bytes([i]) * (100 + i)
+        with open(os.path.join(d, name), "wb") as f:
+            f.write(data)
+        payloads[name] = data
+    return d, payloads
+
+
+def _manifest(spark, remote_dir, names, payloads, with_sha=True):
+    rows = []
+    for n in names:
+        rows.append(
+            (
+                n,
+                "file://" + os.path.join(remote_dir, n),
+                len(payloads[n]),
+                hashlib.sha256(payloads[n]).hexdigest() if with_sha else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows, "asset_id string, uri string, size long, sha256 string"
+    )
+
+
+def test_fetch_verify_resume_quarantine(spark, remote_dir):
+    d, payloads = remote_dir
+    out = tempfile.mkdtemp(prefix="gw_fetched_")
+    names = sorted(payloads)
+    m = _manifest(spark, d, names, payloads)
+
+    st = {r["asset_id"]: r for r in fetch_assets(m, out).collect()}
+    assert all(r["status"] == "fetched" for r in st.values())
+    for n in names:  # bytes are byte-identical to the source
+        assert open(os.path.join(out, n), "rb").read() == payloads[n]
+
+    # rerun: everything resume-skips (exists + verifies)
+    st2 = {r["asset_id"]: r for r in fetch_assets(m, out).collect()}
+    assert all(r["status"] == "skipped" for r in st2.values())
+
+    # corrupt one local copy -> re-fetched (fails verify, re-copied)
+    with open(os.path.join(out, names[0]), "wb") as f:
+        f.write(b"garbage")
+    st3 = {r["asset_id"]: r for r in fetch_assets(m, out).collect()}
+    assert st3[names[0]]["status"] == "fetched"
+    assert open(os.path.join(out, names[0]), "rb").read() == payloads[names[0]]
+
+    # manifest checksum that no source can satisfy -> quarantined,
+    # nothing published at the destination path
+    bad = m.withColumn(
+        "sha256",
+        F.when(F.col("asset_id") == names[1], F.lit("0" * 64)).otherwise(
+            F.col("sha256")
+        ),
+    )
+    os.remove(os.path.join(out, names[1]))
+    st4 = {r["asset_id"]: r for r in fetch_assets(bad, out).collect()}
+    assert st4[names[1]]["status"] == "corrupt"
+    assert not os.path.exists(os.path.join(out, names[1]))
+    assert os.path.exists(os.path.join(out, names[1] + ".corrupt"))
+
+    # missing source reported, not raised (fresh asset_id so the
+    # resume-skip can't fire first)
+    ghost = spark.createDataFrame(
+        [("ghost.bin", "file://" + os.path.join(d, "nope.bin"), None, None)],
+        "asset_id string, uri string, size long, sha256 string",
+    )
+    assert fetch_assets(ghost, out).collect()[0]["status"] == "missing"
+
+    rep = fetch_report(fetch_assets(m, out)).collect()[0]
+    assert rep["n_assets"] == 6 and rep["n_corrupt"] == 0
+
+
+def test_search_assets_wildcards(spark, remote_dir):
+    d, payloads = remote_dir
+    m = _manifest(spark, d, sorted(payloads), payloads)
+    # download_gcp's search_wildcards semantics: '*' + wild on basename
+    got = {
+        r["asset_id"]
+        for r in search_assets(m, ["B1.bin"]).collect()
+    }
+    assert got == {n for n in payloads if n.endswith("B1.bin")}
+    both = {
+        r["asset_id"]
+        for r in search_assets(m, ["B1.bin", "B2.bin"]).collect()
+    }
+    assert both == {
+        n for n in payloads if n.endswith(("B1.bin", "B2.bin"))
+    }
+    # '?' maps to single-char match
+    q = {r["asset_id"] for r in search_assets(m, ["scene_?_B1.bin"]).collect()}
+    assert q == got
+
+
+def test_fetch_rejects_network_schemes(spark, remote_dir):
+    d, payloads = remote_dir
+    out = tempfile.mkdtemp(prefix="gw_fetched_")
+    m = spark.createDataFrame(
+        [("a", "https://example.invalid/x.bin", None, None)],
+        "asset_id string, uri string, size long, sha256 string",
+    )
+    with pytest.raises(Exception, match="scheme 'https' is not supported"):
+        fetch_assets(m, out).collect()
