@@ -2326,6 +2326,44 @@ def q_fetch(spark, sf_dir):
     return fx.fetch_report(status)
 
 
+def q_mask_s2(spark, sf_dir):
+    """Full mask_s2 chain (radiometry/mask.py:117-310 minus the external
+    LightGBM detector, which is pluggable): probability blocks → focal
+    mean (average_over) → threshold → focal max (dilation) → geometric
+    shadow projection at a constant solar vector (shift (+2, 0) by
+    construction: za = atan(2·cell/500), az = 0) → the reference's
+    4/2/255/0 recode precedence. The oracle mirrors every stage in SQL:
+    two partial-window self-joins for the focal stages, a shifted
+    anti-cloud join for shadows, and the planted fill class
+    (doc_id%499==0 → both bands 0 → 255)."""
+    import math
+
+    from geowombat_spark.functions import cloudmask as cm
+
+    fill = F.col("doc_id") % 499 == 0
+    d = grid_docs(spark, sf_dir).select(
+        "doc_id", "row", "col", "cell_id", "band_blue"
+    ).withColumns(
+        {
+            "prob": (
+                (F.expr("row div 4") + F.expr("col div 4")) % 5 == 0
+            ).cast("double"),
+            "solar_za": F.lit(math.atan(2.0 * CELL / 500.0)),
+            "solar_az": F.lit(0.0),
+            "band_swir2": F.when(fill, F.lit(0.0))
+            .when(F.col("row") % 8 >= 6, F.lit(10.0))
+            .otherwise(F.lit(60.0) + F.col("band_blue") % 40),
+            "band_green": F.when(fill, F.lit(0.0)).otherwise(F.lit(40.0)),
+        }
+    )
+    out = cm.mask_s2(
+        d, GRID, prob="prob", threshold=0.4, average_over=1,
+        dilation_size=1, cloud_heights=(500.0,), nodata=0.0,
+        nodata_bands=("band_swir2", "band_green"),
+    )
+    return out.select("doc_id", F.col("mask").cast("long").alias("mask"))
+
+
 def q_png_codec(spark, sf_dir):
     """REAL PNG decode parity (pipeline/multimodal.decode_png via
     decode_media): per doc, a genuine zlib-compressed 8-bit RGB PNG is
@@ -2426,7 +2464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     6 new r4 queries (q_focal_expand, q_ann_ivf_recall, q_ann_pq_recall,
     q_lsh_precision, q_cluster_assign, q_ml_score_audit). Queries 51+
     all hold green r3 rows (except the window-overflow r4 additions
-    q_vrt/q_stream_rollup/q_stream_stateful/q_png_codec/q_fetch at the
+    q_vrt/q_stream_rollup/q_stream_stateful/q_png_codec/q_fetch/q_mask_s2 at the
     very end, verified green via tools/check_oracle.py at sf0.01 AND
     sf0.1 this round);
     the ones whose code r4 touched
@@ -2549,6 +2587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_stateful": q_stream_stateful,
         "q_png_codec": q_png_codec,
         "q_fetch": q_fetch,
+        "q_mask_s2": q_mask_s2,
     }
 
 
@@ -4288,6 +4327,44 @@ SELECT doc_id,
        round((SELECT avg((k * 11 + 3 * doc_id) % 256) FROM range(189) t(k))
              / 255.0, 6) AS mean_intensity
 FROM documents WHERE doc_id % 5 = 2
+"""
+
+    # q_mask_s2: every stage of the cloud/shadow chain mirrored in SQL —
+    # partial-window mean and max as |Δ|<=1 self-joins, the constant
+    # solar vector's (+2, 0) shadow shift as a shifted join, the recode
+    # precedence as one CASE
+    o["q_mask_s2"] = f"""
+WITH {G_SQL},
+d AS (
+  SELECT doc_id, row, col,
+    CASE WHEN (row // 4 + col // 4) % 5 = 0 THEN 1.0 ELSE 0.0 END AS prob,
+    CASE WHEN doc_id % 499 = 0 THEN 0.0
+         WHEN row % 8 >= 6 THEN 10.0
+         ELSE 60 + band_blue % 40 END AS s2x,
+    CASE WHEN doc_id % 499 = 0 THEN 0.0 ELSE 40.0 END AS grn
+  FROM g),
+avgp AS (
+  SELECT a.doc_id, a.row, a.col, avg(b.prob) AS pavg
+  FROM d a JOIN d b ON abs(a.row - b.row) <= 1 AND abs(a.col - b.col) <= 1
+  GROUP BY a.doc_id, a.row, a.col),
+cl AS (
+  SELECT doc_id, row, col,
+         CASE WHEN pavg >= 0.4 THEN 1 ELSE 0 END AS cl
+  FROM avgp),
+dil AS (
+  SELECT a.doc_id, a.row, a.col, max(b.cl) AS cloud
+  FROM cl a JOIN cl b ON abs(a.row - b.row) <= 1 AND abs(a.col - b.col) <= 1
+  GROUP BY a.doc_id, a.row, a.col),
+pot AS (SELECT DISTINCT row + 2 AS row, col FROM dil WHERE cloud = 1)
+SELECT d.doc_id,
+  CAST(CASE WHEN dil.cloud = 1 THEN 4
+            WHEN p.row IS NOT NULL AND d.s2x <> 0 AND d.grn <> 0
+                 AND least(greatest((d.grn - d.s2x) / (d.grn + d.s2x),
+                                    -1.0), 1.0) >= 0.1 THEN 2
+            WHEN d.doc_id % 499 = 0 THEN 255
+            ELSE 0 END AS BIGINT) AS mask
+FROM d JOIN dil ON d.doc_id = dil.doc_id
+LEFT JOIN pot p ON p.row = d.row AND p.col = d.col
 """
 
     # q_fetch: counts re-derived from the planted id classes and

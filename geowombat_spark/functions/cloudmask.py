@@ -105,3 +105,96 @@ def estimate_shadows(
         .cast("int"),
     )
     return d.drop("_pot", "_dark")
+
+
+def mask_s2(
+    docs: DataFrame,
+    grid: GridSpec,
+    prob,
+    threshold: float = 0.4,
+    average_over: int = 4,
+    dilation_size: int = 5,
+    solar_za: str = "solar_za",
+    solar_az: str = "solar_az",
+    swir2: str = "band_swir2",
+    green: str = "band_green",
+    cloud_heights: tuple[float, ...] = (500.0, 1000.0, 1500.0),
+    nodata: float | None = None,
+    nodata_bands: tuple[str, ...] = (),
+    keep: tuple[str, ...] = ("doc_id",),
+    out: str = "mask",
+) -> DataFrame:
+    """``CloudShadowMasker.mask_s2`` (``mask.py:117-310``) minus the
+    external model: probability → spatial average → threshold → dilate →
+    shadow projection → {0 clear, 2 shadow, 4 cloud, 255 fill} recode.
+
+    The s2cloudless *detector* is an externally trained LightGBM model
+    (out of scope, like the reference's optional dependency); ``prob`` is
+    therefore pluggable — any per-pixel cloud-probability Column (a
+    trained :mod:`geowombat_spark.ml` model's probability, a QA-derived
+    score, or a product band). Everything AROUND the model is the
+    reference chain, re-expressed on the engine's own kernels:
+
+    - ``average_over`` → focal **mean** of the probability over a
+      ``(2k+1)²`` window (s2cloudless's convolution smoothing;
+      DOCUMENTED DEVIATION: square window, the reference's dependency
+      uses a disk — same radius, corners included);
+    - ``threshold`` → binary cloud;
+    - ``dilation_size`` → focal **max** of the binary mask (morphological
+      dilation, same square-vs-disk note);
+    - shadows → :func:`estimate_shadows` (``mask.py:22-114``), the
+      geometric projection along the solar vector;
+    - recode ``cloud→4, shadow→2, max(bands)==nodata→255, else 0``
+      (``mask.py:278-290``) with cloud taking precedence, exactly the
+      reference's nested ``xr.where`` order.
+
+    Plan shape: two halo-exchange shuffles (the two focal kernels — the
+    same single-exchange kernel every ``gw.moving`` stat uses) + the
+    shadow stage's tiny scalar agg + broadcast join. ``keep`` columns
+    ride through the kernels so no corpus-wide re-join is needed.
+    """
+    d = docs.withColumn("_p", prob if not isinstance(prob, str) else F.col(prob))
+    ride = tuple(
+        dict.fromkeys(
+            tuple(keep)
+            + (solar_za, solar_az, swir2, green)
+            + tuple(nodata_bands)
+        )
+    )
+    from ..operators.focal import moving
+
+    # nodata=None in BOTH kernels: 0 is a real value for a probability
+    # and for the binary mask (the default nodata=0.0 would null it)
+    avg = moving(
+        d, grid, stat="mean", w=2 * average_over + 1, band="_p",
+        nodata=None, keep=ride, out="_pavg",
+    )
+    cl = avg.withColumn(
+        "_cl", (F.col("_pavg") >= F.lit(float(threshold))).cast("double")
+    )
+    dil = moving(
+        cl, grid, stat="max", w=2 * dilation_size + 1, band="_cl",
+        nodata=None, keep=ride, out="_cdil",
+    )
+    cloudf = dil.withColumn("cloud", (F.col("_cdil") >= 0.5).cast("int"))
+    sh = estimate_shadows(
+        cloudf, grid, cloud="cloud", solar_za=solar_za, solar_az=solar_az,
+        swir2=swir2, green=green, cloud_heights=cloud_heights,
+        nodata=nodata, out="_shadow",
+    )
+    fill = F.lit(False)
+    if nodata is not None and nodata_bands:
+        fill = F.greatest(
+            *[F.col(b) for b in nodata_bands]
+        ) == F.lit(float(nodata))
+    return (
+        sh.withColumn(
+            out,
+            F.when(F.col("cloud") == 1, F.lit(4))
+            .when(F.col("_shadow") == 1, F.lit(2))
+            .when(fill, F.lit(255))
+            .otherwise(F.lit(0))
+            .cast("int"),
+        )
+        .drop("_p", "_pavg", "_cl", "_cdil", "_shadow", "cloud")
+    )

@@ -103,3 +103,84 @@ def test_estimate_shadows_shuffle_join_path(spark, cloud_docs):
         .sort_values(["row", "col"])["shadow"].values
     )
     np.testing.assert_array_equal(a, b)
+
+
+def test_mask_s2_matches_numpy_chain(spark):
+    """mask_s2 (mask.py:117-310 shape) vs an independent numpy mirror of
+    the full chain: partial-window mean of the probability, threshold,
+    partial-window max dilation, geometric shadow projection, and the
+    reference's recode precedence (cloud=4 > shadow=2 > fill=255 > 0)."""
+    from geowombat_spark.functions.cloudmask import mask_s2
+
+    N = 16
+    G = GridSpec(
+        left=0.0, top=480.0, cellx=30.0, celly=30.0,
+        nrows=N, ncols=N, tile_rows=8, tile_cols=8,
+    )
+    rr, cc = np.meshgrid(np.arange(N), np.arange(N), indexing="ij")
+    rr, cc = rr.ravel(), cc.ravel()
+    prob = ((rr >= 2) & (rr <= 4) & (cc >= 2) & (cc <= 4)).astype(float)
+    # za chosen so tan(za)*500/30 rounds to 2; az=0 -> shift (y=+2, x=0)
+    za = np.full(rr.shape, np.arctan(2.0 * 30.0 / 500.0))
+    az = np.zeros(rr.shape)
+    swir2 = ((rr * 3 + cc * 5) % 40 + 60).astype(np.float64)
+    # rows >= 6 are "dark" (swir2 << green) so the +2-shifted shadow of
+    # the dilated cloud block (rows 1-5 -> landing rows 6-7) registers
+    swir2[rr >= 6] = 10.0
+    green = np.full(rr.shape, 40.0)
+    # fill cell far from the cloud/shadow action
+    fill_mask = (rr == 15) & (cc == 15)
+    swir2[fill_mask] = 0.0
+    green[fill_mask] = 0.0
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(N * N, dtype=np.int64),
+            "row": rr, "col": cc, "cell_id": zorder_encode(rr, cc),
+            "prob": prob, "solar_za": za, "solar_az": az,
+            "band_swir2": swir2, "band_green": green,
+        }
+    )
+    docs = spark.createDataFrame(pdf).repartition(4)
+
+    got = {
+        int(r["doc_id"]): int(r["mask"])
+        for r in mask_s2(
+            docs, G, prob="prob", threshold=0.4, average_over=1,
+            dilation_size=1, cloud_heights=(500.0,), nodata=0.0,
+            nodata_bands=("band_swir2", "band_green"),
+        ).collect()
+    }
+    assert len(got) == N * N
+
+    # numpy mirror (partial windows at borders, like every focal oracle)
+    P = prob.reshape(N, N)
+    avg = np.zeros((N, N))
+    for r in range(N):
+        for c in range(N):
+            w = P[max(r - 1, 0):r + 2, max(c - 1, 0):c + 2]
+            avg[r, c] = w.mean()
+    cl = (avg >= 0.4).astype(float)
+    dil = np.zeros((N, N))
+    for r in range(N):
+        for c in range(N):
+            dil[r, c] = cl[max(r - 1, 0):r + 2, max(c - 1, 0):c + 2].max()
+    cloud = dil >= 0.5
+    pot = np.zeros((N, N), bool)
+    ys, xs = np.nonzero(cloud)
+    for y, x in zip(ys + 2, xs):  # shift (2, 0)
+        if 0 <= y < N:
+            pot[y, x] = True
+    g2 = green.reshape(N, N).copy()
+    s2 = swir2.reshape(N, N).copy()
+    with np.errstate(invalid="ignore", divide="ignore"):
+        dark = np.clip((g2 - s2) / (g2 + s2), -1, 1)
+    dark[(g2 == 0) | (s2 == 0)] = np.nan  # nodata=0 nulls the inputs
+    shadow = pot & ~cloud & (dark >= 0.1)
+    fill = (np.maximum(g2, s2) == 0.0)
+    want = np.where(cloud, 4, np.where(shadow, 2, np.where(fill, 255, 0)))
+    for d in range(N * N):
+        r, c = divmod(d, N)
+        assert got[d] == want[r, c], (r, c, got[d], want[r, c])
+    # sanity: the planted block produced all four classes
+    vals = set(got.values())
+    assert vals == {0, 2, 4, 255}, vals
