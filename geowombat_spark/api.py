@@ -23,7 +23,8 @@ from .config import config  # noqa: F401  (gw.config.update analogue)
 from .crs import lonlat_to_utm, reproject_points, utm_to_lonlat  # noqa: F401
 from .functions.nodata import band_mask, mask_nodata, set_nodata  # noqa: F401
 from .functions.brdf import norm_brdf  # noqa: F401
-from .functions.cloudmask import estimate_shadows  # noqa: F401
+from .functions.cloudmask import estimate_shadows, mask_s2  # noqa: F401
+from .sources.fetch import fetch_assets, fetch_report, search_assets  # noqa: F401
 from .functions.radiometry import (  # noqa: F401
     bandpass,
     bandpass_to,
