@@ -176,7 +176,16 @@ def mask_s2(
         cl, grid, stat="max", w=2 * dilation_size + 1, band="_cl",
         nodata=None, keep=ride, out="_cdil",
     )
-    cloudf = dil.withColumn("cloud", (F.col("_cdil") >= 0.5).cast("int"))
+    # estimate_shadows consumes this frame THREE ways — the eager
+    # scalar-shift aggregate, the cloud-cells broadcast build side, and
+    # the main output — and each would re-execute the two halo-exchange
+    # kernels above. One bounded persist caps the chain at a single
+    # materialization (same fix class as the LSH signature frames).
+    from ..cache import bounded_persist
+
+    cloudf = bounded_persist(
+        dil.withColumn("cloud", (F.col("_cdil") >= 0.5).cast("int"))
+    )
     sh = estimate_shadows(
         cloudf, grid, cloud="cloud", solar_za=solar_za, solar_az=solar_az,
         swir2=swir2, green=green, cloud_heights=cloud_heights,
