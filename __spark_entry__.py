@@ -2323,7 +2323,13 @@ def q_fetch(spark, sf_dir):
         manifest, "asset_id string, uri string, size long, sha256 string"
     )
     status = fx.fetch_assets(m, outdir, n_partitions=8)
-    return fx.fetch_report(status)
+    # pin the rerun-stable columns: a Spark task retry flips fetched →
+    # skipped for already-published assets (identical bytes), so the
+    # oracle asserts n_ok = fetched+skipped rather than the split
+    return fx.fetch_report(status).select(
+        "n_assets", "n_ok", "n_corrupt", "n_missing", "n_error",
+        "bytes_total",
+    )
 
 
 def q_mask_s2(spark, sf_dir):
@@ -4374,10 +4380,10 @@ LEFT JOIN pot p ON p.row = d.row AND p.col = d.col
     o["q_fetch"] = """
 SELECT CAST(count(*) AS BIGINT) AS n_assets,
        CAST(count(*) FILTER (WHERE doc_id % 20 NOT IN (7, 13)) AS BIGINT)
-         AS n_fetched,
-       CAST(0 AS BIGINT) AS n_skipped,
+         AS n_ok,
        CAST(count(*) FILTER (WHERE doc_id % 20 = 7) AS BIGINT) AS n_corrupt,
        CAST(count(*) FILTER (WHERE doc_id % 20 = 13) AS BIGINT) AS n_missing,
+       CAST(0 AS BIGINT) AS n_error,
        CAST(sum(CASE WHEN doc_id % 20 NOT IN (7, 13)
                 THEN coalesce(octet_length(CAST(text AS BLOB)), 0)
                 ELSE 0 END) AS BIGINT) AS bytes_total

@@ -23,7 +23,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import DEFAULT_MAX_BUCKET, capped_bucket_frame
+from .dedup import (  # noqa: F401  (round6 re-exported: cosine numerics)
+    DEFAULT_MAX_BUCKET,
+    capped_bucket_frame,
+    round6,
+)
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -90,7 +94,7 @@ def brute_force_topk(
         ids, qm = bq.value
         for pdf in it:
             c = _normalize(list(pdf[vec_col]))
-            sims = np.round(qm @ c.T, 6)  # (nq, batch)
+            sims = round6(qm @ c.T)  # (nq, batch)
             cids = pdf[id_col].values.astype(np.int64)
             take = min(k, sims.shape[1])
             # Tie-SAFE *and bounded* local top-k per query: order each
@@ -366,7 +370,7 @@ def ivf_topk(
                 mask = np.isin(cl, pr[qi])
                 if not mask.any():
                     continue
-                sims = np.round(qm[qi] @ c[mask].T, 6)
+                sims = round6(qm[qi] @ c[mask].T)
                 take = min(k, sims.shape[0])
                 # tie-safe bounded local top-k (see brute_force_topk.
                 # _score): same (cosine desc, vec_id asc) total order as
@@ -561,7 +565,7 @@ def pq_topk(
             c = _normalize(list(pdf[vec_col]))
             qi = pdf["query_id"].values.astype(np.int64)
             rowsel = np.array([pos[int(q)] for q in qi])
-            cos = np.round((qm[rowsel] * c).sum(axis=1), 6)
+            cos = round6((qm[rowsel] * c).sum(axis=1))
             yield pd.DataFrame(
                 {
                     "query_id": qi,
@@ -611,7 +615,7 @@ def cluster_embeddings(
             cl = np.argmax(sims, axis=1)
             out = pdf[[id_col]].copy()
             out["cluster"] = cl.astype(np.int32)
-            out["centroid_sim"] = np.round(sims[np.arange(len(cl)), cl], 6)
+            out["centroid_sim"] = round6(sims[np.arange(len(cl)), cl])
             yield out
 
     assigned = df.select(id_col, vec_col).mapInPandas(

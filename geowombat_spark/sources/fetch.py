@@ -85,16 +85,23 @@ def search_assets(manifest: DataFrame, wildcards: list[str]) -> DataFrame:
     """Filter a manifest by filename wildcards — the
     ``search_wildcards`` semantics of ``download_gcp``
     (``web.py:404-410``: ``fnmatch.filter(list, '*' + wild)``), expressed
-    as a pushdown-friendly Column predicate (anchored-suffix fnmatch
-    translates to ``LIKE``, so Catalyst can prune at the manifest scan)."""
+    as a pushdown-friendly Column predicate. Plain ``*``/``?`` wildcards
+    translate to ``LIKE`` (so Catalyst can prune at the manifest scan);
+    a wildcard using fnmatch character classes (``[seq]``/``[!seq]``)
+    falls back to ``rlike`` over ``fnmatch.translate`` — full fnmatch
+    semantics either way."""
     base = F.element_at(F.split(F.col("uri"), "/"), -1)
     conds = None
     for w in wildcards:
-        like = (
-            "%" + w.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
-            .replace("*", "%").replace("?", "_")
-        )
-        c = base.like(like)
+        if "[" in w:
+            c = base.rlike(fnmatch.translate("*" + w))
+        else:
+            like = (
+                "%"
+                + w.replace("\\", "\\\\").replace("%", "\\%")
+                .replace("_", "\\_").replace("*", "%").replace("?", "_")
+            )
+            c = base.like(like)
         conds = c if conds is None else (conds | c)
     return manifest.filter(conds) if conds is not None else manifest
 
@@ -109,10 +116,24 @@ def fetch_assets(
     frame (``asset_id, dest, status, bytes, error``).
 
     ``manifest`` columns: ``asset_id`` (string, becomes the local file
-    name), ``uri`` (source), optional ``size`` (long) and ``sha256``
-    (string) for verification. ``status`` per row: ``fetched`` |
-    ``skipped`` (resume hit) | ``corrupt`` (quarantined) | ``missing``
-    (source absent).
+    name — must be a bare name, no path separators), ``uri`` (source),
+    optional ``size`` (long) and ``sha256`` (string) for verification.
+    ``status`` per row: ``fetched`` | ``skipped`` (resume hit) |
+    ``corrupt`` (quarantined) | ``missing`` (source absent) | ``error``
+    (LOCAL failure — disk full, permissions, bad asset_id; the source is
+    not implicated and any partial temp file is cleaned up).
+
+    A pre-existing destination that fails its manifest checksum is
+    quarantined to ``<dest>.corrupt`` BEFORE the re-fetch is attempted,
+    so a stale or tampered file can never stay published when the fresh
+    copy also fails — the published path only ever holds bytes that
+    verified against the current manifest.
+
+    Statuses are rerun-sensitive by design: a retried task (or a second
+    run) reports already-published assets as ``skipped`` rather than
+    ``fetched`` — the bytes on disk are identical either way, so durable
+    assertions should pin ``n_fetched + n_skipped`` (``fetch_report``'s
+    ``n_ok``), not the split.
 
     One ``mapInPandas`` stage over manifest partitions — each task copies
     its slice of assets; with ``n_partitions`` (default: leave the
@@ -143,17 +164,37 @@ def fetch_assets(
             ):
                 size = None if pd.isna(size) else int(size)
                 sha = None if sha is None or pd.isna(sha) else str(sha)
-                dest = os.path.join(outdir, str(asset_id))
+                aid = str(asset_id)
                 rec = dict(
-                    asset_id=str(asset_id),
-                    dest=dest,
+                    asset_id=aid,
+                    dest=os.path.join(outdir, aid),
                     status="fetched",
                     bytes=0,
                     error=None,
                 )
+                # asset_id is a file NAME, never a path: a separator or
+                # '..' would write outside outdir (or fail and blame the
+                # source) — reject in-row, don't raise the whole task
+                if os.path.basename(aid) != aid or aid in ("", ".", ".."):
+                    rec.update(
+                        status="error",
+                        error="asset_id must be a bare file name",
+                    )
+                    out.append(rec)
+                    continue
+                dest = rec["dest"]
+                tmp = dest + ".inprogress"
                 try:
                     src = _local_path(str(uri))
-                    if resume and _verifies(dest, size, sha):
+                    if os.path.exists(dest) and not _verifies(
+                        dest, size, sha
+                    ):
+                        # quarantine the stale/tampered published copy
+                        # FIRST: if the re-fetch below also fails, the
+                        # published path must not keep serving bytes that
+                        # fail the current manifest
+                        shutil.move(dest, dest + ".corrupt")
+                    elif resume and os.path.exists(dest):
                         rec.update(
                             status="skipped", bytes=os.path.getsize(dest)
                         )
@@ -163,7 +204,6 @@ def fetch_assets(
                         rec.update(status="missing", error="source not found")
                         out.append(rec)
                         continue
-                    tmp = dest + ".inprogress"
                     shutil.copyfile(src, tmp)
                     if not _verifies(tmp, size, sha):
                         # quarantine, never publish a bad asset
@@ -179,7 +219,14 @@ def fetch_assets(
                 except NotImplementedError as e:
                     raise e
                 except OSError as e:
-                    rec.update(status="missing", error=str(e)[:200])
+                    # a LOCAL failure (disk full, permissions): the source
+                    # is not implicated — distinct status, temp cleaned up
+                    try:
+                        if os.path.exists(tmp):
+                            os.remove(tmp)
+                    except OSError:
+                        pass
+                    rec.update(status="error", error=str(e)[:200])
                 out.append(rec)
             yield pd.DataFrame(
                 out,
@@ -190,12 +237,21 @@ def fetch_assets(
 
 
 def fetch_report(status: DataFrame) -> DataFrame:
-    """One-row rollup of a fetch status frame (counts + bytes moved)."""
+    """One-row rollup of a fetch status frame (counts + bytes moved).
+
+    ``n_ok = n_fetched + n_skipped`` is the rerun-stable count: a Spark
+    task retry or a second action on the same frame flips fetched →
+    skipped for already-published assets (the bytes are identical), so
+    durable assertions should pin ``n_ok``, not the split."""
     return status.agg(
         F.count(F.lit(1)).alias("n_assets"),
+        F.sum(
+            F.col("status").isin("fetched", "skipped").cast("long")
+        ).alias("n_ok"),
         F.sum((F.col("status") == "fetched").cast("long")).alias("n_fetched"),
         F.sum((F.col("status") == "skipped").cast("long")).alias("n_skipped"),
         F.sum((F.col("status") == "corrupt").cast("long")).alias("n_corrupt"),
         F.sum((F.col("status") == "missing").cast("long")).alias("n_missing"),
+        F.sum((F.col("status") == "error").cast("long")).alias("n_error"),
         F.sum(F.col("bytes")).alias("bytes_total"),
     )

@@ -123,3 +123,50 @@ def test_fetch_rejects_network_schemes(spark, remote_dir):
     )
     with pytest.raises(Exception, match="scheme 'https' is not supported"):
         fetch_assets(m, out).collect()
+
+
+def test_stale_dest_quarantined_even_when_refetch_fails(spark, remote_dir):
+    """A published file that fails the CURRENT manifest checksum must not
+    stay at the published path when the re-fetch cannot replace it — the
+    stale copy is quarantined first (contract: the published path only
+    ever holds bytes that verified against the current manifest)."""
+    d, payloads = remote_dir
+    out = tempfile.mkdtemp(prefix="gw_fetched_")
+    name = sorted(payloads)[0]
+    # publish a stale file at dest, point the manifest at an ABSENT source
+    with open(os.path.join(out, name), "wb") as f:
+        f.write(b"stale bytes")
+    m = spark.createDataFrame(
+        [(name, "file://" + os.path.join(d, "gone.bin"), len(payloads[name]),
+          hashlib.sha256(payloads[name]).hexdigest())],
+        "asset_id string, uri string, size long, sha256 string",
+    )
+    st = fetch_assets(m, out).collect()[0]
+    assert st["status"] == "missing"
+    assert not os.path.exists(os.path.join(out, name))
+    assert os.path.exists(os.path.join(out, name + ".corrupt"))
+
+
+def test_bad_asset_id_is_error_not_escape(spark, remote_dir):
+    d, payloads = remote_dir
+    out = tempfile.mkdtemp(prefix="gw_fetched_")
+    name = sorted(payloads)[0]
+    m = spark.createDataFrame(
+        [("../evil.bin", "file://" + os.path.join(d, name), None, None),
+         ("sub/dir.bin", "file://" + os.path.join(d, name), None, None)],
+        "asset_id string, uri string, size long, sha256 string",
+    )
+    st = {r["asset_id"]: r for r in fetch_assets(m, out).collect()}
+    assert all(r["status"] == "error" for r in st.values()), st
+    assert not os.path.exists(os.path.join(out, "..", "evil.bin"))
+    rep = fetch_report(fetch_assets(m, out)).collect()[0]
+    assert rep["n_error"] == 2 and rep["n_ok"] == 0
+
+
+def test_search_assets_character_classes(spark, remote_dir):
+    d, payloads = remote_dir
+    m = _manifest(spark, d, sorted(payloads), payloads)
+    got = {r["asset_id"] for r in search_assets(m, ["B[12].bin"]).collect()}
+    assert got == {n for n in payloads if n.endswith(("B1.bin", "B2.bin"))}
+    neg = {r["asset_id"] for r in search_assets(m, ["B[!1].bin"]).collect()}
+    assert neg == {n for n in payloads if not n.endswith("B1.bin")}
