@@ -423,3 +423,34 @@ def test_dedup_against_matches_set_semantics(spark, corpus_texts, batch_texts):
         in_c = norm(t) in corpus_set
         surv = first[norm(t)] == i
         assert got[i] == (in_c, surv, (not in_c) and surv), (i, t)
+
+
+@given(seed=st.integers(0, 10_000))
+@settings(max_examples=40, deadline=None)
+def test_round6_matches_duckdb_round(seed):
+    """round6 (the shared numpy cosine rounding) must agree with DuckDB's
+    round() — the oracle's — on random doubles INCLUDING values planted
+    near 6-dp half boundaries; np.round (half-to-even) provably does not,
+    which was the residual cross-engine flake window in the pair paths."""
+    import duckdb
+
+    from geowombat_spark.pipeline.dedup import round6
+
+    rng = np.random.default_rng(seed)
+    vals = np.concatenate(
+        [
+            rng.uniform(-1, 1, 50),
+            # values AT binary-representable neighborhoods of x.xxxxx5
+            (np.floor(rng.uniform(-1, 1, 50) * 1e6) + 0.5) / 1e6,
+        ]
+    )
+    got = round6(vals)
+    con = duckdb.connect()
+    want = np.array(
+        [con.sql(f"SELECT round({v!r}::DOUBLE, 6)").fetchone()[0] for v in vals]
+    )
+    assert np.array_equal(got, want), (
+        vals[got != want][:3],
+        got[got != want][:3],
+        want[got != want][:3],
+    )
