@@ -23,12 +23,18 @@ so a document flagged by the stream matches the batch
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..pipeline.dedup import band_hash_structs, minhash_sig_cols, norm_text
+from ..pipeline.dedup import (
+    DEFAULT_MAX_BUCKET,
+    band_hash_structs,
+    minhash_sig_cols,
+    norm_text,
+)
 
 
 def content_key(text_col: str = "text") -> F.Column:
@@ -64,10 +70,19 @@ def stream_exact_dedup(
     ts_col: str = "event_ts",
     watermark: str = "10 minutes",
 ) -> DataFrame:
-    """Watermarked streaming exact dedup: the first document with a given
-    content hash passes; later copies within the watermark horizon are
-    dropped. State is evicted as the watermark advances — bounded memory,
-    the streaming form of the one-shuffle batch groupBy."""
+    """Watermarked streaming exact dedup: ONE document per content hash
+    passes within the watermark horizon; later copies are dropped. State
+    is evicted as the watermark advances — bounded memory, the streaming
+    form of the one-shuffle batch groupBy.
+
+    Survivor identity: ``dropDuplicatesWithinWatermark`` keeps an
+    ARBITRARY row among same-key rows of a micro-batch (whichever reaches
+    the state store first after the keyed shuffle) — NOT necessarily the
+    min doc id the batch path's ``exact_dedup`` picks. Parity with the
+    batch path is therefore on the surviving KEY SET (exactly one row per
+    distinct content hash — what q_stream_dedup pins against a batch
+    DISTINCT), not on which physical copy carries it; route survivors by
+    key, not by id, when mixing batch and stream outputs."""
     keyed = stream.withColumn("dup_key", content_key(text_col))
     return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["dup_key"]
@@ -86,9 +101,10 @@ def stream_dedup_against(
     ``dedup_against``, for continuous ingestion into an already-deduped
     corpus.
 
-    Within-stream first occurrence survives via
-    ``dropDuplicatesWithinWatermark`` on the content key (bounded state,
-    exactly :func:`stream_exact_dedup`); corpus membership then comes from
+    Within-stream survivor selection IS :func:`stream_exact_dedup`
+    (called, not re-implemented — one row per content key within the
+    watermark horizon; see its docstring for the arbitrary-survivor
+    caveat); corpus membership then comes from
     a **stream-static left join** — Spark joins each micro-batch against
     the static index as an ordinary batch relation (broadcast-able when
     small, bucketed on ``dup_key`` at corpus scale), no streaming state.
@@ -96,10 +112,7 @@ def stream_dedup_against(
     (NULL = novel), ``in_corpus`` and ``kept = NOT in_corpus`` — stream
     copies of corpus docs flow through flagged, so the sink can route
     keeps and drops without a second pass."""
-    keyed = stream.withColumn("dup_key", content_key(text_col))
-    surv = keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-        ["dup_key"]
-    )
+    surv = stream_exact_dedup(stream, text_col, ts_col, watermark)
     idx = index.select(
         "dup_key", F.col("owner_id").alias("corpus_owner")
     )
@@ -113,34 +126,70 @@ def stream_dedup_against(
 
 
 _FLAG_SCHEMA = "doc_id bigint, band_idx int, band_hash string, seen_min bigint"
-_STATE_SCHEMA = "min_doc bigint"
+_STATE_SCHEMA = "min_doc bigint, n bigint"
+
+#: seen_min sentinel: bucket exceeded the skew cap — membership was NOT
+#: evaluated (the batch path drops such buckets entirely; see
+#: pipeline/dedup.DEFAULT_MAX_BUCKET).
+BUCKET_OVERFLOW = -2
 
 
-def _update_bucket(key, pdfs, state: GroupState):
-    if state.hasTimedOut:
-        state.remove()
-    else:
-        min_doc = state.get[0] if state.exists else None
-        rows = []
-        for pdf in pdfs:
-            for doc_id in sorted(int(d) for d in pdf["doc_id"]):
-                rows.append(
-                    {
-                        "doc_id": doc_id,
-                        "band_idx": int(key[0]),
-                        "band_hash": str(key[1]),
-                        # min doc previously holding the bucket (-1 = fresh)
-                        "seen_min": min_doc if min_doc is not None else -1,
-                    }
+def _make_update_bucket(max_bucket_size: int | None, timeout_ms: int):
+    def _update_bucket(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        min_doc, n_seen = state.get if state.exists else (None, 0)
+        if min_doc is not None and min_doc < 0:
+            min_doc = None  # -1 = stored "no occupant yet" sentinel
+        # Drain EVERY Arrow chunk before sorting: chunk boundaries are a
+        # transport artifact (arrow batch size, upstream slicing), and a
+        # per-chunk sort would make seen_min depend on which chunk a doc
+        # landed in — nondeterministic across replays. One concat + one
+        # sort gives the same min-id-first fold the batch path uses.
+        parts = [pdf["doc_id"].to_numpy(dtype="int64") for pdf in pdfs]
+        ids = np.sort(np.concatenate(parts)) if parts else np.array([], "int64")
+        m = len(ids)
+        seen = np.empty(m, dtype="int64")
+        if m:
+            # seen_min[i] = min(state, ids[:i]) — a shifted prefix-min,
+            # vectorized (the per-row dict loop was O(rows) interpreter
+            # work per bucket per trigger)
+            prefix = np.minimum.accumulate(ids)
+            seen[0] = -1 if min_doc is None else min_doc
+            if m > 1:
+                before = prefix[: m - 1]
+                seen[1:] = (
+                    before if min_doc is None else np.minimum(before, min_doc)
                 )
-                min_doc = doc_id if min_doc is None else min(min_doc, doc_id)
-        state.update((int(min_doc),))
-        state.setTimeoutDuration(3600 * 1000)
-        yield pd.DataFrame(rows)
+            new_min = int(prefix[-1] if min_doc is None else min(min_doc, prefix[-1]))
+        else:
+            new_min = min_doc if min_doc is not None else -1
+        if max_bucket_size is not None and n_seen + m > max_bucket_size:
+            # skew guard, mirroring the batch cap semantics: an over-cap
+            # bucket (boilerplate/empty text) emits no membership claims —
+            # every row this trigger gets the explicit OVERFLOW marker
+            # rather than a false "fresh"/"seen" verdict, and the batch
+            # path would have dropped the bucket's candidates entirely
+            seen[:] = BUCKET_OVERFLOW
+        state.update((int(new_min) if new_min != -1 else -1, int(n_seen + m)))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "band_idx": np.full(m, int(key[0]), dtype="int64"),
+                "band_hash": str(key[1]),
+                "seen_min": seen,
+            }
+        )
+
+    return _update_bucket
 
 
 def stream_lsh_neardup_flags(
     banded: DataFrame,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    timeout_ms: int = 3600 * 1000,
 ) -> DataFrame:
     """Stateful LSH-bucket membership: input is a stream of
     (doc_id, band_idx, band_hash) rows (the streaming side computes band
@@ -149,12 +198,19 @@ def stream_lsh_neardup_flags(
     the bucket (−1 = bucket was fresh). A doc whose every band emitted
     ``seen_min != -1`` is a near-dup candidate against those prior docs.
 
-    State per bucket is one bigint; idle buckets are evicted by a
-    processing-time timeout — the state store stays proportional to the
-    live bucket set, never the stream length.
+    ``max_bucket_size`` is the same skew guard the batch path defaults ON
+    (one boilerplate bucket would otherwise funnel every trigger into a
+    single state key): once a bucket's cumulative membership exceeds the
+    cap, its rows carry ``seen_min = BUCKET_OVERFLOW`` (−2, "not
+    evaluated") — matching the batch path, which emits NO candidates for
+    over-cap buckets. Pass ``None`` to opt out.
+
+    State per bucket is (min id, count); idle buckets are evicted by a
+    processing-time timeout (``timeout_ms``) — the state store stays
+    proportional to the live bucket set, never the stream length.
     """
     return banded.groupBy("band_idx", "band_hash").applyInPandasWithState(
-        _update_bucket,
+        _make_update_bucket(max_bucket_size, timeout_ms),
         _FLAG_SCHEMA,
         _STATE_SCHEMA,
         "append",

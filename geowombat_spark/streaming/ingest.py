@@ -81,19 +81,27 @@ def tile_rollup(
 
 
 def write_stream_tiled(
-    encoded: DataFrame, out_path: str, checkpoint_path: str
+    encoded: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    trigger: dict | None = None,
 ):
     """Append the encoded stream into the tile-partitioned corpus layout.
 
     The streaming checkpoint (WAL + file-sink manifest) provides the
     exactly-once guarantee the batch path gets from plans/checkpoint.py.
+
+    ``trigger`` passes through to ``DataStreamWriter.trigger`` — default
+    ``{"availableNow": True}`` (drain what exists, then stop: the batch-
+    backfill shape the tests use). A continuously running ingest passes
+    e.g. ``{"processingTime": "30 seconds"}``.
     """
     return (
         encoded.writeStream.format("parquet")
         .option("path", out_path)
         .option("checkpointLocation", checkpoint_path)
         .partitionBy("tile_id")
-        .trigger(availableNow=True)
+        .trigger(**(trigger if trigger is not None else {"availableNow": True}))
         .start()
     )
 
@@ -108,18 +116,24 @@ def _update_tile_state(key, pdfs, state: GroupState):
     excluded from BOTH n and total (pandas ``sum`` already skips NaN; the
     count must match), so the running mean agrees with ``F.avg`` on the
     same rows — an all-null tile reports mean NULL, not 0.0."""
+    from ..pipeline.dedup import round6
+
     n, total = state.get if state.exists else (0, 0.0)
     for pdf in pdfs:
         n += int(pdf["value"].notna().sum())
         total += float(pdf["value"].sum())
     state.update((n, total))
+    # round6, NOT builtin round: builtin rounds half-to-even, while the
+    # JVM F.round in tile_rollup and the DuckDB oracle both round half
+    # away from zero — a total landing on a 6-dp half boundary would
+    # break the pinned cross-engine parity
     yield pd.DataFrame(
         {
             "tile_id": [key[0]],
             "n": [n],
-            "total": [round(total, 6)],
+            "total": [float(round6(total))],
             "mean": pd.array(
-                [round(total / n, 6) if n else None], dtype="Float64"
+                [float(round6(total / n)) if n else None], dtype="Float64"
             ),
         }
     )

@@ -320,3 +320,38 @@ def test_stream_dedup_against_static_index(spark, stream_dirs):
     assert rows[10] == (True, 1, False)
     assert rows[11] == (False, None, True)
     assert rows[13] == (True, 2, False)
+
+
+def test_stream_lsh_bucket_overflow_cap(spark, stream_dirs):
+    """The streaming skew guard mirrors the batch bucket cap: once a
+    bucket's cumulative membership exceeds max_bucket_size, its rows
+    carry the explicit BUCKET_OVERFLOW marker instead of a membership
+    verdict (the batch path drops over-cap buckets' candidates)."""
+    from geowombat_spark.streaming import dedup as sdedup
+
+    text = "identical boilerplate text shared by every document here"
+    _text_batch(
+        spark,
+        stream_dirs["in"],
+        [(i, text, f"2026-01-01 00:00:{10 + i}") for i in range(5)],
+        "t1",
+    )
+    stream = (
+        spark.readStream.schema(TEXT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dirs["in"])
+    )
+    flags = sdedup.stream_lsh_neardup_flags(
+        sdedup.band_stream(stream), max_bucket_size=3
+    )
+    q = (
+        flags.writeStream.format("memory")
+        .queryName("lsh_cap_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from lsh_cap_test").collect()
+    assert len(rows) == 5 * 4  # every row still accounted for
+    assert {r["seen_min"] for r in rows} == {sdedup.BUCKET_OVERFLOW}
