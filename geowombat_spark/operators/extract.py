@@ -39,6 +39,55 @@ def _band_col(name: str) -> str:
     return f"band_{name}" if not name.startswith("band_") else name
 
 
+def in_bounds_mask(x, y, grid: GridSpec) -> np.ndarray:
+    """Boolean mask of points inside the grid extent — the ONE in-grid
+    predicate (half-open right/bottom edges) shared by prepare_points,
+    extract_points, and the Column twin :func:`in_bounds_col`; a boundary
+    semantics change lands everywhere at once."""
+    return (
+        (x >= grid.left) & (x < grid.right) & (y <= grid.top) & (y > grid.bottom)
+    )
+
+
+def in_bounds_col(grid: GridSpec, x: str = "x", y: str = "y") -> F.Column:
+    """Column twin of :func:`in_bounds_mask` for DataFrame filters."""
+    return (
+        (F.col(x) >= grid.left)
+        & (F.col(x) < grid.right)
+        & (F.col(y) <= grid.top)
+        & (F.col(y) > grid.bottom)
+    )
+
+
+def _pdf_to_sdf(spark: SparkSession, pdf: pd.DataFrame):
+    """createDataFrame that survives an EMPTY pandas frame: Spark cannot
+    infer a type for an empty object column (an all-out-of-grid AOI with a
+    string attribute crashed here; the reference returns an empty frame,
+    ``sops.py:836-844``), so the schema is built explicitly from the
+    pandas dtypes (object → string)."""
+    if len(pdf):
+        return spark.createDataFrame(pdf)
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    kinds = {
+        "i": LongType(), "u": LongType(), "f": DoubleType(),
+        "b": BooleanType(), "M": TimestampType(),
+    }
+    fields = [
+        StructField(c, kinds.get(pdf[c].dtype.kind, StringType()), True)
+        for c in pdf.columns
+    ]
+    return spark.createDataFrame([], StructType(fields))
+
+
 def prepare_points(
     aoi: pd.DataFrame,
     grid: GridSpec,
@@ -66,13 +115,7 @@ def prepare_points(
             out["x"].values, out["y"].values, aoi_epsg, grid_epsg
         )
         out["x"], out["y"] = x, y
-    inb = (
-        (out["x"].values >= grid.left)
-        & (out["x"].values < grid.right)
-        & (out["y"].values <= grid.top)
-        & (out["y"].values > grid.bottom)
-    )
-    out = out[inb]
+    out = out[in_bounds_mask(out["x"].values, out["y"].values, grid)]
     if mask_rings is not None:
         rings = [np.asarray(r, dtype=np.float64) for r in mask_rings]
         keep = point_in_rings(out["x"].values, out["y"].values, rings)
@@ -158,13 +201,9 @@ def extract_points(
     # DROP out-of-grid points (reference ``sops.py:836-844`` filters them;
     # the encoder's clamp would otherwise fabricate edge-cell rows with
     # band values from the wrong pixel for points past the image bounds)
-    inb = (
-        (enc["x"].values >= grid.left)
-        & (enc["x"].values < grid.right)
-        & (enc["y"].values <= grid.top)
-        & (enc["y"].values > grid.bottom)
-    )
-    enc = enc[inb].reset_index(drop=True)
+    enc = enc[
+        in_bounds_mask(enc["x"].values, enc["y"].values, grid)
+    ].reset_index(drop=True)
     # AOI attribute columns ride through (the reference returns the
     # GeoDataFrame with band columns appended — attributes included)
     attr_cols = [
@@ -173,8 +212,9 @@ def extract_points(
         if c not in {id_column, "x", "y", "cell_id", "row", "col", "tile_id"}
     ]
     pts_cols = [id_column, "x", "y", "cell_id", *attr_cols]
-    pts = spark.createDataFrame(
-        enc[pts_cols].assign(_pt_order=np.arange(len(enc), dtype=np.int64))
+    pts = _pdf_to_sdf(
+        spark,
+        enc[pts_cols].assign(_pt_order=np.arange(len(enc), dtype=np.int64)),
     )
     pruned = _prune_tiles(docs, enc["tile_id"].unique())
     band_cols = [_band_col(b) for b in bands]
@@ -188,9 +228,21 @@ def extract_points(
     joined = doc_side.join(F.broadcast(pts), "cell_id", "inner")
 
     if time_names is None and "t" in docs.columns:
-        time_names = [r[0] for r in docs.select("t").distinct().orderBy("t").collect()]
+        # infer time labels from the tile-PRUNED side: at corpus scale a
+        # distinct over the full stack scans every tile just to learn the
+        # labels. If the AOI's tiles miss an entire time step that the
+        # full stack has, pass time_names explicitly to force its
+        # (all-null) columns — the scan saving is the right default.
+        time_names = [
+            r[0] for r in pruned.select("t").distinct().orderBy("t").collect()
+        ]
     if time_names and len(time_names) > 1:
-        aggs = [F.first(_band_col(b)).alias(b) for b in bands]
+        # F.min, not F.first: first() is shuffle-order nondeterministic
+        # when a (cell, t) key holds duplicate rows (pre-dedup appends).
+        # For the well-formed unique case they're identical; for
+        # duplicates min resolves per band deterministically — the same
+        # rule as mosaic overlap='min'.
+        aggs = [F.min(_band_col(b)).alias(b) for b in bands]
         # keep_doc_columns and AOI attributes are grouping keys, not
         # aggregated away (a kept column that varies across time steps
         # legitimately splits the point's row)
@@ -244,17 +296,35 @@ def sample_polygons(
 
     def _sample(key, g: pd.DataFrame) -> pd.DataFrame:
         fid = int(key[0])
-        rings = [np.asarray(r, dtype=np.float64) for r in g.iloc[0]["rings"]]
-        cx, cy = polygon_sample_centers(rings, res_x, res_y, all_touched=all_touched)
-        if frac < 1.0:
-            take = True
-            if min_frac_area is not None and cx.shape[0] <= min_frac_area:
-                take = False
-            if take:
-                rng = np.random.default_rng(seed + fid)
-                idx = rng.choice(cx.shape[0], size=int(cx.shape[0] * frac), replace=False)
-                idx.sort()
-                cx, cy = cx[idx], cy[idx]
+        # EVERY row of the group is a polygon: duplicate fids (a multipart
+        # feature exploded without renumbering) are real inputs, and
+        # sampling only g.iloc[0] would silently drop the rest — the
+        # reference's per-feature pool samples each row (conversion.py:
+        # 438-493). Point ids continue across parts so they stay unique
+        # within the fid.
+        xs, ys = [], []
+        for ri in range(len(g)):
+            rings = [
+                np.asarray(r, dtype=np.float64) for r in g.iloc[ri]["rings"]
+            ]
+            cx, cy = polygon_sample_centers(
+                rings, res_x, res_y, all_touched=all_touched
+            )
+            if frac < 1.0:
+                take = True
+                if min_frac_area is not None and cx.shape[0] <= min_frac_area:
+                    take = False
+                if take:
+                    rng = np.random.default_rng(seed + fid + 7919 * ri)
+                    idx = rng.choice(
+                        cx.shape[0], size=int(cx.shape[0] * frac), replace=False
+                    )
+                    idx.sort()
+                    cx, cy = cx[idx], cy[idx]
+            xs.append(cx)
+            ys.append(cy)
+        cx = np.concatenate(xs) if xs else np.array([], dtype=np.float64)
+        cy = np.concatenate(ys) if ys else np.array([], dtype=np.float64)
         return pd.DataFrame(
             {
                 id_column: np.full(cx.shape[0], fid, dtype=np.int64),
@@ -295,12 +365,7 @@ def extract_polygons(
     # DROP sample centers outside the grid (reference ``sops.py:836-844``
     # filters out-of-image indices; clamping would gather edge-cell values
     # for the overhanging part of a polygon that extends past the bounds)
-    samples = samples.filter(
-        (F.col("x") >= grid.left)
-        & (F.col("x") < grid.right)
-        & (F.col("y") <= grid.top)
-        & (F.col("y") > grid.bottom)
-    )
+    samples = samples.filter(in_bounds_col(grid))
     samples = encode_cells(samples, grid)
     # tile pruning from the polygons' bboxes (driver-side, bbox arithmetic)
     from ..grid import bbox_cover_tiles

@@ -70,14 +70,22 @@ def _n_shuffles(plan: str) -> int:
 
 
 def plan_has_shuffle(df: DataFrame) -> bool:
-    """True if the *executed* plan contains any shuffle Exchange
-    (broadcast exchanges don't count — nothing repartitions)."""
+    """True if the plan contains any shuffle Exchange (broadcast
+    exchanges don't count — nothing repartitions).
+
+    Inspects the physical plan AS CURRENTLY KNOWN: for an un-executed
+    DataFrame under AQE this is the INITIAL plan (isFinalPlan=false) —
+    AQE may still replace an Exchange with a broadcast at runtime, so a
+    True here is "the static plan shuffles", not "a shuffle executed".
+    The no-shuffle guard direction is unaffected: if even the initial
+    plan has no shuffle Exchange, the executed plan cannot grow one."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return _n_shuffles(plan) > 0
 
 
 def assert_no_shuffle_join(joined: DataFrame) -> None:
-    """Guard used in tests/CI: a join between co-bucketed tables must not
+    """Guard used in tests/CI (initial-plan inspection — see
+    :func:`plan_has_shuffle`): a join between co-bucketed tables must not
     re-shuffle either side. Raises with the physical plan if it does."""
     plan = joined._jdf.queryExecution().executedPlan().toString()
     if _n_shuffles(plan) > 0:

@@ -47,16 +47,44 @@ MANIFEST_SCHEMA = (
 )
 
 
-def tile_metrics(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def content_checksum_cols(df: DataFrame, id_col: str = "doc_id") -> tuple[str, ...]:
+    """Default payload-column set for the content checksum: every column
+    except the keys already in the row repr (``tile_id``, ``id_col``,
+    ``cell_id``), sorted by name so the write side and the audit side
+    derive the identical set independently."""
+    skip = {"tile_id", id_col, "cell_id"}
+    return tuple(sorted(f.name for f in df.schema.fields if f.name not in skip))
+
+
+def _col_repr(df: DataFrame, name: str) -> F.Column:
+    """Deterministic string repr of one column for hashing: atomic types
+    cast to string, complex types (array/struct/map — e.g. spans) via
+    ``to_json``. NULL maps to an explicit sentinel so a NULL and an empty
+    string hash differently (``concat_ws`` would silently drop the NULL)."""
+    dt = df.schema[name].dataType.typeName()
+    c = F.col(name)
+    rep = F.to_json(c) if dt in ("array", "struct", "map") else c.cast("string")
+    return F.coalesce(rep, F.lit("\x00null"))
+
+
+def tile_metrics(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Per-tile lineage + metrics as one aggregation.
 
     - ``row_count``: rows landing in the tile.
     - ``checksum``: order-independent content hash — sum of the portable
       md5-derived int64 (``pipeline.text.md5_int``) over the canonical row
-      repr (id + cell). Any lost/duplicated/mutated row changes it;
-      commutativity makes it shuffle-order invariant, and md5 makes it
-      bit-for-bit reproducible in any SQL engine (the DuckDB oracle
-      recomputes it).
+      repr: id + cell, plus every ``content_cols`` column (payload bands,
+      spans, …). With content columns included, any lost/duplicated/
+      MUTATED row changes it — a payload corruption that preserves the
+      keys is still caught. The default ``()`` is the key-only identity
+      checksum (what the cross-engine DuckDB oracle recomputes; payload
+      doubles stringify engine-specifically, so the portable variant
+      stays keys-only while the sink's Spark-vs-Spark audit hashes
+      everything). Commutativity makes the sum shuffle-order invariant.
     - ``lineage``: same construction over the *input identity* only
       (``doc_id``) — two runs over the same input partition agree on
       lineage even if derived columns change.
@@ -67,7 +95,10 @@ def tile_metrics(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     # is a job-killing error. 30-bit units keep the sum < 2^63 for any tile
     # up to 2^33 rows — far beyond the 512×512 tile ceiling.
     row_repr = F.concat_ws(
-        ",", F.col(id_col).cast("string"), F.col("cell_id").cast("string")
+        ",",
+        F.col(id_col).cast("string"),
+        F.col("cell_id").cast("string"),
+        *[_col_repr(df, c) for c in content_cols],
     )
     return df.groupBy("tile_id").agg(
         F.count(F.lit(1)).alias("row_count"),
@@ -114,21 +145,6 @@ def completed_tiles(spark: SparkSession, path: str) -> set[int]:
     }
 
 
-def hot_tiles(df: DataFrame, threshold: int) -> set[int]:
-    """Skew pre-pass: tiles whose row count exceeds ``threshold``.
-
-    One partial-aggregated count per tile — at 100 TB this is a map-side
-    combine over the partition column, far cheaper than the write itself.
-    """
-    rows = (
-        df.groupBy("tile_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > threshold)
-        .collect()
-    )
-    return {int(r[0]) for r in rows}
-
-
 def write_tiled_checkpointed(
     df: DataFrame,
     path: str,
@@ -142,8 +158,13 @@ def write_tiled_checkpointed(
     tiles_x: int | None = None,
     metrics_from: str = "files",
 ) -> DataFrame:
-    """Write ``df`` (must carry ``tile_id``) as a tile-partitioned dataset in
-    resumable batches. Returns the manifest DataFrame.
+    """Write ``df`` as a tile-partitioned dataset in resumable batches;
+    returns the manifest DataFrame. Required columns: ``tile_id`` (the
+    partition key), ``sort_col`` (within-file ordering for data skipping)
+    and ``id_col`` (lineage hash key) — validated up front with a clear
+    error (tasks.py auto-routes any tile_id-bearing result here, and a
+    frame missing the other two should fail before the pre-pass scan,
+    not mid-write).
 
     ``fail_after_batches`` is the fault-injection hook used by the
     kill/restart test: the writer raises after that many committed batches,
@@ -159,6 +180,16 @@ def write_tiled_checkpointed(
     over the (tiny) distinct-tile list only.
     """
     spark = df.sparkSession
+    need = {"tile_id", id_col, sort_col}
+    have = {f.name for f in df.schema.fields}
+    if not need <= have:
+        raise ValueError(
+            f"write_tiled_checkpointed requires columns {sorted(need)} "
+            f"(missing: {sorted(need - have)}) — tile_id partitions the "
+            f"layout, {sort_col!r} orders rows within files for data "
+            f"skipping, {id_col!r} keys the lineage hash"
+        )
+    content_cols = content_checksum_cols(df, id_col)
     # ONE pre-pass scan yields both the distinct-tile list and the per-tile
     # counts the skew pre-pass needs (two separate scans would each
     # re-execute the full upstream plan at 100 TB).
@@ -188,6 +219,14 @@ def write_tiled_checkpointed(
         raise ValueError("tile_order must be 'id' or 'hilbert'")
     done = completed_tiles(spark, path)
     pending = [t for t in all_tiles if t not in done]
+    # resume continues the batch lineage, never restarts it: a rerun's
+    # first batch gets max(committed batch_id)+1, so the manifest's batch
+    # walk stays a single monotonically-labeled sequence across crashes
+    batch_id0 = 0
+    prior = read_manifest(spark, path)
+    if prior is not None:
+        row = prior.agg(F.max("batch_id")).collect()[0][0]
+        batch_id0 = int(row) + 1 if row is not None else 0
 
     hot: set[int] = set()
     if salt_threshold is not None:
@@ -197,7 +236,8 @@ def write_tiled_checkpointed(
     batches = [
         pending[i : i + batch_tiles] for i in range(0, len(pending), batch_tiles)
     ]
-    for bi, batch in enumerate(batches):
+    for bi, batch in enumerate(batches, start=0):
+        bi = batch_id0 + bi
         t0 = time.time()
         sub = df.filter(F.col("tile_id").isin(batch))
         hot_in_batch = [t for t in batch if t in hot]
@@ -252,12 +292,12 @@ def write_tiled_checkpointed(
                 .parquet(path)
             )
             if metrics_from == "cache":
-                metrics = tile_metrics(sub, id_col)
+                metrics = tile_metrics(sub, id_col, content_cols)
             else:
                 written = spark.read.option("basePath", path).parquet(
                     *[os.path.join(path, f"tile_id={t}") for t in batch]
                 )
-                metrics = tile_metrics(written, id_col)
+                metrics = tile_metrics(written, id_col, content_cols)
             wall = time.time() - t0
             manifest_rows = metrics.select(
                 "tile_id",
@@ -302,8 +342,12 @@ def verify_against_manifest(
             f"no manifest at {path} — not written by write_tiled_checkpointed"
         )
     stored = spark.read.option("basePath", path).parquet(path)
-    actual = tile_metrics(stored, id_col)
-    expected = tile_metrics(df, id_col).select(
+    # identical content-column derivation as the write side: both sides
+    # sort the non-key column names, so the payload hash covers the same
+    # columns without any stored parameter
+    ccols = content_checksum_cols(df, id_col)
+    actual = tile_metrics(stored, id_col, ccols)
+    expected = tile_metrics(df, id_col, ccols).select(
         "tile_id",
         F.col("row_count").alias("i_rows"),
         F.col("checksum").alias("i_sum"),

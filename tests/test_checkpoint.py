@@ -199,3 +199,44 @@ def test_hilbert_order_empty_input(spark, sink_dir):
         empty, sink_dir, tile_order="hilbert", tiles_x=4
     )
     assert man is None or man.count() == 0
+
+
+def test_audit_catches_payload_mutation(spark, corpus, sink_dir):
+    """The content checksum covers PAYLOAD columns, not just the keys: a
+    corruption that mutates `value` while preserving doc_id/cell_id (a
+    key-only checksum would certify it) flags every affected tile."""
+    cp.write_tiled_checkpointed(corpus, sink_dir, batch_tiles=6)
+    mutated = corpus.withColumn(
+        "value",
+        F.when(F.col("tile_id") == 5, F.col("value") + 1.0).otherwise(
+            F.col("value")
+        ),
+    )
+    bad = cp.verify_against_manifest(mutated, spark, sink_dir).collect()
+    assert {r["tile_id"] for r in bad} == {5}
+
+
+def test_resume_continues_batch_lineage(spark, corpus, sink_dir):
+    """A resumed write labels its batches AFTER the crashed run's max
+    batch_id — the manifest's batch walk is one monotone sequence, never
+    two disjoint tile sets both labeled batch 0."""
+    with pytest.raises(RuntimeError):
+        cp.write_tiled_checkpointed(
+            corpus, sink_dir, batch_tiles=4, fail_after_batches=1
+        )
+    first = {
+        int(r["batch_id"])
+        for r in cp.read_manifest(spark, sink_dir).collect()
+    }
+    man = cp.write_tiled_checkpointed(corpus, sink_dir, batch_tiles=4)
+    ids = [int(r["batch_id"]) for r in man.orderBy("batch_id").collect()]
+    resumed = set(ids) - first
+    assert first == {0}
+    assert resumed and min(resumed) == 1  # continues, does not restart
+    assert cp.verify_against_manifest(corpus, spark, sink_dir).count() == 0
+
+
+def test_sink_missing_columns_fail_fast(spark, sink_dir):
+    agg = spark.createDataFrame([(1, 2.0)], "tile_id long, stat double")
+    with pytest.raises(ValueError, match="requires columns"):
+        cp.write_tiled_checkpointed(agg, sink_dir)

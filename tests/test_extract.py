@@ -164,3 +164,41 @@ def test_bounds_overlay_touching_edges_intersect():
 
     assert bounds_overlay((0, 0, 10, 10), (10, 0, 20, 10), "intersects")
     assert not bounds_overlay((0, 0, 10, 10), (11, 0, 20, 10), "intersects")
+
+
+def test_extract_points_all_out_of_grid_with_string_attr(spark, docs):
+    """An AOI entirely outside the grid with a string attribute returns
+    an EMPTY frame (reference sops.py:836-844), not a schema-inference
+    crash on the empty object column."""
+    aoi = pd.DataFrame(
+        {
+            "id": [0, 1],
+            "x": [L8_GRID.right + 500.0, L8_GRID.right + 900.0],
+            "y": [L8_GRID.top - 45.0, L8_GRID.top - 95.0],
+            "name": ["a", "b"],
+        }
+    )
+    out = extract_points(spark, docs, aoi, L8_GRID, bands=["blue"], id_column="id")
+    assert out.count() == 0
+    assert "name" in out.columns and "blue" in out.columns
+
+
+def test_sample_polygons_duplicate_fids_sample_every_row(spark):
+    """Two polygons sharing one fid (a multipart feature exploded without
+    renumbering) must BOTH be sampled — not silently reduced to the
+    group's first row."""
+    from geowombat_spark.operators.extract import sample_polygons
+
+    sq = lambda x0, y0: [  # noqa: E731 - 2x2-cell square at (x0, y0)
+        [x0, y0, x0 + 60.0, y0, x0 + 60.0, y0 - 60.0, x0, y0 - 60.0, x0, y0]
+    ]
+    polys = pd.DataFrame(
+        {"fid": [1, 1], "rings": [sq(717585.0, -2776995.0),
+                                  sq(717885.0, -2776995.0)]}
+    )
+    pts = sample_polygons(spark, polys, L8_GRID, id_column="fid").collect()
+    xs = sorted({r["x"] for r in pts})
+    # 2 squares x 4 cell centers each, disjoint x ranges
+    assert len(pts) == 8, pts
+    assert len([x for x in xs if x < 717885.0]) == 2  # 2 distinct x per square
+    assert len({r["point"] for r in pts}) == 8  # point ids unique within fid
