@@ -3489,12 +3489,18 @@ fwd AS (
          band_blue
   FROM g
   WHERE floor((15.0 - y) / 60.0) >= 0 AND floor((15.0 - y) / 60.0) < 12
-    AND floor((x - -15.0) / 60.0) >= 0 AND floor((x - -15.0) / 60.0) < 14)
-SELECT row, col,
-  -15.0 + (CAST(col AS DOUBLE) + 0.5) * 60.0 AS x,
-  15.0 - (CAST(row AS DOUBLE) + 0.5) * 60.0 AS y,
-  round(avg(band_blue), 6) AS band_blue
-FROM fwd GROUP BY row, col
+    AND floor((x - -15.0) / 60.0) >= 0 AND floor((x - -15.0) / 60.0) < 14),
+agg AS (
+  SELECT row, col, round(avg(band_blue), 6) AS band_blue
+  FROM fwd GROUP BY row, col),
+lat AS (
+  SELECT CAST(v // 14 AS BIGINT) AS row, CAST(v % 14 AS BIGINT) AS col
+  FROM range(168) t(v))
+SELECT l.row, l.col,
+  -15.0 + (CAST(l.col AS DOUBLE) + 0.5) * 60.0 AS x,
+  15.0 - (CAST(l.row AS DOUBLE) + 0.5) * 60.0 AS y,
+  a.band_blue
+FROM lat l LEFT JOIN agg a ON l.row = a.row AND l.col = a.col
 """
 
 
@@ -3673,12 +3679,16 @@ counts AS (
 ranked AS (
   SELECT _dr, _dc, band_cls,
          row_number() OVER (PARTITION BY _dr, _dc ORDER BY _n DESC, band_cls ASC) AS _rk
-  FROM counts)
-SELECT _dr AS row, _dc AS col,
-  -15.0 + (CAST(_dc AS DOUBLE) + 0.5) * 60.0 AS x,
-  15.0 - (CAST(_dr AS DOUBLE) + 0.5) * 60.0 AS y,
-  band_cls
-FROM ranked WHERE _rk = 1
+  FROM counts),
+top AS (SELECT _dr, _dc, band_cls FROM ranked WHERE _rk = 1),
+lat AS (
+  SELECT CAST(v // 14 AS BIGINT) AS row, CAST(v % 14 AS BIGINT) AS col
+  FROM range(168) t(v))
+SELECT l.row, l.col,
+  -15.0 + (CAST(l.col AS DOUBLE) + 0.5) * 60.0 AS x,
+  15.0 - (CAST(l.row AS DOUBLE) + 0.5) * 60.0 AS y,
+  t.band_cls
+FROM lat l LEFT JOIN top t ON l.row = t._dr AND l.col = t._dc
 """
 
 

@@ -130,7 +130,14 @@ def _window_stat(stat: str, perc: int | None):
             if stat == "mean":
                 return np.nanmean(flat, axis=2)
             if stat == "sum":
-                return np.nansum(flat, axis=2)
+                # np.nansum returns 0.0 (not NaN) for an all-NaN window,
+                # which would dodge the all-nodata refill every other
+                # stat honors — force NaN so the refill contract holds
+                return np.where(
+                    np.all(np.isnan(flat), axis=2),
+                    np.nan,
+                    np.nansum(flat, axis=2),
+                )
             if stat == "min":
                 return np.nanmin(flat, axis=2)
             if stat == "max":

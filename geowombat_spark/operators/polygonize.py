@@ -283,10 +283,22 @@ def trace_rings(
             _trace_one(int(comp), cpdf)
             for comp, cpdf in bdf.groupby("comp", sort=True)
         ]
-        return (
-            pd.concat(frames, ignore_index=True)
-            if frames
-            else _trace_one(0, bdf)
+        if frames:
+            return pd.concat(frames, ignore_index=True)
+        # an empty group yields an empty TYPED frame (the old
+        # _trace_one(0, empty) fallback crashed on .iloc[0])
+        return pd.DataFrame(
+            {
+                "comp": pd.Series([], dtype="int64"),
+                "value": pd.Series([], dtype="float64"),
+                "ring_idx": pd.Series([], dtype="int32"),
+                "is_hole": pd.Series([], dtype="bool"),
+                "n_vertices": pd.Series([], dtype="int64"),
+                "n_edges": pd.Series([], dtype="int64"),
+                "area": pd.Series([], dtype="float64"),
+                "xs": pd.Series([], dtype="object"),
+                "ys": pd.Series([], dtype="object"),
+            }
         )
 
     def _trace_one(comp: int, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -319,8 +331,13 @@ def trace_rings(
             )
         return pd.DataFrame(rows)
 
+    # value keeps its INPUT type: hardcoding bigint crashed on
+    # double-valued class rasters that connected_components itself
+    # handles fine (callers and oracles are interchangeable only if the
+    # tracers accept whatever the labeler accepted)
+    vt = comps.schema["value"].dataType.simpleString()
     schema = (
-        "comp bigint, value bigint, ring_idx int, is_hole boolean, "
+        f"comp bigint, value {vt}, ring_idx int, is_hole boolean, "
         "n_vertices bigint, n_edges bigint, area double, "
         "xs array<double>, ys array<double>"
     )
@@ -408,8 +425,9 @@ def connected_components_tiled(
         out["label"] = lab[roots]
         return out
 
+    vt = cells.schema[value_col].dataType.simpleString()
     labeled = src.groupBy("_tile").applyInPandas(
-        local_cc, "row bigint, col bigint, value bigint, label bigint"
+        local_cc, f"row bigint, col bigint, value {vt}, label bigint"
     ).localCheckpoint()
 
     # phase 2: merge edges across tile borders only

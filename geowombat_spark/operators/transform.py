@@ -37,6 +37,31 @@ from pyspark.sql import functions as F
 from ..grid import GridSpec
 
 
+def _with_centers(df: DataFrame, dst: GridSpec) -> DataFrame:
+    """Attach destination cell-center coords (x, y) from (row, col) —
+    the ONE center convention (corner + (index+0.5)·res), previously
+    restated at six sites."""
+    return df.withColumns(
+        {
+            "x": F.lit(dst.left) + (F.col("col").cast("double") + 0.5) * dst.cellx,
+            "y": F.lit(dst.top) - (F.col("row").cast("double") + 0.5) * dst.celly,
+        }
+    )
+
+
+def _dst_lattice(spark: SparkSession, dst: GridSpec) -> DataFrame:
+    """Full destination lattice (row, col, x, y) — codegen `range`, no
+    data read. Every resampling mode emits this complete lattice (GDAL
+    warp produces the full destination raster, nodata where uncovered),
+    so consumers never see holes and all modes agree on row coverage."""
+    n = dst.nrows * dst.ncols
+    lat = spark.range(n).select(
+        F.expr(f"id div {dst.ncols}").cast("long").alias("row"),
+        (F.col("id") % dst.ncols).cast("long").alias("col"),
+    )
+    return _with_centers(lat, dst)
+
+
 def grids_identical(a: GridSpec, b: GridSpec) -> bool:
     return (
         a.left == b.left
@@ -67,17 +92,7 @@ def transform_grid(
         return docs.select("row", "col", "x", "y", *bands)
 
     if resampling == "nearest":
-        n = dst.nrows * dst.ncols
-        lat = spark.range(n).select(
-            F.expr(f"id div {dst.ncols}").cast("long").alias("row"),
-            (F.col("id") % dst.ncols).cast("long").alias("col"),
-        )
-        lat = lat.withColumns(
-            {
-                "x": F.lit(dst.left) + (F.col("col").cast("double") + 0.5) * dst.cellx,
-                "y": F.lit(dst.top) - (F.col("row").cast("double") + 0.5) * dst.celly,
-            }
-        )
+        lat = _dst_lattice(spark, dst)
         # inverse mapping: destination center → source cell index
         lat = lat.withColumns(
             {
@@ -118,25 +133,18 @@ def transform_grid(
             out = fwd.groupBy(
                 F.col("_dr").alias("row"), F.col("_dc").alias("col")
             ).agg(*[fn(b).alias(b) for b in bands])
-        return out.withColumns(
-            {
-                "x": F.lit(dst.left) + (F.col("col").cast("double") + 0.5) * dst.cellx,
-                "y": F.lit(dst.top) - (F.col("row").cast("double") + 0.5) * dst.celly,
-            }
-        ).select("row", "col", "x", "y", *bands)
+        # LEFT join onto the full lattice: uncovered destination cells
+        # come back with NULL bands, matching nearest/bilinear coverage
+        # (previously the agg modes silently omitted them — holes, not
+        # nodata)
+        return (
+            _dst_lattice(spark, dst)
+            .join(out, ["row", "col"], "left")
+            .select("row", "col", "x", "y", *bands)
+        )
 
     if resampling == "bilinear":
-        n = dst.nrows * dst.ncols
-        lat = spark.range(n).select(
-            F.expr(f"id div {dst.ncols}").cast("long").alias("row"),
-            (F.col("id") % dst.ncols).cast("long").alias("col"),
-        )
-        lat = lat.withColumns(
-            {
-                "x": F.lit(dst.left) + (F.col("col").cast("double") + 0.5) * dst.cellx,
-                "y": F.lit(dst.top) - (F.col("row").cast("double") + 0.5) * dst.celly,
-            }
-        )
+        lat = _dst_lattice(spark, dst)
         # fractional source pixel coords of the destination center
         fc = (F.col("x") - F.lit(src.left)) / src.cellx - 0.5
         fr = (F.lit(src.top) - F.col("y")) / src.celly - 0.5
@@ -189,14 +197,19 @@ def _mode_agg(fwd: DataFrame, bands: tuple[str, ...]) -> DataFrame:
     engine-specific ``mode()`` tie behavior."""
     from pyspark.sql import Window
 
-    out = None
+    out = fwd.select(
+        F.col("_dr").alias("row"), F.col("_dc").alias("col")
+    ).distinct()
     for b in bands:
-        # nodata (NULL) never competes as a modal value (GDAL mode
-        # resampling ignores nodata) — without the filter the asc
-        # nulls-first tie-break would crown NULL over an equally frequent
-        # real value
+        # nodata never competes as a modal value (GDAL mode resampling
+        # ignores nodata): filter SQL NULL *and* NaN — a NaN-convention
+        # frame (any pandas/applyInPandas product) passes isNotNull and
+        # the asc tie-break would otherwise crown NaN over a real class
+        valid = F.col(b).isNotNull()
+        if fwd.schema[b].dataType.typeName() in ("double", "float"):
+            valid = valid & ~F.isnan(F.col(b))
         counts = (
-            fwd.filter(F.col(b).isNotNull())
+            fwd.filter(valid)
             .groupBy("_dr", "_dc", b)
             .agg(F.count(F.lit(1)).alias("_n"))
         )
@@ -210,7 +223,10 @@ def _mode_agg(fwd: DataFrame, bands: tuple[str, ...]) -> DataFrame:
                 F.col("_dr").alias("row"), F.col("_dc").alias("col"), b
             )
         )
-        out = top if out is None else out.join(top, ["row", "col"])
+        # LEFT join from the covered-cell base: a band that is all-nodata
+        # in one cell must not drop the other bands' modes (the old inner
+        # join did — confirmed by execution)
+        out = out.join(top, ["row", "col"], "left")
     return out
 
 
@@ -219,9 +235,14 @@ def match_layout(df: DataFrame, grid: GridSpec, x: str = "x", y: str = "y") -> D
     table to another grid's tile/cell layout — re-encode under the target
     affine and repartition on the new tile key so downstream per-tile
     operators (focal, sinks) see the target chunking."""
-    from .extract import encode_cells
+    from .extract import encode_cells, in_bounds_col
 
     clean = df.drop("row", "col", "cell_id", "tile_id")
+    # DROP rows outside the target extent first: the encoder's clamp
+    # would otherwise pile exterior cells onto border cells as duplicate
+    # (row, col) keys — nondeterministic last-write in any downstream
+    # dense-array kernel
+    clean = clean.filter(in_bounds_col(grid, x=x, y=y))
     return encode_cells(clean, grid, x=x, y=y).repartition(F.col("tile_id"))
 
 
@@ -259,16 +280,7 @@ def transform_crs_grid(
         return transform_grid(spark, docs, src, dst, bands, resampling)
 
     if resampling == "nearest":
-        n = dst.nrows * dst.ncols
-        lat = spark.range(n).select(
-            F.expr(f"id div {dst.ncols}").cast("long").alias("row"),
-            (F.col("id") % dst.ncols).cast("long").alias("col"),
-        ).withColumns(
-            {
-                "x": F.lit(dst.left) + (F.col("col").cast("double") + 0.5) * dst.cellx,
-                "y": F.lit(dst.top) - (F.col("row").cast("double") + 0.5) * dst.celly,
-            }
-        )
+        lat = _dst_lattice(spark, dst)
 
         def _inv(it):
             for pdf in it:
@@ -315,12 +327,12 @@ def transform_crs_grid(
         out = fwd.groupBy(
             F.col("_dr").alias("row"), F.col("_dc").alias("col")
         ).agg(*[fn(b).alias(b) for b in bands])
-        return out.withColumns(
-            {
-                "x": F.lit(dst.left) + (F.col("col").cast("double") + 0.5) * dst.cellx,
-                "y": F.lit(dst.top) - (F.col("row").cast("double") + 0.5) * dst.celly,
-            }
-        ).select("row", "col", "x", "y", *bands)
+        # full-lattice coverage, same as the same-CRS aggregate path
+        return (
+            _dst_lattice(spark, dst)
+            .join(out, ["row", "col"], "left")
+            .select("row", "col", "x", "y", *bands)
+        )
 
     raise ValueError(
         f"resampling {resampling!r} is not supported for CRS-CHANGING "

@@ -318,3 +318,27 @@ def test_focal_expand_rejects_foreign_nodata(spark):
     # the 0.0 default and an explicit None both pass validation
     moving(df, L8_GRID, stat="expand")
     moving(df, L8_GRID, stat="expand", nodata=None)
+
+
+def test_focal_sum_all_nodata_window_refills(spark):
+    """stat='sum' honors the all-nodata refill like every other stat:
+    np.nansum alone returns 0.0 for an all-NaN window, which would
+    fabricate a valid-looking sum where the reference kernel returns
+    the nodata value."""
+    g = GridSpec(left=0.0, top=90.0, cellx=30.0, celly=30.0,
+                 nrows=3, ncols=3, tile_rows=3, tile_cols=3)
+    rows = [
+        (r, c, r * 3 + c, -9999.0 if max(abs(r - 0), abs(c - 0)) <= 1 else 5.0)
+        for r in range(3) for c in range(3)
+    ]
+    df = spark.createDataFrame(
+        rows, "row long, col long, cell_id long, band_blue double"
+    )
+    out = {
+        (r["row"], r["col"]): r["band_blue_sum"]
+        for r in moving(df, g, stat="sum", w=3, nodata=-9999.0).collect()
+    }
+    # cell (0,0): whole 3x3 window is nodata -> refilled, NOT 0.0
+    assert out[(0, 0)] == -9999.0
+    # cell (2,2): window holds (1,1)=nodata and three 5.0 cells -> 15.0
+    assert out[(2, 2)] == 15.0

@@ -151,8 +151,12 @@ def test_transform_crs_grid_average_runs(spark):
         spark, docs, src, dst, 32621, 4326,
         bands=("band_blue",), resampling="average",
     ).toPandas()
-    assert len(out) > 0
-    assert (out["band_blue"] == 1.0).all()
+    # FULL destination lattice (GDAL warp emits the whole raster):
+    # covered cells average to 1.0, uncovered cells are present as
+    # NULL/NaN rows — never silently absent
+    assert len(out) == dst.nrows * dst.ncols
+    covered = out["band_blue"].notna()
+    assert covered.any() and (out.loc[covered, "band_blue"] == 1.0).all()
 
 
 def test_sort_images_by_date(tmp_path):
