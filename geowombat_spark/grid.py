@@ -241,7 +241,7 @@ def with_zorder_column(df, out: str = "cell_id", row_col: str = "row", col_col: 
         (2, 0x3333333333333333),
         (1, 0x5555555555555555),
     )
-    for name, src in (("_zr", row_col), ("_zc", col_col)):
+    for name, src in (("__gw_zr", row_col), ("__gw_zc", col_col)):
         e = F.col(src).cast("long").bitwiseAND(F.lit(0xFFFFFFFF))
         df = df.withColumn(name, e)
         for shift, mask in masks:
@@ -251,8 +251,8 @@ def with_zorder_column(df, out: str = "cell_id", row_col: str = "row", col_col: 
                     F.col(name).bitwiseOR(F.shiftleft(F.col(name), shift))
                 ).bitwiseAND(F.lit(mask)),
             )
-    df = df.withColumn(out, F.shiftleft(F.col("_zr"), 1).bitwiseOR(F.col("_zc")))
-    return df.drop("_zr", "_zc")
+    df = df.withColumn(out, F.shiftleft(F.col("__gw_zr"), 1).bitwiseOR(F.col("__gw_zc")))
+    return df.drop("__gw_zr", "__gw_zc")
 
 
 def zorder_decode(cell_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -425,8 +425,18 @@ def segment_supercover(
     t_max_r = t_next(r0, cr, dr, step_r)
     t_delta_c = abs(1.0 / dc) if dc != 0 else math.inf
     t_delta_r = abs(1.0 / dr) if dr != 0 else math.inf
-    guard = 2 * (abs(ec - cc) + abs(er - cr)) + 8
-    while (cc, cr) != (ec, er) and guard > 0:
+    # Terminate on the segment PARAMETER (t ≤ 1), not on reaching the end
+    # cell index: when an endpoint sits one ulp off a lattice corner
+    # (inevitable after (x - minx)/res with non-binary-exact resolutions),
+    # t_max_c and t_max_r differ by ~1 ulp, the walk side-steps the exact
+    # end index, and a `(cc, cr) != (ec, er)` condition free-runs past the
+    # segment marking spurious cells until a guard trips (observed: whole
+    # rows of phantom all_touched cells with res=0.7). Crossings strictly
+    # inside the segment have t < 1, so the t-bound can never overshoot;
+    # the one cell it can miss to fp UNDERSHOOT is the end cell, added
+    # unconditionally after the loop (the endpoint always touches it).
+    guard = 4 * (abs(ec - cc) + abs(er - cr)) + 16
+    while min(t_max_c, t_max_r) <= 1.0 and guard > 0:
         guard -= 1
         if t_max_c < t_max_r:
             cc += step_c
@@ -442,6 +452,7 @@ def segment_supercover(
             t_max_c += t_delta_c
             t_max_r += t_delta_r
         cells.add((cr, cc))
+    cells.add((er, ec))
     return cells
 
 
@@ -692,8 +703,8 @@ def with_hilbert_column(
 
     df = df.withColumns(
         {
-            "_hx": F.col(col_col).cast("long"),
-            "_hy": F.col(row_col).cast("long"),
+            "__gw_hx": F.col(col_col).cast("long"),
+            "__gw_hy": F.col(row_col).cast("long"),
             out: F.lit(0).cast("long"),
         }
     )
@@ -701,19 +712,19 @@ def with_hilbert_column(
     # level's columns, so each Project stays a handful of nodes
     for level in range(order - 1, -1, -1):
         s = 1 << level
-        rx = F.shiftright(F.col("_hx"), level).bitwiseAND(F.lit(1))
-        ry = F.shiftright(F.col("_hy"), level).bitwiseAND(F.lit(1))
+        rx = F.shiftright(F.col("__gw_hx"), level).bitwiseAND(F.lit(1))
+        ry = F.shiftright(F.col("__gw_hy"), level).bitwiseAND(F.lit(1))
         swap = ry == 0
         flip = swap & (rx == 1)
-        xf = F.when(flip, F.lit(s - 1) - F.col("_hx")).otherwise(F.col("_hx"))
-        yf = F.when(flip, F.lit(s - 1) - F.col("_hy")).otherwise(F.col("_hy"))
+        xf = F.when(flip, F.lit(s - 1) - F.col("__gw_hx")).otherwise(F.col("__gw_hx"))
+        yf = F.when(flip, F.lit(s - 1) - F.col("__gw_hy")).otherwise(F.col("__gw_hy"))
         df = df.withColumns(
             {
                 out: F.col(out)
                 + F.lit(s * s).cast("long")
                 * (F.lit(3) * rx).bitwiseXOR(ry).cast("long"),
-                "_hx": F.when(swap, yf).otherwise(xf),
-                "_hy": F.when(swap, xf).otherwise(yf),
+                "__gw_hx": F.when(swap, yf).otherwise(xf),
+                "__gw_hy": F.when(swap, xf).otherwise(yf),
             }
         )
-    return df.drop("_hx", "_hy")
+    return df.drop("__gw_hx", "__gw_hy")

@@ -68,14 +68,25 @@ def fit(
             raise ValueError("supervised estimator requires label polygons")
         from .operators.rasterize import polygon_to_array
 
+        # burn with a NaN fill, NOT the default 0.0: filtering the fill
+        # by `value != 0` conflated background with a legitimate class 0
+        # (binary {0,1} labelings silently lost every class-0 polygon)
         burned = polygon_to_array(
-            spark, labels, grid, col=col, all_touched=all_touched
+            spark, labels, grid, col=col, fill=float("nan"),
+            all_touched=all_touched,
         )
         lab = (
-            burned.filter(F.col("value") != 0.0)
+            burned.filter(~F.isnan(F.col("value")))
             .select("row", "col", F.col("value").alias(targ_name))
         )
         train = docs.join(F.broadcast(lab), ["row", "col"])
+        if not train.limit(1).count():
+            # an empty label∩corpus join otherwise dies deep inside MLlib
+            # ("Nothing has been added to this summarizer") with no hint
+            raise ValueError(
+                "fit: no corpus cells fall under the label polygons — "
+                "check the label CRS/extent against the grid"
+            )
         est.set(est.getParam("labelCol"), targ_name)
 
     return Pipeline(stages=[assembler, est]).fit(train)
@@ -89,7 +100,15 @@ def predict(
     dropped."""
     pred = model.transform(docs)
     drop = [c for c in _DROP_COLS if c in pred.columns]
-    return pred.withColumnRenamed("prediction", out).drop(*drop)
+    # read the model's ACTUAL prediction column: an estimator with a
+    # customized predictionCol would make a hardcoded rename silently
+    # no-op and the promised `out` column never exist
+    pcol = "prediction"
+    try:
+        pcol = model.stages[-1].getOrDefault("predictionCol")
+    except Exception:
+        pass
+    return pred.withColumnRenamed(pcol, out).drop(*drop)
 
 
 def fit_predict(

@@ -59,6 +59,23 @@ class GeoTask:
         for tid in ids:
             if tid not in self.inputs:
                 raise ValueError(f"task {tid!r} has no inputs entry")
+        # a typo'd outputs key would silently write NOTHING (the run
+        # completes green with missing data) — validate up front
+        unknown_out = set(self.outputs) - set(ids)
+        if unknown_out:
+            raise ValueError(
+                f"outputs keyed by unknown task ids: {sorted(unknown_out)} "
+                f"(tasks are {ids})"
+            )
+        # out_args is per-task or flat, never a mix: a flat dict that
+        # happens to share a key with a task id would silently flip
+        # interpretation
+        oa_ids = set(self.out_args) & set(ids)
+        if oa_ids and set(self.out_args) - set(ids):
+            raise ValueError(
+                "out_args mixes task-id keys with flat writer options: "
+                f"{sorted(self.out_args)} — key everything by task id"
+            )
 
     def __add__(self, other: "GeoTask") -> "GeoTask":
         """Pipeline composition (``pipeline.py:107-146``): the right side
@@ -100,15 +117,30 @@ class GeoTask:
             return [self._resolve(spark, s, results) for s in src]
         if isinstance(src, str) and src in results:
             return results[src]
+        if isinstance(src, str) and src in {t for t, _ in self.tasks}:
+            # a KNOWN task id that has no result yet is an ordering bug,
+            # not a file path — falling through to api.open would read a
+            # coincidentally-named file (silent wrong data) or die with a
+            # misleading PATH_NOT_FOUND
+            raise ValueError(
+                f"input {src!r} references a task that has not run yet — "
+                "tasks execute in declaration order; move it earlier"
+            )
         from . import api
 
         return api.open(spark, src, **self.open_args)
 
     def submit(self, spark: SparkSession) -> dict:
-        """Run the pipeline (``pipeline.py:589-668``). Returns
-        {task_id or mem-name: DataFrame} plus, for written outputs,
-        {task_id: manifest/None}. All intermediate results stay lazy —
-        only write targets trigger jobs."""
+        """Run the pipeline (``pipeline.py:589-668``). Returns one dict:
+
+        - ``{task_id: DataFrame}`` for EVERY task (written or not — the
+          frame is never clobbered by its write artifact);
+        - ``{mem_name: DataFrame}`` for ``mem|`` outputs;
+        - ``{f"{task_id}:written": manifest DataFrame | None}`` for write
+          targets (the tiled sink's manifest, or None for plain parquet).
+
+        All intermediate results stay lazy — only write targets trigger
+        jobs."""
         results: dict = {}
         named: dict = {}
         with _config_ctx(**self.config_args):
@@ -126,8 +158,9 @@ class GeoTask:
                 # out_args is keyed by task id like func_args (the
                 # reference's per-task shape, ``pipeline.py:533``); a flat
                 # dict is accepted for single-output pipelines when no key
-                # matches a task id. 'mode' belongs to the plain-parquet
-                # writer only and is stripped before the tiled sink.
+                # matches a task id (mixing is rejected in __init__).
+                # 'mode' belongs to the plain-parquet writer only and is
+                # stripped before the tiled sink.
                 out_kw = dict(self.out_args.get(tid, {}))
                 if not out_kw and self.out_args and not any(
                     t in self.out_args for t, _ in self.tasks
@@ -137,10 +170,10 @@ class GeoTask:
                 if "tile_id" in res.columns:
                     from .plans.checkpoint import write_tiled_checkpointed
 
-                    named[tid] = write_tiled_checkpointed(
+                    named[f"{tid}:written"] = write_tiled_checkpointed(
                         res, target, **out_kw
                     )
                 else:
                     res.write.mode(mode).parquet(target)
-                    named[tid] = None
+                    named[f"{tid}:written"] = None
         return {**results, **named}

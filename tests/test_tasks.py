@@ -137,7 +137,11 @@ def test_geotask_per_task_out_args(spark):
         )
         res = t.submit(spark)
         assert spark.read.parquet(os.path.join(out_dir, "plain")).count() >= 1
-        # tiled output went through the checkpointed sink -> manifest frame
-        assert res["q"] is not None and "checksum" in res["q"].columns
+        # tiled output went through the checkpointed sink -> manifest
+        # frame under the :written key; the task's own DataFrame survives
+        assert res["q:written"] is not None
+        assert "checksum" in res["q:written"].columns
+        assert "cell_id" in res["q"].columns  # the frame, not the manifest
+        assert res["p:written"] is None and res["p"].count() >= 1
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
