@@ -3152,7 +3152,13 @@ WITH {SPANS.strip()}
 SELECT doc_id,
   count(*) AS n_spans,
   count(*) FILTER (WHERE kind = 'image') AS n_media,
-  md5(string_agg(concat_ws(',', kind, w, media_ref, CAST("offset" AS VARCHAR)), '|' ORDER BY i)) AS span_hash
+  md5(string_agg(
+    concat(
+      'V', length(kind), ':', kind,
+      'V', length(w), ':', w,
+      'V', length(media_ref), ':', media_ref,
+      'V', length(CAST("offset" AS VARCHAR)), ':', CAST("offset" AS VARCHAR)
+    ), '' ORDER BY i)) AS span_hash
 FROM spans GROUP BY doc_id
 """
 
@@ -4105,8 +4111,10 @@ ln AS (
                / CAST(greatest(len(l), 1) AS DOUBLE), 6) AS dup_line_frac
   FROM tk)
 SELECT ln.doc_id, ln.dup_line_frac,
-       round(top.topc / CAST(top.nb AS DOUBLE), 6) AS top_bigram_frac
-FROM ln JOIN top USING (doc_id)
+       CASE WHEN len(tk.t) >= 2
+            THEN round(top.topc / CAST(top.nb AS DOUBLE), 6)
+            ELSE 0.0 END AS top_bigram_frac
+FROM ln JOIN top USING (doc_id) JOIN tk USING (doc_id)
 """
 
     _mix_list = ", ".join(f"'{sc}'" for sc in MIX_SOURCES)

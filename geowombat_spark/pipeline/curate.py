@@ -56,10 +56,14 @@ def decontaminate(
     doc (zero hits included, so the caller can anti-join or filter either
     way without a second scan).
     """
+    # drop the empty whole-doc gram ('' — what NULL/short texts shingle
+    # to): one blank benchmark row would otherwise flag EVERY empty
+    # corpus doc as contaminated
     bench_sh = (
         benchmark.select(
             F.explode(shingles_col(bench_text_col, n)).alias("shingle")
         )
+        .filter(F.col("shingle") != "")
         .distinct()
     )
     doc_sh = docs.select(
@@ -112,7 +116,11 @@ def pack_sequences(
     global ordering: shards pack independently, so the op scales linearly
     with executors.
     """
-    nt = F.size(tokens(F.col(text_col))).cast("long")
+    # coalesce NULL text first: a NULL n_tokens becomes NaN in the exact
+    # path's pandas kernel and int(NaN) kills the whole applyInPandas
+    # stage (and silently NULLs pack ids in the window path). NULL text
+    # packs as the single empty token, the module-wide convention.
+    nt = F.size(tokens(F.coalesce(F.col(text_col), F.lit("")))).cast("long")
     # md5-derived shard (portable across engines, unlike murmur3 hash())
     shard = (md5_int(F.col(id_col).cast("string")) % int(n_shards)).cast(
         "long"
@@ -178,6 +186,15 @@ def pii_scrub(
     address would otherwise partially match the looser numeric patterns).
     """
     out_col = out_col or text_col
+    known = {k for k, _p, _r in PII_PATTERNS}
+    unknown = set(kinds) - known
+    if unknown:
+        # fail CLOSED: a typo'd kind would otherwise silently disable
+        # that redaction and the pass would report success
+        raise ValueError(
+            f"pii_scrub: unknown kinds {sorted(unknown)} "
+            f"(available: {sorted(known)})"
+        )
     sel = dict.fromkeys(kinds)
     scrubbed: Column = F.col(text_col)
     counts = {}
@@ -261,8 +278,12 @@ def quality_buckets(
     join them back instead (documented alternative, not the default,
     because approximate cut points can't be oracle-checked exactly).
     """
+    # asc_nulls_last: Spark's default ASC puts NULLs FIRST, which would
+    # rank unscorable docs into bucket 1 ("head" = best quality); DuckDB
+    # (the oracle) defaults to NULLS LAST for ASC, so this also aligns
+    # the engines
     w = Window.partitionBy(group_col).orderBy(
-        F.col(score_col).asc(), F.col(id_col).asc()
+        F.col(score_col).asc_nulls_last(), F.col(id_col).asc()
     )
     out = docs.withColumn("bucket_idx", F.ntile(n_buckets).over(w))
     if n_buckets <= len(labels):

@@ -67,19 +67,37 @@ def derive_spans(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("spans", spans)
 
 
+def _span_field(x: Column) -> Column:
+    """INJECTIVE field encoding: 'V<len>:<value>' or 'N0:' for NULL.
+
+    A bare comma-join is not injective — span text routinely contains
+    commas (('a,b','c') vs ('a','b,c') collided) and concat_ws silently
+    skips NULLs, so a field mutation of exactly that shape passed the
+    span-hash parity check. Length prefixes make the concatenated stream
+    self-delimiting regardless of field content."""
+    return F.when(x.isNull(), F.lit("N0:")).otherwise(
+        F.concat(F.lit("V"), F.length(x).cast("string"), F.lit(":"), x)
+    )
+
+
 def span_hash_col(spans_col: str = "spans") -> Column:
     """Canonical hash of the ordered span sequence (the parity invariant).
 
-    md5 over '|'-joined "kind,text,media_ref,offset" units, in array order.
-    Any reorder, drop, or field mutation changes the hash.
+    md5 over the concatenation of per-span units, each the four
+    length-prefixed fields (kind, text, media_ref, offset) — see
+    :func:`_span_field` for why the encoding is injective. Any reorder,
+    drop, or field mutation changes the hash.
     """
     units = F.transform(
         F.col(spans_col),
-        lambda s: F.concat_ws(
-            ",", s["kind"], s["text"], s["media_ref"], s["offset"].cast("string")
+        lambda s: F.concat(
+            _span_field(s["kind"]),
+            _span_field(s["text"]),
+            _span_field(s["media_ref"]),
+            _span_field(s["offset"].cast("string")),
         ),
     )
-    return F.md5(F.concat_ws("|", units))
+    return F.md5(F.concat_ws("", units))
 
 
 def with_span_hash(df: DataFrame, spans_col: str = "spans") -> DataFrame:
@@ -114,14 +132,13 @@ DECODE_SCHEMA = (
     "n_frames int, mean_intensity double"
 )
 
-_HAVE_CODECS = False
-try:  # pragma: no cover - codec libs absent in this environment
-    import PIL.Image  # noqa: F401
 
-    _HAVE_CODECS = True
-except Exception:
-    _HAVE_CODECS = False
-
+def _id_schema(df: DataFrame, rest: str) -> str:
+    """Output schema with doc_id keeping its INPUT type — the canonical
+    document shape allows string ids, and a hardcoded bigint (plus
+    astype(int64) in the kernel) crashed the Arrow batch on them."""
+    idt = df.schema["doc_id"].dataType.simpleString()
+    return f"doc_id {idt}, {rest}"
 
 def _fake_decode(raw: bytes) -> tuple[int, int, int, float]:
     """STUB decode: deterministic pseudo-metadata from the payload bytes.
@@ -459,6 +476,11 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     )
 
 
+def _known_container(raw: bytes) -> bool:
+    """True if the payload claims a container this module really decodes."""
+    return raw[:2] in (b"P6", b"BM") or raw[: len(_PNG_SIG)] == _PNG_SIG
+
+
 def _real_decode(raw: bytes) -> tuple[int, int, int, float] | None:
     """Dispatch on magic bytes; None = no known container (use the stub).
     P6 streams report their true frame count (concatenated-PPM 'video')."""
@@ -490,16 +512,21 @@ def decode_media(media_df: DataFrame) -> DataFrame:
     """
 
     def _meta(raw):
-        """Per-item metadata with graceful degradation: real codec →
-        stub → NULLs. A NULL or garbage payload must flag, not kill the
-        Arrow batch (one bad crawl row would otherwise fail the task)."""
+        """Per-item metadata with graceful degradation. A KNOWN container
+        (P6/BMP/PNG magic) that fails to decode degrades to NULL features
+        — fabricating stub metadata for a corrupt real image would be
+        plausible-looking garbage indistinguishable from a decode,
+        poisoning downstream size/intensity filters. Only UNKNOWN
+        containers use the deterministic stub. A NULL or tiny payload
+        flags, never kills the Arrow batch."""
         if raw is None:
             return (None, None, None, None)
-        m = _real_decode(bytes(raw))
-        if m is not None:
-            return m
+        b = bytes(raw)
+        if _known_container(b):
+            m = _real_decode(b)
+            return m if m is not None else (None, None, None, None)
         try:
-            return _fake_decode(raw)
+            return _fake_decode(b)
         except Exception:
             return (None, None, None, None)
 
@@ -516,7 +543,7 @@ def decode_media(media_df: DataFrame) -> DataFrame:
                 meta = [_meta(raw) for raw in raws]
                 yield pd.DataFrame(
                     {
-                        "doc_id": pdf["doc_id"].astype(np.int64),
+                        "doc_id": pdf["doc_id"],
                         "media_ref": pdf["media_ref"],
                         "width": pd.array(
                             [m[0] for m in meta], dtype="Int32"
@@ -533,10 +560,6 @@ def decode_media(media_df: DataFrame) -> DataFrame:
                     }
                 )
                 continue
-            if _HAVE_CODECS:
-                raise NotImplementedError(
-                    "real codec path not wired in this sandbox"
-                )
             lens = np.fromiter((len(r) for r in raws), dtype=np.int64, count=len(raws))
             if len(raws) and lens.min() >= 5 and (lens == lens[0]).all():
                 # fixed-size payloads (the md5 fake): one vectorized pass
@@ -549,7 +572,7 @@ def decode_media(media_df: DataFrame) -> DataFrame:
                 mi = np.round(m.mean(axis=1) / 255.0, 6)
                 yield pd.DataFrame(
                     {
-                        "doc_id": pdf["doc_id"].astype(np.int64),
+                        "doc_id": pdf["doc_id"],
                         "media_ref": pdf["media_ref"],
                         "width": w.astype(np.int32),
                         "height": h.astype(np.int32),
@@ -563,7 +586,7 @@ def decode_media(media_df: DataFrame) -> DataFrame:
             meta = [_meta(raw) for raw in raws]
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"].astype(np.int64),
+                    "doc_id": pdf["doc_id"],
                     "media_ref": pdf["media_ref"],
                     "width": pd.array([m[0] for m in meta], dtype="Int32"),
                     "height": pd.array([m[1] for m in meta], dtype="Int32"),
@@ -577,7 +600,12 @@ def decode_media(media_df: DataFrame) -> DataFrame:
             )
 
     return media_df.select("doc_id", "media_ref", "media_bytes").mapInPandas(
-        _decode, DECODE_SCHEMA
+        _decode,
+        _id_schema(
+            media_df,
+            "media_ref string, width int, height int, "
+            "n_frames int, mean_intensity double",
+        ),
     )
 
 
@@ -608,7 +636,7 @@ def decode_audio(media_df: DataFrame) -> DataFrame:
                     ns.append(None); rms.append(None)
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"].astype(np.int64),
+                    "doc_id": pdf["doc_id"],
                     "media_ref": pdf["media_ref"],
                     "sample_rate": pd.array(sr, dtype="Int32"),
                     "n_channels": pd.array(ch, dtype="Int32"),
@@ -618,7 +646,12 @@ def decode_audio(media_df: DataFrame) -> DataFrame:
             )
 
     return media_df.select("doc_id", "media_ref", "media_bytes").mapInPandas(
-        _decode, AUDIO_SCHEMA
+        _decode,
+        _id_schema(
+            media_df,
+            "media_ref string, sample_rate int, n_channels int, "
+            "n_samples bigint, rms double",
+        ),
     )
 
 
@@ -659,7 +692,10 @@ def extract_frames(media_df: DataFrame, every: int = 2) -> DataFrame:
             )
 
     return media_df.select("doc_id", "media_ref", "media_bytes").mapInPandas(
-        _extract, FRAME_SCHEMA
+        _extract,
+        _id_schema(
+            media_df, "media_ref string, frame_idx int, media_bytes binary"
+        ),
     )
 
 
@@ -704,7 +740,7 @@ def resize_media(
                     hs.append(None)
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"].astype(np.int64),
+                    "doc_id": pdf["doc_id"],
                     "media_ref": pdf["media_ref"],
                     "width": pd.array(ws, dtype="Int32"),
                     "height": pd.array(hs, dtype="Int32"),
@@ -713,7 +749,11 @@ def resize_media(
             )
 
     return media_df.select("doc_id", "media_ref", "media_bytes").mapInPandas(
-        _resize, RESIZE_SCHEMA
+        _resize,
+        _id_schema(
+            media_df,
+            "media_ref string, width int, height int, media_bytes binary",
+        ),
     )
 
 

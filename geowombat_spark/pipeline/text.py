@@ -42,13 +42,18 @@ def _hit_ratio(toks: Column, words: tuple[str, ...]) -> Column:
 
 
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Token count, char count, unique-token ratio, mean token length."""
-    toks = tokens(F.col(text_col))
+    """Token count, char count, unique-token ratio, mean token length.
+
+    NULL text coalesces to '' (module convention — see token_estimate):
+    a NULL n_tokens/quality would silently pass or fail three-valued
+    filters instead of scoring as an empty doc."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokens(txt)
     n = F.size(toks)
     return df.withColumns(
         {
             "n_tokens": n,
-            "n_chars_calc": F.length(F.col(text_col)),
+            "n_chars_calc": F.length(txt),
             "uniq_ratio": F.round(
                 F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1)), 6
             ),
@@ -68,11 +73,12 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     unique-token ratio, punctuation density. Mirrors the usual C4/Gopher-style
     filters in spirit; the exact weights are arbitrary but pinned by tests.
     """
-    toks = tokens(F.col(text_col))
+    txt = F.coalesce(F.col(text_col), F.lit(""))  # module NULL convention
+    toks = tokens(txt)
     n = F.greatest(F.size(toks), F.lit(1))
     stop_ratio = _hit_ratio(toks, STOPWORDS)
     uniq_ratio = F.size(F.array_distinct(toks)) / n
-    text_len = F.length(F.col(text_col))
+    text_len = F.length(txt)
     punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,!?;:]", ""))
     punct_ratio = punct / F.greatest(text_len, F.lit(1))
     len_ok = F.when((text_len >= 20) & (text_len <= 10000), 1.0).otherwise(0.3)
@@ -95,9 +101,11 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-word language ID: argmax over per-language hit ratios.
 
     Ties break by language code order (deterministic). Adds one score
-    column per language plus ``lang_pred``.
+    column per language plus ``lang_pred``. NULL text coalesces to ''
+    (module convention) — an empty doc ties every score at 0 and gets
+    the first language code, never a NULL prediction.
     """
-    toks = tokens(F.col(text_col))
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
     out = df
     for code, words in LANG_MARKERS.items():
         out = out.withColumn(f"score_{code}", F.round(_hit_ratio(toks, words), 6))
@@ -180,7 +188,7 @@ def bm25_scores(
     terms = sorted(set(t for t in query.lower().split() if t))
     if not terms:
         raise ValueError("empty query")
-    toks = tokens(F.lower(F.col(text_col)))
+    toks = tokens(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
     d = docs.select(
         F.col(id_col),
         F.size(toks).cast("double").alias("_dl"),
@@ -301,6 +309,11 @@ def repetition_stats(
         F.greatest(sz - 1, F.lit(1)),
     )
     n_bi = F.greatest(F.size(bi), F.lit(1))
+    # a <2-token doc has ZERO bigrams: the padded slice fabricates one
+    # phantom gram, which scored every one-word/empty doc as maximally
+    # repetitive (top_bigram_frac=1.0) — exactly the docs a Gopher
+    # filter must NOT discard as boilerplate
+    has_bi = sz >= 2
     # count of the modal bigram = longest equal run in the SORTED bigram
     # array: one array_sort (O(m log m)) + one linear fold, all in-row.
     # The former distinct×filter formulation re-scanned the full array per
@@ -327,7 +340,9 @@ def repetition_stats(
     return df.withColumns(
         {
             "dup_line_frac": F.round(dup_lines, 6),
-            "top_bigram_frac": F.round(top / n_bi, 6),
+            "top_bigram_frac": F.when(has_bi, F.round(top / n_bi, 6)).otherwise(
+                F.lit(0.0)
+            ),
         }
     )
 

@@ -1,12 +1,14 @@
 """Curation ops: decontamination, sequence packing, PII scrub."""
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from geowombat_spark.pipeline.curate import (
     decontaminate,
     pack_sequences,
     pii_scrub,
+    quality_buckets,
 )
 
 
@@ -294,3 +296,55 @@ def test_quality_buckets_more_buckets_than_labels(spark):
     docs = spark.createDataFrame(rows, "doc_id long, lang string, ppl double")
     out = quality_buckets(docs, "ppl", group_col="lang", n_buckets=4)
     assert {r.bucket for r in out.collect()} == {"1", "2", "3", "4"}
+
+
+def test_pack_sequences_null_text(spark):
+    """NULL text packs as the single empty token — it previously became
+    NaN n_tokens and int(NaN) killed the exact packer's Arrow stage."""
+    df = spark.createDataFrame(
+        [(1, "three token doc"), (2, None), (3, "two tokens")],
+        "doc_id long, text string",
+    )
+    for exact in (True, False):
+        out = pack_sequences(df, max_tokens=8, n_shards=1, exact=exact)
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert rows[2]["n_tokens"] == 1  # [''] — the module convention
+        assert all(r["pack"] is not None for r in rows.values())
+
+
+def test_quality_buckets_null_scores_not_head(spark):
+    """NULL scores must never land in bucket 'head' (Spark ASC default is
+    NULLS FIRST; DuckDB's is NULLS LAST — the fix aligns both and stops
+    unscorable docs being promoted to the best training bucket)."""
+    rows = [(i, "g", float(i)) for i in range(9)] + [(99, "g", None)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out = {
+        r["doc_id"]: r["bucket"]
+        for r in quality_buckets(
+            df, score_col="score", group_col="source", n_buckets=3
+        ).collect()
+    }
+    assert out[99] == "tail" and out[0] == "head"
+
+
+def test_pii_scrub_unknown_kind_fails_closed(spark):
+    df = spark.createDataFrame([(1, "a@b.com")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="unknown kinds"):
+        pii_scrub(df, kinds=("emails",))
+
+
+def test_decontaminate_blank_benchmark_row_ignored(spark):
+    """One empty/NULL benchmark row must not flag every empty corpus doc
+    as contaminated (both shingle to the '' whole-doc gram)."""
+    corpus = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "the quick brown fox jumps")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("",), (None,), ("quick brown fox",)], "text string"
+    )
+    out = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(corpus, bench, n=3).collect()
+    }
+    assert out[1] is False and out[2] is False and out[3] is True

@@ -1141,3 +1141,70 @@ def test_decode_png_error_contract_is_valueerror(spark):
     )
     with pytest.raises(ValueError, match="IDAT"):
         multimodal.decode_png(bad_idat)
+
+
+def test_span_hash_injective_on_field_boundaries(spark):
+    """The canonical span hash must distinguish sequences whose comma-join
+    collides: text containing a comma vs the comma split across fields,
+    and a NULL field vs an empty one (concat_ws silently skips NULLs)."""
+    rows = [
+        (1, [("text", "a,b", "c", 0)]),
+        (2, [("text", "a", "b,c", 0)]),
+        (3, [("text", None, "", 0)]),
+        (4, [("text", "", None, 0)]),
+    ]
+    df = spark.createDataFrame(
+        rows, f"doc_id long, spans {multimodal.SPAN_SCHEMA}"
+    )
+    h = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id", multimodal.span_hash_col().alias("h")
+        ).collect()
+    }
+    assert h[1] != h[2]
+    assert h[3] != h[4]
+
+
+def test_decode_media_corrupt_known_container_nulls(spark):
+    """A payload CLAIMING a known container (PNG magic) that fails to
+    decode degrades to NULL features — never to fabricated stub metadata
+    indistinguishable from a real decode."""
+    png_sig = multimodal._PNG_SIG
+    rows = [
+        (1, "m://a", bytearray(png_sig + b"\x00" * 20)),  # truncated PNG
+        (2, "m://b", bytearray(b"\x07" * 16)),            # unknown -> stub
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, media_ref string, media_bytes binary"
+    )
+    out = {r["doc_id"]: r for r in multimodal.decode_media(df).collect()}
+    assert out[1]["width"] is None and out[1]["mean_intensity"] is None
+    assert out[2]["width"] is not None  # deterministic stub still works
+
+
+def test_decode_media_string_doc_ids(spark):
+    """The canonical document shape allows string ids; the media UDF
+    stages must not crash casting them to int64."""
+    df = spark.createDataFrame(
+        [("doc-001", "m://a", bytearray(b"\x09" * 16))],
+        "doc_id string, media_ref string, media_bytes binary",
+    )
+    out = multimodal.decode_media(df).collect()
+    assert out[0]["doc_id"] == "doc-001" and out[0]["width"] is not None
+
+
+def test_repetition_single_token_not_repetitive(spark):
+    """One-word and empty docs have ZERO bigrams — top_bigram_frac must be
+    0.0, not the phantom-gram 1.0 that made a Gopher filter discard them
+    as maximally repetitive."""
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, ""), (3, None), (4, "a a a a")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["top_bigram_frac"]
+        for r in text.repetition_stats(df).collect()
+    }
+    assert out[1] == 0.0 and out[2] == 0.0 and out[3] == 0.0
+    assert out[4] == 1.0  # "a a" x3 of 3 bigrams: genuinely repetitive
