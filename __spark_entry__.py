@@ -1009,7 +1009,7 @@ def q_qa_mask(spark, sf_dir):
     from geowombat_spark.functions import radiometry as rad
 
     gd = grid_docs(spark, sf_dir).withColumn(
-        "qa", ((F.col("doc_id") * 37 + 11) % 512).cast("long")
+        "qa", ((F.col("doc_id") * 37 + 11) % 8192).cast("long")
     )
     out = rad.qa_mask(gd, "qa", keep_clear=True, max_cloud_conf=1)
     return out.select(
@@ -1018,11 +1018,13 @@ def q_qa_mask(spark, sf_dir):
             F.col(c).cast("long").alias(c)
             for c in (
                 "fill",
-                "clear",
-                "water",
-                "shadow_conf",
-                "snow_conf",
+                "terrain",
+                "saturated",
+                "cloud",
                 "cloud_conf",
+                "shadow_conf",
+                "snowice_conf",
+                "cirrus_conf",
                 "qa_ok",
             )
         ],
@@ -1512,7 +1514,7 @@ def q_qa_sensor_masks(spark, sf_dir):
     from geowombat_spark.functions import radiometry as rad
 
     gd = grid_docs(spark, sf_dir).withColumn(
-        "qa", ((F.col("doc_id") * 37 + 11) % 512).cast("long")
+        "qa", ((F.col("doc_id") * 37 + 11) % 8192).cast("long")
     ).withColumn("scl", (F.col("qa") % 12).cast("long"))
     out = rad.qa_masker(
         gd, "qa", "landsat-c2-l2", ("cloud", "cloud_shadow", "fill"),
@@ -3407,15 +3409,17 @@ FROM cells c LEFT JOIN burned b ON b.row = c.row AND b.col = c.col
 
     o["q_qa_mask"] = f"""
 WITH {G_SQL},
-q AS (SELECT doc_id, (doc_id * 37 + 11) % 512 AS qa FROM g)
+q AS (SELECT doc_id, (doc_id * 37 + 11) % 8192 AS qa FROM g)
 SELECT doc_id,
   CAST(qa & 1 AS BIGINT) AS fill,
-  CAST((qa >> 1) & 1 AS BIGINT) AS clear,
-  CAST((qa >> 2) & 1 AS BIGINT) AS water,
-  CAST((qa >> 3) & 3 AS BIGINT) AS shadow_conf,
-  CAST((qa >> 5) & 3 AS BIGINT) AS snow_conf,
-  CAST((qa >> 7) & 3 AS BIGINT) AS cloud_conf,
-  CAST(CASE WHEN ((qa >> 7) & 3) <= 1 AND ((qa >> 1) & 1) = 1
+  CAST((qa >> 1) & 1 AS BIGINT) AS terrain,
+  CAST((qa >> 2) & 3 AS BIGINT) AS saturated,
+  CAST((qa >> 4) & 1 AS BIGINT) AS cloud,
+  CAST((qa >> 5) & 3 AS BIGINT) AS cloud_conf,
+  CAST((qa >> 7) & 3 AS BIGINT) AS shadow_conf,
+  CAST((qa >> 9) & 3 AS BIGINT) AS snowice_conf,
+  CAST((qa >> 11) & 3 AS BIGINT) AS cirrus_conf,
+  CAST(CASE WHEN ((qa >> 5) & 3) <= 1 AND ((qa >> 4) & 1) = 0
             AND (qa & 1) = 0 THEN 1 ELSE 0 END AS BIGINT) AS qa_ok
 FROM q
 """
@@ -3945,8 +3949,8 @@ WHERE doc_id // {NCOLS} < nr
     o["q_qa_sensor_masks"] = """
 WITH q AS (
   SELECT doc_id,
-         CAST((doc_id * 37 + 11) % 512 AS BIGINT) AS qa,
-         CAST(((doc_id * 37 + 11) % 512) % 12 AS BIGINT) AS scl
+         CAST((doc_id * 37 + 11) % 8192 AS BIGINT) AS qa,
+         CAST(((doc_id * 37 + 11) % 8192) % 12 AS BIGINT) AS scl
   FROM documents)
 SELECT doc_id,
   CASE WHEN ((qa >> 3) & 1) > 0 OR ((qa >> 4) & 1) > 0 OR ((qa >> 0) & 1) > 0

@@ -84,13 +84,22 @@ def bandpass(
 # Landsat-8 C1 pixel_qa–style bit layout (the shape used by QAMasker,
 # ``qa.py:112-169``): single bits for fill/clear/water, 2-bit confidence
 # pairs for cloud shadow / snow / cloud.
+# Landsat Collection-1 L8 BQA layout — the reference's 'l8-c1' table
+# (``qa.py:248-256``, stored there as (high_bit, low_bit) pairs; same
+# flags re-expressed as (offset, width)): fill 0, terrain 1, saturation
+# 2-3, cloud 4, cloud_conf 5-6, shadow_conf 7-8, snowice_conf 9-10,
+# cirrus_conf 11-12. (An earlier table here put clear/water bits and
+# shifted confidences — a hybrid matching neither the reference nor the
+# USGS C1 BQA; real products decoded straddled fields.)
 QA_BITS_L8 = {
     "fill": (0, 1),
-    "clear": (1, 1),
-    "water": (2, 1),
-    "shadow_conf": (3, 2),
-    "snow_conf": (5, 2),
-    "cloud_conf": (7, 2),
+    "terrain": (1, 1),
+    "saturated": (2, 2),
+    "cloud": (4, 1),
+    "cloud_conf": (5, 2),
+    "shadow_conf": (7, 2),
+    "snowice_conf": (9, 2),
+    "cirrus_conf": (11, 2),
 }
 
 
@@ -117,13 +126,15 @@ def qa_mask(
     max_cloud_conf: int = 1,
     bits: dict[str, tuple[int, int]] = None,
 ) -> DataFrame:
-    """QAMasker-style boolean mask: 1 = usable pixel. Clear set and cloud
-    confidence at or below ``max_cloud_conf`` (``qa.py:236-344``)."""
+    """QAMasker-style boolean mask: 1 = usable pixel — not fill, cloud
+    confidence at or below ``max_cloud_conf``, and (``keep_clear``) the
+    cloud bit unset (``qa.py:236-344``; C1 BQA has no 'clear' bit — clear
+    IS the absence of the cloud flag)."""
     bits = bits or QA_BITS_L8
     df = qa_unpack(df, qa_col, bits)
     cond = F.col("cloud_conf") <= F.lit(max_cloud_conf)
     if keep_clear:
-        cond = cond & (F.col("clear") == 1)
+        cond = cond & (F.col("cloud") == 0)
     cond = cond & (F.col("fill") == 0)
     return df.withColumn("qa_ok", F.when(cond, F.lit(1)).otherwise(F.lit(0)))
 

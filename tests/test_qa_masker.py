@@ -118,9 +118,9 @@ def test_conf_fields_mask_only_maybe_and_yes(spark):
     """2-bit confidence fields follow the reference conf_dict (notdet=0,
     no=1, maybe=2, yes=3): level 1 explicitly means 'no cloud' and must
     pass; class fields (landwater) keep any-nonzero semantics."""
-    # l8-c1 cloud_conf at bits (7, 2)
+    # l8-c1 cloud_conf at offset 5, width 2 (reference qa.py:248-256)
     df = spark.createDataFrame(
-        pd.DataFrame({"pix": [0, 1, 2, 3], "qa": [c << 7 for c in range(4)]})
+        pd.DataFrame({"pix": [0, 1, 2, 3], "qa": [c << 5 for c in range(4)]})
     )
     out = (
         qa_masker(df, "qa", "l8-c1", ("cloud_conf",)).orderBy("pix").toPandas()
