@@ -48,6 +48,9 @@ __all__ = [
     "polygon_sample_centers",
     "align_bounds",
     "window_from_bounds",
+    "unpack_bounding_box",
+    "unpack_window",
+    "window_to_bounds",
     "bbox_cover_tiles",
 ]
 
@@ -591,6 +594,62 @@ def window_from_bounds(
     width = (maxx - minx) / xres
     height = (maxy - miny) / yres
     return row_off, col_off, height, width
+
+
+def unpack_bounding_box(bounds: str) -> tuple[float, float, float, float]:
+    """Parse a ``'BoundingBox(left=..., bottom=..., right=..., top=...)'``
+    repr string back to ``(left, bottom, right, top)`` floats — reference
+    ``unpack_bounding_box`` (``src/geowombat/backends/rasterio_.py:562-584``;
+    golden ``tests/test_rasterio.py:115-124``). Field order in the string is
+    free; unknown fields are ignored, missing fields raise ``ValueError``."""
+    vals: dict[str, float] = {}
+    for part in bounds.replace("BoundingBox(", "").split(","):
+        part = part.strip().rstrip(")")
+        if "=" in part:
+            key, _, raw = part.partition("=")
+            vals[key.strip()] = float(raw)
+    try:
+        return vals["left"], vals["bottom"], vals["right"], vals["top"]
+    except KeyError as exc:  # pragma: no cover - caller error
+        raise ValueError(f"malformed BoundingBox string: {bounds!r}") from exc
+
+
+def unpack_window(window: str) -> tuple[int, int, int, int]:
+    """Parse a ``'Window(col_off=..., row_off=..., width=..., height=...)'``
+    repr string back to ``(row_off, col_off, height, width)`` ints — the
+    (row, col, height, width) order every windowed op here uses. Reference
+    ``unpack_window`` (``src/geowombat/backends/rasterio_.py:586-608``;
+    golden ``tests/test_rasterio.py:126-130``)."""
+    vals: dict[str, int] = {}
+    for part in window.replace("Window(", "").split(","):
+        part = part.strip().rstrip(")")
+        if "=" in part:
+            key, _, raw = part.partition("=")
+            vals[key.strip()] = int(float(raw))
+    try:
+        return vals["row_off"], vals["col_off"], vals["height"], vals["width"]
+    except KeyError as exc:  # pragma: no cover - caller error
+        raise ValueError(f"malformed Window string: {window!r}") from exc
+
+
+def window_to_bounds(
+    grid: GridSpec,
+    row_off: int,
+    col_off: int,
+    height: int,
+    width: int,
+) -> tuple[float, float, float, float]:
+    """Bounds ``(left, bottom, right, top)`` of a pixel window on ``grid`` —
+    reference ``window_to_bounds`` (``src/geowombat/backends/rasterio_.py:
+    610-630``; golden ``tests/test_rasterio.py:132-151``): left/top from the
+    forward affine at the window origin, right/bottom by extent arithmetic
+    with ``abs(res)`` (so it is correct for north-up grids regardless of the
+    sign convention carried in the transform)."""
+    left = grid.left + col_off * grid.cellx
+    top = grid.top - row_off * grid.celly
+    right = left + width * abs(grid.cellx)
+    bottom = top - height * abs(grid.celly)
+    return left, bottom, right, top
 
 
 def round_window(

@@ -25,7 +25,10 @@ from geowombat_spark.grid import (
     polygon_sample_centers,
     rowcol_to_center_coords,
     round_window,
+    unpack_bounding_box,
+    unpack_window,
     window_from_bounds,
+    window_to_bounds,
     zorder_decode,
     zorder_encode,
 )
@@ -61,6 +64,46 @@ def test_window_from_bounds_golden():
     # /root/reference/tests/test_rasterio.py:57-65
     row_off, col_off, height, width = window_from_bounds(-100, -100, 100, 100, (10, 10))
     assert (height, width) == (20, 20)
+
+
+def test_unpack_bounding_box_golden():
+    # /root/reference/tests/test_rasterio.py:115-124
+    s = "BoundingBox(left=-100, bottom=-100, right=100, top=100)"
+    assert unpack_bounding_box(s) == (-100.0, -100.0, 100.0, 100.0)
+    # field order in the repr is free
+    s = "BoundingBox(top=4, right=3, bottom=2, left=1)"
+    assert unpack_bounding_box(s) == (1.0, 2.0, 3.0, 4.0)
+    with pytest.raises(ValueError):
+        unpack_bounding_box("BoundingBox(left=1, right=2)")
+
+
+def test_unpack_window_golden():
+    # /root/reference/tests/test_rasterio.py:126-130 — returned in the
+    # (row_off, col_off, height, width) order used engine-wide.
+    s = "Window(col_off=0, row_off=0, width=100, height=100)"
+    assert unpack_window(s) == (0, 0, 100, 100)
+    s = "Window(col_off=3, row_off=7, width=20, height=10)"
+    assert unpack_window(s) == (7, 3, 10, 20)
+    with pytest.raises(ValueError):
+        unpack_window("Window(col_off=0)")
+
+
+def test_window_to_bounds_golden():
+    # /root/reference/tests/test_rasterio.py:132-151: left/top from the
+    # affine at the window origin; right = left + width*res,
+    # bottom = top - height*res.
+    g = L8_GRID
+    left, bottom, right, top = window_to_bounds(g, 0, 0, 100, 100)
+    assert (left, top) == (g.left, g.top)
+    assert right == g.left + 100 * g.cellx
+    assert bottom == g.top - 100 * g.celly
+    # offset window + repr round-trip through unpack_window
+    w = unpack_window("Window(col_off=5, row_off=2, width=4, height=3)")
+    left, bottom, right, top = window_to_bounds(g, *w)
+    assert left == g.left + 5 * g.cellx
+    assert top == g.top - 2 * g.celly
+    assert right == left + 4 * g.cellx
+    assert bottom == top - 3 * g.celly
 
 
 def test_coords_roundtrip_centers():

@@ -126,9 +126,19 @@ def test_vrt_roundtrip(spark, corpus_dir, docs, tmp_path):
         bands=("band_blue",), resampling="average", overwrite=True,
     )
     warped = gw.open_vrt(spark, vrt2)
-    # every emitted destination cell aggregates >= 1 source cell
+    # full-lattice warp semantics (df65f79, matching GDAL warp /
+    # ref backends/rasterio_.py:866-1049): the replay emits EVERY
+    # destination-lattice cell; cells with no source contribution carry
+    # NULL bands rather than being dropped.
     n = warped.count()
-    assert 0 < n <= docs.count()
+    assert n == dst.nrows * dst.ncols
+    import pyspark.sql.functions as F
+
+    covered = warped.filter(F.col("band_blue").isNotNull()).count()
+    # the 2x downsample of a fully-covered source covers every dst cell
+    assert 0 < covered <= n
+    # uncovered cells (if any) are NULL-band, never missing rows
+    assert warped.filter(F.col("band_blue").isNull()).count() == n - covered
 
 
 def test_gw_load_stack_rescale_nodata(spark, corpus_dir, docs):
