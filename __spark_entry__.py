@@ -1147,8 +1147,11 @@ def q_dn_sr(spark, sf_dir):
 
 def q_rings(spark, sf_dir):
     """Polygon ring reconstruction (array_to_polygon geometry step,
-    conversion.py:495-568): connected components, then the per-component
-    boundary tracer (one groupBy(comp) exchange, O(perimeter) local work).
+    conversion.py:495-568): connected components, then the tile-stitched
+    boundary tracer (trace_rings_tiled: per-tile chain extraction with a
+    halo, O(perimeter) segments shuffled to the per-component stitcher —
+    no task ever holds a component's O(area) cell set, so a giant
+    background component no longer serializes into one straggler).
     The oracle validates ring topology without re-tracing: perimeter =
     4C - 2A, ring count = 2 - chi with chi = C - A + Q (digital-topology
     Euler characteristic; A = same-comp 4-adjacent pairs, Q = solid 2x2
@@ -1162,7 +1165,7 @@ def q_rings(spark, sf_dir):
     comps = pz.connected_components_tiled(
         gd.select("row", "col", F.col("cls").alias("value")), "value"
     )
-    rings = pz.trace_rings(comps)
+    rings = pz.trace_rings_tiled(comps)
     return rings.groupBy("comp", "value").agg(
         F.count(F.lit(1)).cast("long").alias("n_rings"),
         F.sum("n_vertices").cast("long").alias("n_corners"),

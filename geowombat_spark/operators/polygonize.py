@@ -151,20 +151,11 @@ def region_summary(comps: DataFrame) -> DataFrame:
     )
 
 
-def trace_cell_rings(
+def _boundary_edges(
     cells: set[tuple[int, int]],
-) -> list[tuple[list[tuple[int, int]], int, float]]:
-    """Pure boundary tracer for ONE component's cell set (no Spark).
-
-    Returns rings sorted exterior-first: each as (corner vertices, unit
-    edge count, signed area in (x=col, y=row) — exterior positive). The
-    walk keeps the interior on the RIGHT; pinch vertices take the
-    sharpest right turn; collinear runs merge to corners. Factored out of
-    :func:`trace_rings` so property tests can drive it directly (the
-    Euler-characteristic invariants in tests/test_property.py).
-    """
-    import numpy as np
-
+) -> dict[tuple[int, int], list[tuple[int, int]]]:
+    """Directed boundary unit edges of a cell set, interior on the RIGHT:
+    ``{tail_vertex: [head_vertex, ...]}``."""
     edges: dict[tuple[int, int], list[tuple[int, int]]] = {}
 
     def add(a, b):
@@ -179,7 +170,67 @@ def trace_cell_rings(
             add((r + 1, c), (r, c))
         if (r, c + 1) not in cells:  # right side, walk +r
             add((r, c + 1), (r + 1, c + 1))
+    return edges
 
+
+def _take_next(cur, din, outs):
+    """Pop the successor of a directed boundary step — single edge, or the
+    sharpest right turn at a pinch vertex (the non-crossing pairing that
+    splits diagonally-touching lobes into simple rings, GDAL
+    4-connectivity behavior). Shared verbatim by the single-task walk,
+    the per-tile chain walk, and the cross-tile stitcher so all three
+    produce the identical edge-successor permutation."""
+    if len(outs) == 1:
+        return outs.pop(0)
+    # right of din=(dr,dc) in (row-down, col-right) frame
+    pref = [
+        (din[1], -din[0]),   # right turn
+        din,                 # straight
+        (-din[1], din[0]),   # left turn
+    ]
+    for d in pref:
+        cand = (cur[0] + d[0], cur[1] + d[1])
+        if cand in outs:
+            outs.remove(cand)
+            return cand
+    return outs.pop(0)
+
+
+def _shoelace(corners: list[tuple[int, int]]) -> float:
+    """Signed area in (x=col, y=row) — exterior positive."""
+    import numpy as np
+
+    xs = np.array([p[1] for p in corners], dtype=np.float64)
+    ys = np.array([p[0] for p in corners], dtype=np.float64)
+    return 0.5 * float(np.sum(xs * np.roll(ys, -1) - np.roll(xs, -1) * ys))
+
+
+def _merge_collinear_cyclic(
+    ring: list[tuple[int, int]],
+) -> list[tuple[int, int]]:
+    """Keep only corners of a closed vertex cycle (direction changes),
+    comparing step *signs* so it also canonicalizes stitched rings whose
+    steps are already multi-unit runs."""
+    def sgn(v):
+        return (v > 0) - (v < 0)
+
+    merged = []
+    m = len(ring)
+    for i in range(m):
+        p0, p1, p2 = ring[i - 1], ring[i], ring[(i + 1) % m]
+        d0 = (sgn(p1[0] - p0[0]), sgn(p1[1] - p0[1]))
+        d1 = (sgn(p2[0] - p1[0]), sgn(p2[1] - p1[1]))
+        if d0 != d1:
+            merged.append(p1)
+    return merged
+
+
+def _walk_closed_rings(
+    edges: dict[tuple[int, int], list[tuple[int, int]]],
+) -> list[tuple[list[tuple[int, int]], int, float]]:
+    """Consume a closed directed-edge set into rings: each as (corner
+    vertices starting at the ring's lexicographic-min vertex, unit edge
+    count, signed shoelace area). Mutates ``edges``."""
     rings = []
     while edges:
         start = min(edges)
@@ -195,48 +246,30 @@ def trace_cell_rings(
             outs = edges.get(cur)
             if not outs:  # open boundary: malformed input
                 raise ValueError(f"boundary walk stuck at {cur}")
-            if len(outs) == 1:
-                nxt = outs.pop(0)
-            else:
-                # pinch vertex: sharpest right turn first
-                # right of din=(dr,dc) in (row-down, col-right) frame
-                pref = [
-                    (din[1], -din[0]),   # right turn
-                    din,                 # straight
-                    (-din[1], din[0]),   # left turn
-                ]
-                nxt = None
-                for d in pref:
-                    cand = (cur[0] + d[0], cur[1] + d[1])
-                    if cand in outs:
-                        nxt = cand
-                        outs.remove(cand)
-                        break
-                if nxt is None:
-                    nxt = outs.pop(0)
+            nxt = _take_next(cur, din, outs)
             if not outs:
                 edges.pop(cur, None)
             din = (nxt[0] - cur[0], nxt[1] - cur[1])
             cur = nxt
         n_edges = len(ring)
-        # merge collinear runs (keep corners only)
-        merged = []
-        m = len(ring)
-        for i in range(m):
-            p0, p1, p2 = ring[i - 1], ring[i], ring[(i + 1) % m]
-            if (p1[0] - p0[0], p1[1] - p0[1]) != (
-                p2[0] - p1[0],
-                p2[1] - p1[1],
-            ):
-                merged.append(p1)
-        # shoelace in (x=col, y=row): exterior positive
-        xs = np.array([p[1] for p in merged], dtype=np.float64)
-        ys = np.array([p[0] for p in merged], dtype=np.float64)
-        area = 0.5 * float(
-            np.sum(xs * np.roll(ys, -1) - np.roll(xs, -1) * ys)
-        )
-        rings.append((merged, n_edges, area))
+        merged = _merge_collinear_cyclic(ring)
+        rings.append((merged, n_edges, _shoelace(merged)))
+    return rings
 
+
+def trace_cell_rings(
+    cells: set[tuple[int, int]],
+) -> list[tuple[list[tuple[int, int]], int, float]]:
+    """Pure boundary tracer for ONE component's cell set (no Spark).
+
+    Returns rings sorted exterior-first: each as (corner vertices, unit
+    edge count, signed area in (x=col, y=row) — exterior positive). The
+    walk keeps the interior on the RIGHT; pinch vertices take the
+    sharpest right turn; collinear runs merge to corners. Factored out of
+    :func:`trace_rings` so property tests can drive it directly (the
+    Euler-characteristic invariants in tests/test_property.py).
+    """
+    rings = _walk_closed_rings(_boundary_edges(cells))
     # deterministic ring order: exterior-first (area desc), then first vertex
     rings.sort(key=lambda t: (-t[2], t[0][0] if t[0] else (0, 0)))
     return rings
@@ -345,6 +378,322 @@ def trace_rings(
         "_bkt", F.pmod(F.xxhash64(F.col("comp")), F.lit(int(n_buckets)))
     )
     return bucketed.groupBy("_bkt").applyInPandas(compute_bucket, schema)
+
+
+def _walk_tile_chains(edges, tile_rows: int, tile_cols: int):
+    """Split one component's boundary edges *within one tile* into
+    (a) open chains cut at tile lattice-line vertices and (b) rings that
+    close entirely inside the tile. Mutates ``edges``.
+
+    A vertex on a lattice line (``r % tile_rows == 0`` or
+    ``c % tile_cols == 0``) may have its remaining edges owned by the
+    neighboring tile, so pinch pairing there is deferred to the stitcher;
+    every other vertex has ALL its edges in this tile (each directed
+    boundary edge is generated by one of the ≤4 cells touching its tail,
+    and a strictly-interior vertex touches only in-tile cells), so
+    :func:`_take_next` pairing is locally complete and correct.
+
+    Returns (chains, rings): chains as (vertex list incl. both endpoints,
+    interior collinear runs merged, unit edge count); rings in
+    :func:`_walk_closed_rings` form.
+    """
+    def is_cut(v):
+        return (v[0] % tile_rows == 0) or (v[1] % tile_cols == 0)
+
+    chains = []
+    for v0 in sorted(v for v in edges if is_cut(v)):
+        while edges.get(v0):
+            outs0 = edges[v0]
+            nxt = outs0.pop(0)
+            if not outs0:
+                del edges[v0]
+            verts = [v0]
+            n = 1
+            din = (nxt[0] - v0[0], nxt[1] - v0[1])
+            cur = nxt
+            while not is_cut(cur):
+                verts.append(cur)
+                outs = edges.get(cur)
+                if not outs:
+                    raise ValueError(f"boundary walk stuck at {cur}")
+                nxt = _take_next(cur, din, outs)
+                if not outs:
+                    edges.pop(cur, None)
+                din = (nxt[0] - cur[0], nxt[1] - cur[1])
+                cur = nxt
+                n += 1
+            verts.append(cur)
+            # merge interior collinear runs; keep both endpoints (the
+            # stitcher re-merges across junctions)
+            kept = [verts[0]]
+            for i in range(1, len(verts) - 1):
+                d0 = (verts[i][0] - kept[-1][0], verts[i][1] - kept[-1][1])
+                d1 = (verts[i + 1][0] - verts[i][0], verts[i + 1][1] - verts[i][1])
+                sg = lambda v: ((v[0] > 0) - (v[0] < 0), (v[1] > 0) - (v[1] < 0))
+                if sg(d0) != sg(d1):
+                    kept.append(verts[i])
+            kept.append(verts[-1])
+            chains.append((kept, n))
+    rings = _walk_closed_rings(edges)
+    return chains, rings
+
+
+def _stitch_segments(segs):
+    """Join open boundary chains (cut at tile lattice vertices) into
+    closed rings, applying the same :func:`_take_next` sharpest-right-turn
+    preference at junction vertices so the cross-tile edge-successor
+    permutation equals the single-task walk's. ``segs``: list of
+    (vertex list, unit edge count). Returns :func:`_walk_closed_rings`
+    form (corners starting at the ring's min vertex, n_edges, signed
+    area)."""
+    def sgn(v):
+        return ((v[0] > 0) - (v[0] < 0), (v[1] > 0) - (v[1] < 0))
+
+    def first_dir(i):
+        v = segs[i][0]
+        return sgn((v[1][0] - v[0][0], v[1][1] - v[0][1]))
+
+    outmap: dict[tuple[int, int], list[int]] = {}
+    for i, (v, _) in enumerate(segs):
+        outmap.setdefault(v[0], []).append(i)
+    for lst in outmap.values():
+        lst.sort(key=lambda i: (first_dir(i), i))
+
+    unused = set(range(len(segs)))
+    rings = []
+    while unused:
+        seed = min(unused, key=lambda i: (segs[i][0][0], first_dir(i)))
+        start_v = segs[seed][0][0]
+        verts: list[tuple[int, int]] = []
+        n_edges = 0
+        i = seed
+        while True:
+            v, n = segs[i]
+            unused.discard(i)
+            outmap[v[0]].remove(i)
+            verts.extend(v if not verts else v[1:])
+            n_edges += n
+            end = verts[-1]
+            # A ring may legitimately pass THROUGH the seed vertex (a
+            # pinch can be visited twice), so closure is decided on the
+            # EDGE level: the ring closes only when the turn rule selects
+            # the (already consumed) seed segment as the successor —
+            # exactly the permutation-cycle criterion the single-task
+            # walk realizes via its never-a-pinch min-vertex start.
+            cands = [j for j in outmap.get(end, ()) if j in unused]
+            if end == start_v:
+                cands = cands + [seed]
+            if not cands:
+                raise ValueError(f"ring stitch stuck at {end}")
+            if len(cands) == 1:
+                i = cands[0]
+            else:
+                din = sgn((end[0] - verts[-2][0], end[1] - verts[-2][1]))
+                pref = [(din[1], -din[0]), din, (-din[1], din[0])]
+                for d in pref:
+                    nxt = [j for j in cands if first_dir(j) == d]
+                    if nxt:
+                        i = nxt[0]
+                        break
+                else:
+                    i = cands[0]
+            if i == seed:
+                verts.pop()  # close the cycle: drop the repeated start
+                break
+        corners = _merge_collinear_cyclic(verts)
+        k = corners.index(min(corners))
+        corners = corners[k:] + corners[:k]
+        rings.append((corners, n_edges, _shoelace(corners)))
+    return rings
+
+
+def trace_rings_tiled(
+    comps: DataFrame,
+    grid=None,
+    tile_rows: int = 64,
+    tile_cols: int = 64,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """:func:`trace_rings` re-planned for skew: identical output contract,
+    but no single task ever holds a whole component's CELLS.
+
+    :func:`trace_rings` ships each component's full cell set (O(area))
+    through one task — a giant background/ocean component serializes its
+    entire area AND perimeter walk into one straggler. Here the walk runs
+    per tile and only boundary *segments* (O(perimeter), collinear-merged)
+    shuffle to the per-component stitcher — the same area→perimeter
+    reduction ``connected_components_tiled`` applies to the labeling step
+    (``polygonize.py`` tiled pattern; ref semantics unchanged:
+    ``conversion.py:495-568``).
+
+    Plan: one halo scatter (4-direction 1-cell strips, so cross-tile
+    neighbor membership is decided locally) → ``groupBy(tile)`` chain
+    extraction (O(tile) work/memory per task) → ``groupBy(comp-bucket)``
+    stitch over segments. Rings that close inside one tile skip straight
+    to index assignment. Pinch pairing is exact: interior vertices pair
+    locally (all their edges are tile-local), lattice-line vertices defer
+    to the stitcher, and both use the shared :func:`_take_next`
+    preference, so the edge-successor permutation — hence the ring
+    decomposition, canonical start vertices, ring order, and vertex
+    arrays — equals :func:`trace_rings` exactly (pinned by
+    tests/test_rasterize_polygonize.py equality tests).
+    """
+    import pandas as pd
+
+    g = grid.as_dict() if grid is not None else None
+    TR, TC = int(tile_rows), int(tile_cols)
+
+    def tile_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        member: dict[tuple[int, int], int] = {}
+        for r, c, k in zip(pdf["row"], pdf["col"], pdf["comp"]):
+            member[(int(r), int(c))] = int(k)
+        own = pdf[pdf["_own"]]
+        by_comp: dict[int, set] = {}
+        for r, c, k in zip(own["row"], own["col"], own["comp"]):
+            by_comp.setdefault(int(k), set()).add((int(r), int(c)))
+        vals = dict(zip(own["comp"].astype("int64"), own["value"]))
+        rows = []
+        for k, cells in sorted(by_comp.items()):
+            edges: dict = {}
+
+            def add(a, b):
+                edges.setdefault(a, []).append(b)
+
+            for (r, c) in cells:
+                if member.get((r - 1, c)) != k:
+                    add((r, c), (r, c + 1))
+                if member.get((r + 1, c)) != k:
+                    add((r + 1, c + 1), (r + 1, c))
+                if member.get((r, c - 1)) != k:
+                    add((r + 1, c), (r, c))
+                if member.get((r, c + 1)) != k:
+                    add((r, c + 1), (r + 1, c + 1))
+            chains, rings = _walk_tile_chains(edges, TR, TC)
+            for verts, n in chains:
+                rows.append(
+                    {
+                        "comp": k, "value": vals[k], "kind": 0,
+                        "n_edges": n,
+                        "vr": [p[0] for p in verts],
+                        "vc": [p[1] for p in verts],
+                    }
+                )
+            for corners, n, _area in rings:
+                rows.append(
+                    {
+                        "comp": k, "value": vals[k], "kind": 1,
+                        "n_edges": n,
+                        "vr": [p[0] for p in corners],
+                        "vc": [p[1] for p in corners],
+                    }
+                )
+        cols = ["comp", "value", "kind", "n_edges", "vr", "vc"]
+        if rows:
+            return pd.DataFrame(rows, columns=cols)
+        return pd.DataFrame(
+            {
+                "comp": pd.Series([], dtype="int64"),
+                "value": pd.Series([], dtype=own["value"].dtype),
+                "kind": pd.Series([], dtype="int32"),
+                "n_edges": pd.Series([], dtype="int64"),
+                "vr": pd.Series([], dtype="object"),
+                "vc": pd.Series([], dtype="object"),
+            }
+        )
+
+    def stitch_kernel(key, bdf: pd.DataFrame) -> pd.DataFrame:
+        out_rows = []
+        for comp, cpdf in bdf.groupby("comp", sort=True):
+            value = cpdf["value"].iloc[0]
+            rings = []
+            segs = []
+            for kind, vr, vc, n in zip(
+                cpdf["kind"], cpdf["vr"], cpdf["vc"], cpdf["n_edges"]
+            ):
+                verts = list(zip((int(r) for r in vr), (int(c) for c in vc)))
+                if kind == 1:
+                    rings.append((verts, int(n), _shoelace(verts)))
+                else:
+                    segs.append((verts, int(n)))
+            rings.extend(_stitch_segments(segs))
+            rings.sort(key=lambda t: (-t[2], t[0][0] if t[0] else (0, 0)))
+            for idx, (merged, n_edges, area) in enumerate(rings):
+                if g is not None:
+                    oxs = [g["left"] + p[1] * g["cellx"] for p in merged]
+                    oys = [g["top"] - p[0] * g["celly"] for p in merged]
+                else:
+                    oxs = [float(p[1]) for p in merged]
+                    oys = [float(p[0]) for p in merged]
+                out_rows.append(
+                    {
+                        "comp": int(comp), "value": value, "ring_idx": idx,
+                        "is_hole": area < 0, "n_vertices": len(merged),
+                        "n_edges": n_edges, "area": abs(area),
+                        "xs": oxs, "ys": oys,
+                    }
+                )
+        cols = [
+            "comp", "value", "ring_idx", "is_hole", "n_vertices",
+            "n_edges", "area", "xs", "ys",
+        ]
+        if out_rows:
+            return pd.DataFrame(out_rows, columns=cols)
+        return pd.DataFrame(
+            {
+                "comp": pd.Series([], dtype="int64"),
+                "value": pd.Series([], dtype=bdf["value"].dtype),
+                "ring_idx": pd.Series([], dtype="int32"),
+                "is_hole": pd.Series([], dtype="bool"),
+                "n_vertices": pd.Series([], dtype="int64"),
+                "n_edges": pd.Series([], dtype="int64"),
+                "area": pd.Series([], dtype="float64"),
+                "xs": pd.Series([], dtype="object"),
+                "ys": pd.Series([], dtype="object"),
+            }
+        )
+
+    vt = comps.schema["value"].dataType.simpleString()
+    base = comps.select("row", "col", "value", "comp")
+    tr = F.floor(F.col("row") / TR).cast("long")
+    tc = F.floor(F.col("col") / TC).cast("long")
+    # own copy + up-to-4 halo copies (1-cell strips; membership tests use
+    # only 4-neighbors, so no diagonal halo is needed)
+    copy = lambda dtr, dtc, own: F.struct(  # noqa: E731
+        (tr + dtr).alias("_tr"), (tc + dtc).alias("_tc"),
+        F.lit(own).alias("_own"),
+    )
+    null_copy = F.lit(None).cast("struct<_tr:bigint,_tc:bigint,_own:boolean>")
+    scattered = base.select(
+        "row", "col", "value", "comp",
+        F.explode(
+            F.filter(
+                F.array(
+                    copy(0, 0, True),
+                    F.when(F.col("row") % TR == 0, copy(-1, 0, False)).otherwise(null_copy),
+                    F.when(F.col("row") % TR == TR - 1, copy(1, 0, False)).otherwise(null_copy),
+                    F.when(F.col("col") % TC == 0, copy(0, -1, False)).otherwise(null_copy),
+                    F.when(F.col("col") % TC == TC - 1, copy(0, 1, False)).otherwise(null_copy),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("_t"),
+    ).select("row", "col", "value", "comp", "_t._tr", "_t._tc", "_t._own")
+    seg_schema = (
+        f"comp bigint, value {vt}, kind int, n_edges bigint, "
+        "vr array<bigint>, vc array<bigint>"
+    )
+    segments = scattered.groupBy("_tr", "_tc").applyInPandas(
+        tile_kernel, seg_schema
+    )
+    ring_schema = (
+        f"comp bigint, value {vt}, ring_idx int, is_hole boolean, "
+        "n_vertices bigint, n_edges bigint, area double, "
+        "xs array<double>, ys array<double>"
+    )
+    bucketed = segments.withColumn(
+        "_bkt", F.pmod(F.xxhash64(F.col("comp")), F.lit(int(n_buckets)))
+    )
+    return bucketed.groupBy("_bkt").applyInPandas(stitch_kernel, ring_schema)
 
 
 def connected_components_tiled(

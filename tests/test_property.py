@@ -207,6 +207,88 @@ def test_ring_tracer_satisfies_euler_topology(seed, h, w, density):
         assert sum(len(m) for m, _, _ in rings) == corners
 
 
+def _tiled_rings_pure(cells, tile_rows, tile_cols):
+    """Pure (no-Spark) replay of the trace_rings_tiled plan: per-tile chain
+    extraction with full-membership halo semantics, then segment stitching.
+    Mirrors the executor kernels exactly so hypothesis can sweep shapes."""
+    from geowombat_spark.operators.polygonize import (
+        _shoelace,
+        _stitch_segments,
+        _walk_tile_chains,
+    )
+
+    tiles = {}
+    for (r, c) in cells:
+        tiles.setdefault((r // tile_rows, c // tile_cols), set()).add((r, c))
+    segs, rings = [], []
+    for _, owned in sorted(tiles.items()):
+        edges = {}
+
+        def add(a, b):
+            edges.setdefault(a, []).append(b)
+
+        for (r, c) in owned:
+            if (r - 1, c) not in cells:
+                add((r, c), (r, c + 1))
+            if (r + 1, c) not in cells:
+                add((r + 1, c + 1), (r + 1, c))
+            if (r, c - 1) not in cells:
+                add((r + 1, c), (r, c))
+            if (r, c + 1) not in cells:
+                add((r, c + 1), (r + 1, c + 1))
+        ch, ri = _walk_tile_chains(edges, tile_rows, tile_cols)
+        segs += ch
+        rings += ri
+    rings = rings + _stitch_segments(segs)
+    rings.sort(key=lambda t: (-t[2], t[0][0] if t[0] else (0, 0)))
+    return rings
+
+
+@given(
+    st.integers(0, 2**31 - 1),
+    st.integers(2, 12),
+    st.integers(2, 12),
+    st.floats(0.2, 0.8),
+    st.sampled_from([(1, 1), (2, 2), (3, 2), (4, 5)]),
+)
+@settings(max_examples=120, deadline=None)
+def test_tiled_tracer_equals_single_task_tracer(seed, h, w, density, tile):
+    """Per-tile chain extraction + stitching must reproduce the single-task
+    boundary walk EXACTLY — same rings, same corner lists, same unit edge
+    counts, same signed areas — for every component of arbitrary random
+    grids at every tile geometry (incl. 1x1 = pure stitcher)."""
+    from geowombat_spark.operators.polygonize import trace_cell_rings
+
+    rng = np.random.default_rng(seed)
+    grid = rng.random((h, w)) < density
+    cells = {(r, c) for r in range(h) for c in range(w) if grid[r, c]}
+    if not cells:
+        return
+    # per 4-connected component (same local union-find as the Euler test)
+    parent = {cell: cell for cell in cells}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for (r, c) in cells:
+        for n in ((r + 1, c), (r, c + 1)):
+            if n in cells:
+                ra, rb = find((r, c)), find(n)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    comps = {}
+    for cell in cells:
+        comps.setdefault(find(cell), set()).add(cell)
+
+    for comp_cells in comps.values():
+        a = trace_cell_rings(comp_cells)
+        b = _tiled_rings_pure(comp_cells, *tile)
+        assert a == b, (comp_cells, tile)
+
+
 # ---------------------------------------------------------------------------
 # phase-correlation estimator (operators/coregister._phase_correlate)
 # ---------------------------------------------------------------------------

@@ -219,3 +219,75 @@ def test_tiled_cc_matches_iterative(spark):
         ).collect()
     }
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# trace_rings_tiled: identical output to the single-task tracer
+# ---------------------------------------------------------------------------
+
+
+def _canon_rings(df):
+    pdf = df.toPandas().copy()
+    pdf["xs"] = pdf["xs"].apply(tuple)
+    pdf["ys"] = pdf["ys"].apply(tuple)
+    return pdf.sort_values(["comp", "ring_idx"], ignore_index=True)
+
+
+@pytest.mark.parametrize("tr,tc", [(1, 1), (2, 2), (3, 5), (16, 16)])
+def test_trace_rings_tiled_equals_single_task(spark, tr, tc):
+    """The tile-stitched tracer must reproduce trace_rings EXACTLY —
+    decomposition, canonical start vertices, ring order, vertex arrays —
+    for every tile size, including 1x1 (pure stitcher) and tiles larger
+    than the raster (pure local walk). The fixture packs the hard cases:
+    a multi-component random field, a hole, and the diagonal-pinch cavity
+    whose pinch vertex lands on tile lattice lines."""
+    import numpy as np
+    import pandas as pd
+    from geowombat_spark.operators.polygonize import (
+        connected_components_tiled,
+        trace_rings,
+        trace_rings_tiled,
+    )
+
+    rng = np.random.default_rng(11)
+    rr, cc = np.meshgrid(np.arange(24), np.arange(24), indexing="ij")
+    vals = rng.integers(0, 3, rr.size)
+    pdf = pd.DataFrame({"row": rr.ravel(), "col": cc.ravel(), "value": vals})
+    # carve the pinch cavity (XXX / X.X / XX.) at the origin in class 7
+    patch = {(0, 0), (0, 1), (0, 2), (1, 0), (1, 2), (2, 0), (2, 1)}
+    pdf.loc[
+        [i for i, (r, c) in enumerate(zip(pdf["row"], pdf["col"]))
+         if (r, c) in patch],
+        "value",
+    ] = 7
+    df = spark.createDataFrame(pdf)
+    comps = connected_components_tiled(df, "value").localCheckpoint()
+    a = _canon_rings(trace_rings(comps))
+    b = _canon_rings(trace_rings_tiled(comps, tile_rows=tr, tile_cols=tc))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_trace_rings_tiled_grid_coords(spark):
+    """grid= maps ring vertices to map coordinates identically in both
+    tracers."""
+    import pandas as pd
+    from geowombat_spark.grid import GridSpec
+    from geowombat_spark.operators.polygonize import (
+        trace_rings,
+        trace_rings_tiled,
+    )
+
+    g = GridSpec(
+        left=100.0, top=-50.0, cellx=30.0, celly=30.0, nrows=8, ncols=8,
+        tile_rows=4, tile_cols=4, nodata=0.0,
+    )
+    cells = [(r, c) for r in range(3) for c in range(3) if (r, c) != (1, 1)]
+    pdf = pd.DataFrame(
+        {"row": [r for r, c in cells], "col": [c for r, c in cells],
+         "value": 1, "comp": 0}
+    )
+    df = spark.createDataFrame(pdf)
+    a = _canon_rings(trace_rings(df, grid=g))
+    b = _canon_rings(trace_rings_tiled(df, grid=g, tile_rows=2, tile_cols=2))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert a["xs"].iloc[0][0] == 100.0 and a["ys"].iloc[0][0] == -50.0
