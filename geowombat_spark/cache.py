@@ -18,6 +18,8 @@ recomputes. Callers wanting a hard reset can ``spark.catalog.clearCache()``.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
@@ -25,13 +27,23 @@ from pyspark.sql import DataFrame
 #: are unpersisted FIFO.
 MAX_LIVE = 8
 _LIVE: list[DataFrame] = []
+_LOCK = threading.Lock()
 
 
 def bounded_persist(
     df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK
 ) -> DataFrame:
     df = df.persist(level)
-    _LIVE.append(df)
-    while len(_LIVE) > MAX_LIVE:
-        _LIVE.pop(0).unpersist(blocking=False)
+    # the registry is shared session state: concurrent driver threads
+    # (parallel query launches) mutate it, and re-registering the same
+    # handle would double-count it against the cap — so lock + dedupe by
+    # identity
+    with _LOCK:
+        if not any(d is df for d in _LIVE):
+            _LIVE.append(df)
+        evict = []
+        while len(_LIVE) > MAX_LIVE:
+            evict.append(_LIVE.pop(0))
+    for old in evict:
+        old.unpersist(blocking=False)
     return df

@@ -196,6 +196,16 @@ def extract_points(
     *recomputes the join input* — i.e. the corpus scan runs twice. Pass
     ``ordered=False`` in throughput-critical pipelines (any consumer that
     aggregates or re-sorts anyway).
+
+    .. warning:: With ``time_names=None`` on a time-stacked input, time
+       labels are inferred from the tile-PRUNED scan (the scan saving is
+       the right default at corpus scale) — so the OUTPUT SCHEMA depends
+       on the AOI: an AOI whose tiles miss an entire time step silently
+       loses that step's band columns, and two calls over different AOIs
+       can return differently-shaped frames. Callers that union, cache,
+       or compare extracts across AOIs should pass ``time_names``
+       explicitly to pin a stable schema (missing steps then yield
+       all-null columns).
     """
     enc = encode_points_pdf(aoi, grid)
     # DROP out-of-grid points (reference ``sops.py:836-844`` filters them;

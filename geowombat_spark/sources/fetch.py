@@ -14,9 +14,13 @@ touches asset bytes).
 Offline contract: only ``file://`` (and bare-path) URIs are fetched —
 this sandbox has no network, and silently shipping an HTTP client that
 was never exercised would be worse than an honest gate. Network schemes
-raise ``NotImplementedError`` at plan time with the scheme named. The
-verify/resume/quarantine semantics below are scheme-independent: a future
-network fetcher only swaps the byte-copy callable.
+raise ``NotImplementedError`` at plan time with the scheme named —
+``fetch_assets`` probes the manifest driver-side (a short-circuiting
+``limit(1)`` scan) BEFORE the copy stage launches, so a mixed manifest
+never fails mid-stage with assets already published; a row that still
+reaches an executor with a bad scheme degrades to ``status='error'``.
+The verify/resume/quarantine semantics below are scheme-independent: a
+future network fetcher only swaps the byte-copy callable.
 
 Semantics (each asserted in ``tests/test_fetch.py``):
 
@@ -40,6 +44,7 @@ import hashlib
 import os
 import shutil
 from urllib.parse import urlparse
+from uuid import uuid4
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -138,11 +143,38 @@ def fetch_assets(
     One ``mapInPandas`` stage over manifest partitions — each task copies
     its slice of assets; with ``n_partitions`` (default: leave the
     manifest's partitioning) a 10M-asset manifest fans out across the
-    cluster and the driver only ever sees the tiny status rows."""
+    cluster and the driver only ever sees the tiny status rows.
+
+    Unsupported URI schemes are rejected HERE, driver-side, before any
+    executor copies a byte (a pushdown-friendly ``limit(1)`` probe over
+    the manifest — it short-circuits at the first offending row), so a
+    mixed manifest can never fail mid-stage with half the assets already
+    published. Duplicate ``asset_id`` rows are allowed: each task writes
+    through its own unique temp file and publishes atomically, so the
+    destination only ever holds ONE writer's complete verified copy
+    (last publish wins) — never an interleaved blend. Dedupe the manifest
+    upstream when duplicate ids carry *different* bytes, since the
+    surviving copy is then order-dependent."""
     os.makedirs(outdir, exist_ok=True)
     cols = {f.name for f in manifest.schema.fields}
     if not {"asset_id", "uri"} <= cols:
         raise ValueError("manifest must carry asset_id and uri columns")
+    bad = (
+        manifest.select(
+            F.regexp_extract(
+                F.col("uri").cast("string"), r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1
+            ).alias("_scheme")
+        )
+        .filter(~F.lower(F.col("_scheme")).isin(*_ALLOWED_SCHEMES))
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise NotImplementedError(
+            f"fetch_assets: scheme {bad[0]['_scheme'].lower()!r} is not "
+            "supported in this offline build — only file:// (or bare-path) "
+            "sources; see the module docstring"
+        )
     sel = [F.col("asset_id").cast("string"), F.col("uri").cast("string")]
     sel.append(
         F.col("size").cast("long") if "size" in cols else F.lit(None).cast("long")
@@ -183,9 +215,22 @@ def fetch_assets(
                     out.append(rec)
                     continue
                 dest = rec["dest"]
-                tmp = dest + ".inprogress"
+                # unique per task attempt: duplicate asset_id rows or a
+                # speculative/retried task must never interleave writes
+                # into a shared temp file — each writer publishes its own
+                # complete verified copy via one atomic os.replace
+                tmp = f"{dest}.inprogress.{os.getpid()}.{uuid4().hex}"
                 try:
-                    src = _local_path(str(uri))
+                    try:
+                        src = _local_path(str(uri))
+                    except NotImplementedError as e:
+                        # defense-in-depth: the driver-side probe rejects
+                        # these at plan time; a row that still slips
+                        # through degrades to a status row instead of
+                        # killing the task mid-stage
+                        rec.update(status="error", error=str(e)[:200])
+                        out.append(rec)
+                        continue
                     if os.path.exists(dest) and not _verifies(
                         dest, size, sha
                     ):
@@ -216,8 +261,6 @@ def fetch_assets(
                         continue
                     os.replace(tmp, dest)  # atomic publish
                     rec.update(bytes=os.path.getsize(dest))
-                except NotImplementedError as e:
-                    raise e
                 except OSError as e:
                     # a LOCAL failure (disk full, permissions): the source
                     # is not implicated — distinct status, temp cleaned up

@@ -116,24 +116,27 @@ def _update_tile_state(key, pdfs, state: GroupState):
     excluded from BOTH n and total (pandas ``sum`` already skips NaN; the
     count must match), so the running mean agrees with ``F.avg`` on the
     same rows — an all-null tile reports mean NULL, not 0.0."""
-    from ..pipeline.dedup import round6
+    from ..pipeline.dedup import round6_exact
 
     n, total = state.get if state.exists else (0, 0.0)
     for pdf in pdfs:
         n += int(pdf["value"].notna().sum())
         total += float(pdf["value"].sum())
     state.update((n, total))
-    # round6, NOT builtin round: builtin rounds half-to-even, while the
-    # JVM F.round in tile_rollup and the DuckDB oracle both round half
-    # away from zero — a total landing on a 6-dp half boundary would
-    # break the pinned cross-engine parity
+    # round6_exact, NOT builtin round (half-to-even) and NOT bare round6:
+    # a long-running tile's accumulated total is unbounded, and round6's
+    # float path silently drifts once |total|*1e6 exceeds 2^52. Inside
+    # that bound round6_exact IS round6 (the pinned DuckDB-oracle
+    # parity); beyond it — where DuckDB and the JVM themselves disagree
+    # at ulp level and parity is undefined — it switches to exact
+    # Decimal half-away-from-zero (see round6_exact's docstring)
     yield pd.DataFrame(
         {
             "tile_id": [key[0]],
             "n": [n],
-            "total": [float(round6(total))],
+            "total": [round6_exact(total)],
             "mean": pd.array(
-                [float(round6(total / n)) if n else None], dtype="Float64"
+                [round6_exact(total / n) if n else None], dtype="Float64"
             ),
         }
     )

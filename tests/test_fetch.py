@@ -121,8 +121,27 @@ def test_fetch_rejects_network_schemes(spark, remote_dir):
         [("a", "https://example.invalid/x.bin", None, None)],
         "asset_id string, uri string, size long, sha256 string",
     )
-    with pytest.raises(Exception, match="scheme 'https' is not supported"):
-        fetch_assets(m, out).collect()
+    # rejected at PLAN time (driver-side probe), before any copy stage:
+    # fetch_assets itself raises — no .collect() needed
+    with pytest.raises(NotImplementedError, match="scheme 'https' is not supported"):
+        fetch_assets(m, out)
+
+
+def test_duplicate_asset_ids_publish_one_verified_copy(spark, remote_dir):
+    """Duplicate asset_id rows (or a speculative retry) write through
+    UNIQUE temp files: the destination only ever holds one writer's
+    complete verified copy, never an interleaved blend, and no stale
+    .inprogress files survive."""
+    d, payloads = remote_dir
+    out = tempfile.mkdtemp(prefix="gw_fetched_")
+    name = sorted(payloads)[0]
+    m = _manifest(spark, d, [name] * 4, payloads).repartition(4)
+    st = fetch_assets(m, out, resume=False).collect()
+    assert len(st) == 4
+    assert {r["status"] for r in st} <= {"fetched", "skipped"}
+    assert open(os.path.join(out, name), "rb").read() == payloads[name]
+    leftovers = [f for f in os.listdir(out) if ".inprogress" in f]
+    assert leftovers == []
 
 
 def test_stale_dest_quarantined_even_when_refetch_fails(spark, remote_dir):

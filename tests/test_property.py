@@ -536,3 +536,56 @@ def test_round6_matches_duckdb_round(seed):
         got[got != want][:3],
         want[got != want][:3],
     )
+
+
+@given(seed=st.integers(0, 10_000))
+@settings(max_examples=40, deadline=None)
+def test_round6_exact_splits_regimes_correctly(seed):
+    """round6_exact (the streaming running-total scalar) must be
+    bit-identical to round6 — hence to the pinned DuckDB-oracle parity —
+    inside the float-exact window (|x| < 2^52/1e6 ≈ 4.5e9), and the
+    mathematically exact half-away-from-zero of the TRUE binary value
+    beyond it, where round6's float path silently drifts (e.g.
+    9000000000.1234565: round6 → ...123459, exact binary digit stream
+    ...12345649… → ...123456) and no cross-engine comparison target
+    exists (DuckDB and the JVM themselves disagree at ulp level there)."""
+    import decimal
+
+    from geowombat_spark.pipeline.dedup import (
+        ROUND6_FLOAT_EXACT_BOUND,
+        round6,
+        round6_exact,
+    )
+
+    rng = np.random.default_rng(seed)
+    inside = np.concatenate(
+        [
+            rng.uniform(-1, 1, 40)
+            * 10.0 ** rng.uniform(0, np.log10(ROUND6_FLOAT_EXACT_BOUND), 40),
+            (np.floor(rng.uniform(-4e9, 4e9, 40) * 1e6) + 0.5) / 1e6,
+        ]
+    )
+    for v in inside:
+        assert round6_exact(float(v)) == float(round6(float(v))), v
+    outside = rng.uniform(-1, 1, 40) * 10.0 ** rng.uniform(10, 15, 40)
+    outside = outside[np.abs(outside) >= ROUND6_FLOAT_EXACT_BOUND]
+    q = decimal.Decimal("0.000001")
+    for v in outside:
+        want = float(
+            decimal.Decimal(float(v)).quantize(
+                q, rounding=decimal.ROUND_HALF_UP
+            )
+        )
+        assert round6_exact(float(v)) == want, v
+
+
+def test_round6_exact_extreme_magnitude_stays_exact():
+    """Past every engine's float-scaled range the Decimal path preserves
+    values that already have ≤6 decimal places (identity under exact
+    HALF_UP), instead of drifting like floor(|x|*1e6+0.5) would."""
+    from geowombat_spark.pipeline.dedup import round6_exact
+
+    for v in (4364442838094724.5, -4364442838094724.5, 9007199254740993.0):
+        assert round6_exact(v) == v
+    assert round6_exact(float("nan")) != round6_exact(float("nan"))  # NaN
+    assert round6_exact(float("inf")) == float("inf")
