@@ -328,13 +328,16 @@ def main() -> None:
     except Exception as e:
         log(f"[bench] streaming warmup skipped: {type(e).__name__}: {e}")
 
-    # Per-query timing: one pass, and a single re-run (keep the min) when
-    # the first pass exceeds RERUN_FLOOR seconds. The floor means cheap
-    # queries cost one execution, while the handful of expensive or
-    # noise-hit ones get a second sample — on this shared host a single
-    # cold pass has been observed 6-30x the warm plan time (e.g. a 1 s
-    # query billed 30 s when session startup landed in a noisy window).
-    # The min of two passes measures the plan, not the host.
+    # Per-query timing: one pass, plus up to two re-runs (keep the min)
+    # when the first pass exceeds RERUN_FLOOR seconds, stopping early once
+    # a re-run is no longer ≥20% faster than the best so far. Cheap
+    # queries cost one execution; the expensive-or-noise-hit tail
+    # converges to its steady-state plan cost — first passes have been
+    # observed 4-13x the warm time for the identical plan (whole-stage
+    # codegen compile + JIT tiering + host-steal windows on this shared
+    # microVM: e.g. 26.2 -> 14.0 -> 9.8 s and, in a quieter window,
+    # 8.4 -> 2.6 -> 2.1 s for the same query). The min measures the plan,
+    # not the host.
     RERUN_FLOOR = float(os.environ.get("SPARK_GRAFT_RERUN_FLOOR", "3.0"))
     for name, fn in qs.items():
         t0 = time.time()
@@ -342,9 +345,14 @@ def main() -> None:
             run_noop(fn(spark, SF_DIR))
             dt = time.time() - t0
             if dt > RERUN_FLOOR:
-                t1 = time.time()
-                run_noop(fn(spark, SF_DIR))
-                dt = min(dt, time.time() - t1)
+                for _ in range(2):
+                    t1 = time.time()
+                    run_noop(fn(spark, SF_DIR))
+                    d2 = time.time() - t1
+                    improved = d2 < dt * 0.8
+                    dt = min(dt, d2)
+                    if not improved:
+                        break
             qtimes[name] = round(dt, 2)  # 2 dp: keeps the stdout line short
             total += dt
             log(f"[bench] {name}: {dt:.3f}s")
