@@ -123,3 +123,50 @@ def test_broadcast_exchange_is_not_a_shuffle(spark, bucketed_tables):
     joined = a.join(b, "tile_id")
     bucketing.assert_no_shuffle_join(joined)  # broadcast plan allowed
     assert not bucketing.plan_has_shuffle(joined)
+
+
+def test_save_load_exact_index_roundtrip(spark):
+    """save_exact_index persists the content-hash index in its prescribed
+    dup_key-bucketed layout and load_exact_index reads it back WITH the
+    bucket spec: the audit join plans fewer exchanges than against the
+    inline (unbucketed) index, and verdicts are identical."""
+    import shutil
+
+    from geowombat_spark.pipeline import dedup
+
+    spark.sql("DROP TABLE IF EXISTS bkt_idx_rt")
+    shutil.rmtree("spark-warehouse/bkt_idx_rt", ignore_errors=True)
+    corpus = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("body nr "), (F.col("id") % 60)).alias("text"),
+    )
+    dedup.save_exact_index(corpus, "bkt_idx_rt", n_buckets=8)
+    idx = dedup.load_exact_index(spark, "bkt_idx_rt")
+    # 20 probes hit corpus content (nr 0..19), 20 are new (nr 900..919)
+    batch = spark.range(40).select(
+        (F.col("id") + 5000).alias("doc_id"),
+        F.concat(
+            F.lit("body nr "),
+            F.when(F.col("id") < 20, F.col("id")).otherwise(
+                F.col("id") + 880
+            ),
+        ).alias("text"),
+    )
+
+    def n_exchanges(df):
+        return df._jdf.queryExecution().executedPlan().toString().count(
+            "Exchange"
+        )
+
+    with _no_broadcast(spark):
+        audited = dedup.dedup_against(batch, idx)
+        inline = dedup.dedup_against(batch, dedup.exact_index(corpus))
+        assert n_exchanges(audited) < n_exchanges(inline)
+        got = {
+            (bool(r["in_corpus"]), bool(r["kept"])): 1
+            for r in audited.collect()
+        }
+        assert audited.filter("in_corpus").count() == 20
+        assert audited.filter("kept").count() == 20
+        assert (True, False) in got and (False, True) in got
+    spark.sql("DROP TABLE IF EXISTS bkt_idx_rt")
