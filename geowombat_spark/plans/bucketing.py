@@ -32,8 +32,8 @@ def write_bucketed(
     df: DataFrame,
     table: str,
     n_buckets: int = 64,
-    bucket_col: str = "tile_id",
-    sort_col: str = "cell_id",
+    bucket_col: str | list[str] = "tile_id",
+    sort_col: str | list[str] = "cell_id",
     mode: str = "overwrite",
     fmt: str = "parquet",
 ) -> None:
@@ -41,12 +41,16 @@ def write_bucketed(
 
     Sorting within buckets by ``sort_col`` additionally removes the Sort
     below a SortMergeJoin on (bucket_col, sort_col) prefixes and gives
-    row-group locality for range predicates on ``sort_col``."""
-    sort_cols = [bucket_col] + ([sort_col] if sort_col != bucket_col else [])
+    row-group locality for range predicates on ``sort_col``. Composite
+    join keys bucket on the full column list (a join must then cover
+    every bucket column to stay exchange-free on this side)."""
+    bcols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
+    scols = [sort_col] if isinstance(sort_col, str) else list(sort_col)
+    sort_cols = bcols + [c for c in scols if c not in bcols]
     (
         df.write.format(fmt)
         .mode(mode)
-        .bucketBy(n_buckets, bucket_col)
+        .bucketBy(n_buckets, *bcols)
         .sortBy(*sort_cols)
         .saveAsTable(table)
     )

@@ -170,3 +170,48 @@ def test_save_load_exact_index_roundtrip(spark):
         assert audited.filter("kept").count() == 20
         assert (True, False) in got and (False, True) in got
     spark.sql("DROP TABLE IF EXISTS bkt_idx_rt")
+
+
+def test_save_load_minhash_index_roundtrip(spark):
+    """save_minhash_index persists the band index bucketed on the probe
+    join key (band_idx, band_hash); a neardup_against probe joins it
+    with fewer exchanges than the inline index and finds the planted
+    near-duplicate."""
+    import shutil
+
+    from geowombat_spark.pipeline import dedup
+
+    spark.sql("DROP TABLE IF EXISTS bkt_mh_rt")
+    shutil.rmtree("spark-warehouse/bkt_mh_rt", ignore_errors=True)
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.range(80).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(base + " variant "), F.col("id").cast("string"),
+            F.lit(" pad "), (F.col("id") * 7 % 13).cast("string"),
+        ).alias("text"),
+    )
+    dedup.save_minhash_index(corpus, "bkt_mh_rt", n_buckets=8)
+    idx = dedup.load_minhash_index(spark, "bkt_mh_rt")
+    # one batch doc is a verbatim copy of corpus doc 3 (J=1 estimate)
+    batch = spark.createDataFrame(
+        [(9001, base + " variant 3 pad 8")], ["doc_id", "text"]
+    )
+
+    def n_exchanges(df):
+        return df._jdf.queryExecution().executedPlan().toString().count(
+            "Exchange"
+        )
+
+    with _no_broadcast(spark):
+        hits = dedup.neardup_against(batch, idx, threshold=0.9)
+        inline = dedup.neardup_against(
+            batch, dedup.minhash_band_index(corpus), threshold=0.9
+        )
+        assert n_exchanges(hits) < n_exchanges(inline)
+        got = {
+            (int(r["batch_id"]), int(r["corpus_id"]))
+            for r in hits.collect()
+        }
+        assert (9001, 3) in got
+    spark.sql("DROP TABLE IF EXISTS bkt_mh_rt")
