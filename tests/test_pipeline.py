@@ -104,6 +104,39 @@ def test_minhash_signature_matches_pure_python(spark, docs_df):
         assert row[f"mh{i}"] == expect, f"mh{i}"
 
 
+def test_minhash_permutations_are_independent():
+    """Regression pin for the linearly-dependent hash family.
+
+    The original hash_params drew (a_i, b_i) BOTH proportional to (i+1),
+    making every permutation a scalar multiple of one base function —
+    disjoint docs sharing a single digest collision then carried
+    identical full signatures (107 measured false near-dup pairs in the
+    999k-corpus probe, tools/neardup_ingest_probe.py). Pin the two
+    properties that kill that class:
+
+    1. parameter vectors (a_i, b_i) are pairwise non-proportional;
+    2. two docs with a single DIFFERENT shingle hash disagree on nearly
+       every signature component (deterministic given fixed params).
+    """
+    params = dedup.hash_params(16)
+    for i in range(16):
+        ai, bi = params[i]
+        for j in range(i + 1, 16):
+            aj, bj = params[j]
+            # cross-multiplication test avoids modular division
+            assert (ai * bj - aj * bi) % dedup.PRIME31 != 0, (i, j)
+
+    def sig(h30: int) -> list[int]:
+        return [(a * h30 + b) % dedup.PRIME31 for a, b in params]
+
+    # two single-shingle docs (the worst case that triggered the bug):
+    # under the old family, small g-values made ALL components collide
+    # as multiples; independent permutations must scatter them.
+    for h1, h2 in [(12345, 67890), (1, 2), (402501, 402502)]:
+        eq = sum(x == y for x, y in zip(sig(h1), sig(h2)))
+        assert eq == 0, (h1, h2, eq)
+
+
 def test_minhash_lsh_finds_near_dups(spark, docs_df):
     out = dedup.minhash_dedup_pairs(docs_df, threshold=0.5).collect()
     got = {(r["doc_a"], r["doc_b"]) for r in out}
