@@ -224,7 +224,7 @@ def run_flagship(spark: SparkSession, n_docs: int) -> dict:
         run_noop(clip.select("doc_id", "cell_id", "band_blue", "spans"))
 
     one_pass()  # untimed warmup (JIT + page cache)
-    # Best-of-3 timed passes: this shared-host microVM has documented
+    # Best-of-5 timed passes: this shared-host microVM has documented
     # minutes-long noise windows (1.3-1.9x, occasionally worse), and the
     # driver records a single bench run per round. The best pass measures
     # the PLAN; the spread is host steal, so all samples are reported.
@@ -311,20 +311,28 @@ def main() -> None:
         import tempfile
 
         ckpt = tempfile.mkdtemp(prefix="gw_bench_stream_warm_")
-        sq = (
-            spark.readStream.format("rate")
-            .option("rowsPerSecond", "1")
-            .load()
-            .groupBy()
-            .count()
-            .writeStream.format("noop")
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        sq.awaitTermination(60)
-        shutil.rmtree(ckpt, ignore_errors=True)
+        sq = None
+        try:
+            sq = (
+                spark.readStream.format("rate")
+                .option("rowsPerSecond", "1")
+                .load()
+                .groupBy()
+                .count()
+                .writeStream.format("noop")
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            sq.awaitTermination(60)
+        finally:
+            # awaitTermination(timeout) does NOT stop the query on
+            # timeout — a straggling warmup must not keep running (and
+            # skewing) the timed passes that follow
+            if sq is not None and sq.isActive:
+                sq.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
     except Exception as e:
         log(f"[bench] streaming warmup skipped: {type(e).__name__}: {e}")
 

@@ -117,7 +117,10 @@ from .operators.mosaic import concat, file_bounds, mosaic  # noqa: F401
 from .operators.polygonize import (  # noqa: F401
     connected_components as array_to_polygon,
 )
-from .operators.polygonize import trace_rings  # noqa: F401
+from .operators.polygonize import (  # noqa: F401
+    trace_rings,
+    trace_rings_tiled,
+)
 from .operators.rasterize import polygon_to_array  # noqa: F401
 from .operators.sample import (  # noqa: F401
     sample_random,

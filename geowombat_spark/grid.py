@@ -619,13 +619,23 @@ def unpack_window(window: str) -> tuple[int, int, int, int]:
     repr string back to ``(row_off, col_off, height, width)`` ints — the
     (row, col, height, width) order every windowed op here uses. Reference
     ``unpack_window`` (``src/geowombat/backends/rasterio_.py:586-608``;
-    golden ``tests/test_rasterio.py:126-130``)."""
+    golden ``tests/test_rasterio.py:126-130``). Fractional values (which
+    ``Window.from_bounds`` reprs routinely carry, e.g. ``col_off=3.5``)
+    raise ``ValueError`` like the reference's bare ``int(str)`` does —
+    silently truncating toward zero would shift the window by up to one
+    pixel and misregister every read built on it."""
     vals: dict[str, int] = {}
     for part in window.replace("Window(", "").split(","):
         part = part.strip().rstrip(")")
         if "=" in part:
             key, _, raw = part.partition("=")
-            vals[key.strip()] = int(float(raw))
+            f = float(raw)
+            if f != int(f):
+                raise ValueError(
+                    f"unpack_window: non-integer {key.strip()}={raw.strip()} "
+                    f"in {window!r} — round the window explicitly first"
+                )
+            vals[key.strip()] = int(f)
     try:
         return vals["row_off"], vals["col_off"], vals["height"], vals["width"]
     except KeyError as exc:  # pragma: no cover - caller error

@@ -197,15 +197,14 @@ def extract_points(
     ``ordered=False`` in throughput-critical pipelines (any consumer that
     aggregates or re-sorts anyway).
 
-    .. warning:: With ``time_names=None`` on a time-stacked input, time
-       labels are inferred from the tile-PRUNED scan (the scan saving is
-       the right default at corpus scale) — so the OUTPUT SCHEMA depends
-       on the AOI: an AOI whose tiles miss an entire time step silently
-       loses that step's band columns, and two calls over different AOIs
-       can return differently-shaped frames. Callers that union, cache,
-       or compare extracts across AOIs should pass ``time_names``
-       explicitly to pin a stable schema (missing steps then yield
-       all-null columns).
+    With ``time_names=None`` on a time-stacked input, time labels are
+    inferred from the UNPRUNED input's distinct ``t`` keys — a
+    single-column scan (column-pruned parquet reads just the ``t``
+    chunks) that keeps the output schema independent of the AOI: an AOI
+    whose tiles miss a time step still gets that step's (all-null) band
+    columns, so extracts over different AOIs always union/compare
+    cleanly. Corpus-scale callers that already know the stack should
+    pass ``time_names`` explicitly and skip even that scan.
     """
     enc = encode_points_pdf(aoi, grid)
     # DROP out-of-grid points (reference ``sops.py:836-844`` filters them;
@@ -238,13 +237,13 @@ def extract_points(
     joined = doc_side.join(F.broadcast(pts), "cell_id", "inner")
 
     if time_names is None and "t" in docs.columns:
-        # infer time labels from the tile-PRUNED side: at corpus scale a
-        # distinct over the full stack scans every tile just to learn the
-        # labels. If the AOI's tiles miss an entire time step that the
-        # full stack has, pass time_names explicitly to force its
-        # (all-null) columns — the scan saving is the right default.
+        # infer time labels from the UNPRUNED input so the output schema
+        # does not depend on which tiles the AOI happens to touch (an
+        # AOI-dependent schema breaks union/cache/compare callers). The
+        # cost is one single-column distinct — column pruning reads only
+        # the `t` parquet chunks; pass time_names to skip it entirely.
         time_names = [
-            r[0] for r in pruned.select("t").distinct().orderBy("t").collect()
+            r[0] for r in docs.select("t").distinct().orderBy("t").collect()
         ]
     if time_names and len(time_names) > 1:
         # F.min, not F.first: first() is shuffle-order nondeterministic

@@ -161,8 +161,11 @@ def fetch_assets(
         raise ValueError("manifest must carry asset_id and uri columns")
     bad = (
         manifest.select(
+            # match urlparse's scheme rule (used by _local_path on the
+            # executor): anything before the FIRST ':' counts, slashes or
+            # not — 'hdfs:/tmp/x' must fail here, not degrade per-row
             F.regexp_extract(
-                F.col("uri").cast("string"), r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1
+                F.col("uri").cast("string"), r"^([A-Za-z][A-Za-z0-9+.-]*):", 1
             ).alias("_scheme")
         )
         .filter(~F.lower(F.col("_scheme")).isin(*_ALLOWED_SCHEMES))

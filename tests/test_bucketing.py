@@ -215,3 +215,38 @@ def test_save_load_minhash_index_roundtrip(spark):
         }
         assert (9001, 3) in got
     spark.sql("DROP TABLE IF EXISTS bkt_mh_rt")
+
+
+def test_minhash_index_family_fingerprint_guards_load(spark):
+    """A persisted band index is only join-compatible with the exact hash
+    family that built it: load under different (n, bands, rows) — or any
+    future hash_params change — must fail loudly, not silently match
+    nothing; a pre-fingerprint table loads with a warning."""
+    import shutil
+    import warnings
+
+    from geowombat_spark.pipeline import dedup
+
+    spark.sql("DROP TABLE IF EXISTS bkt_mh_fam")
+    shutil.rmtree("spark-warehouse/bkt_mh_fam", ignore_errors=True)
+    corpus = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc text "), F.col("id").cast("string")).alias("text"),
+    )
+    dedup.save_minhash_index(corpus, "bkt_mh_fam", n_buckets=4)
+    # matching family loads clean
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert dedup.load_minhash_index(spark, "bkt_mh_fam").count() > 0
+    # different band layout -> different fingerprint -> loud failure
+    with pytest.raises(ValueError, match="different hash family"):
+        dedup.load_minhash_index(spark, "bkt_mh_fam", bands=8, rows=2)
+    with pytest.raises(ValueError, match="different hash family"):
+        dedup.load_minhash_index(spark, "bkt_mh_fam", n=5)
+    # a table written before fingerprints existed warns but loads
+    spark.sql(
+        "ALTER TABLE bkt_mh_fam UNSET TBLPROPERTIES ('gw.minhash_family')"
+    )
+    with pytest.warns(RuntimeWarning, match="no family fingerprint"):
+        assert dedup.load_minhash_index(spark, "bkt_mh_fam").count() > 0
+    spark.sql("DROP TABLE IF EXISTS bkt_mh_fam")

@@ -39,6 +39,43 @@ def test_extract_points_single_band(spark, docs, aoi_points_pdf):
     np.testing.assert_allclose(df["blue"].values, GOLDEN["blue"])
 
 
+def test_extract_points_schema_stable_across_aois(spark):
+    """With time_names=None the output schema must NOT depend on which
+    tiles the AOI touches: time labels are inferred from the UNPRUNED
+    stack, so an AOI whose tiles miss a time step still gets that step's
+    (all-null) band columns and extracts over different AOIs union
+    cleanly."""
+    from geowombat_spark.grid import L8_GRID as g
+    from geowombat_spark.operators.extract import encode_points_pdf
+
+    p1 = (g.left + 0.5 * g.cellx, g.top - 0.5 * g.celly)  # tile 0
+    p2 = (  # opposite-corner tile
+        g.left + (g.ncols - 0.5) * g.cellx,
+        g.top - (g.nrows - 0.5) * g.celly,
+    )
+    enc = encode_points_pdf(
+        pd.DataFrame({"id": [1, 2], "x": [p1[0], p2[0]], "y": [p1[1], p2[1]]}), g
+    )
+    t0, t1 = int(enc["tile_id"][0]), int(enc["tile_id"][1])
+    assert t0 != t1  # precondition: the two AOIs prune to different tiles
+    rows = [  # tile t0 carries both time steps; tile t1 only "t1"
+        (int(enc["cell_id"][0]), t0, "t1", 10.0),
+        (int(enc["cell_id"][0]), t0, "t2", 20.0),
+        (int(enc["cell_id"][1]), t1, "t1", 30.0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "cell_id long, tile_id int, t string, band_blue double"
+    )
+    aoi1 = pd.DataFrame({"id": [1], "x": [p1[0]], "y": [p1[1]]})
+    aoi2 = pd.DataFrame({"id": [2], "x": [p2[0]], "y": [p2[1]]})
+    out1 = extract_points(spark, docs, aoi1, g, bands=["blue"])
+    out2 = extract_points(spark, docs, aoi2, g, bands=["blue"])
+    assert out1.columns == out2.columns  # AOI-independent schema
+    r2 = out2.toPandas()
+    assert r2["t1_blue"].iloc[0] == 30.0
+    assert pd.isna(r2["t2_blue"].iloc[0])  # missing step -> null, not gone
+
+
 def test_extract_points_multi_time(spark, corpus_dir, aoi_points_pdf):
     table = build_corpus(windows=corpus_windows_for_tests(), times=("t1", "t2"))
     stacked = corpus_df(spark, table, corpus_dir + "/stack2")

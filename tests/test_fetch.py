@@ -125,6 +125,14 @@ def test_fetch_rejects_network_schemes(spark, remote_dir):
     # fetch_assets itself raises — no .collect() needed
     with pytest.raises(NotImplementedError, match="scheme 'https' is not supported"):
         fetch_assets(m, out)
+    # single-slash scheme URIs (urlparse still sees a scheme) must hit
+    # the SAME plan-time gate, not degrade to per-row status='error'
+    m2 = spark.createDataFrame(
+        [("a", "hdfs:/tmp/x.bin", None, None)],
+        "asset_id string, uri string, size long, sha256 string",
+    )
+    with pytest.raises(NotImplementedError, match="scheme 'hdfs' is not supported"):
+        fetch_assets(m2, out)
 
 
 def test_duplicate_asset_ids_publish_one_verified_copy(spark, remote_dir):

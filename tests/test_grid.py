@@ -86,6 +86,15 @@ def test_unpack_window_golden():
     assert unpack_window(s) == (7, 3, 10, 20)
     with pytest.raises(ValueError):
         unpack_window("Window(col_off=0)")
+    # integer-VALUED floats (Window reprs print 3.0) parse; fractional
+    # offsets raise like the reference's bare int(str) — truncating
+    # toward zero would shift the window up to one pixel
+    s = "Window(col_off=3.0, row_off=7.0, width=20.0, height=10.0)"
+    assert unpack_window(s) == (7, 3, 10, 20)
+    with pytest.raises(ValueError, match="non-integer"):
+        unpack_window("Window(col_off=3.5, row_off=0, width=20, height=10)")
+    with pytest.raises(ValueError, match="non-integer"):
+        unpack_window("Window(col_off=0, row_off=-0.5, width=20, height=10)")
 
 
 def test_window_to_bounds_golden():

@@ -589,3 +589,8 @@ def test_round6_exact_extreme_magnitude_stays_exact():
         assert round6_exact(v) == v
     assert round6_exact(float("nan")) != round6_exact(float("nan"))  # NaN
     assert round6_exact(float("inf")) == float("inf")
+    # past ~1e22 Decimal.quantize under the DEFAULT 28-digit context
+    # raises InvalidOperation — the wide local context must carry every
+    # finite double (a streaming running total is unbounded)
+    for v in (1e22, 1e25, -1e25, 1e300, -1.7976931348623157e308):
+        assert round6_exact(v) == v
