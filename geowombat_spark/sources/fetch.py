@@ -149,7 +149,11 @@ def fetch_assets(
     executor copies a byte (a pushdown-friendly ``limit(1)`` probe over
     the manifest — it short-circuits at the first offending row), so a
     mixed manifest can never fail mid-stage with half the assets already
-    published. Duplicate ``asset_id`` rows are allowed: each task writes
+    published. On an all-clean manifest the probe evaluates the
+    column-pruned ``uri`` projection end-to-end once before the copy
+    stage does — if the manifest is the product of expensive lineage
+    (joins/filters), ``persist()`` it before calling, or the upstream
+    plan runs twice. Duplicate ``asset_id`` rows are allowed: each task writes
     through its own unique temp file and publishes atomically, so the
     destination only ever holds ONE writer's complete verified copy
     (last publish wins) — never an interleaved blend. Dedupe the manifest
