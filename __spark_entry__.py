@@ -1077,6 +1077,58 @@ def q_tile_manifest(spark, sf_dir):
     )
 
 
+def q_compact_tiles(spark, sf_dir):
+    """Small-file compaction round trip (plans/compact.py — the Iceberg
+    ``rewrite_data_files`` analogue the parquet shim needs because the
+    sink's hot-tile salting and streaming appends fragment tiles): a
+    ≤48-tile slice is written deliberately fragmented (one salted write,
+    the shape a micro-batch appender leaves behind), compacted back to one
+    audited file per tile, and the per-tile aggregates of the compacted
+    files are value-checked against the oracle's direct aggregate over the
+    source rows — content must survive the fragment→compact round trip
+    exactly. Fragmentation and the one-file-per-tile invariant are
+    asserted driver-side (DuckDB can't see the file layout). The full
+    checkpointed-sink→compact path and crash recovery are pytest-pinned
+    (tests/test_compact.py); this query keeps the bench plan lean."""
+    import os
+    import shutil
+    import tempfile
+
+    from geowombat_spark.plans import compact as cx
+
+    gd = grid_docs(spark, sf_dir).filter(F.col("tile_id") < 48)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"gw_compactq_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        gd.withColumn("_salt", F.pmod(F.hash("doc_id"), F.lit(4)))
+        .repartition(64, F.col("tile_id"), F.col("_salt"))
+        .drop("_salt")
+        .write.partitionBy("tile_id")
+        .parquet(out)
+    )
+    stats = cx.tile_file_stats(out)
+    assert sum(s["n_files"] for s in stats.values()) > len(stats), (
+        "setup should fragment at least some tiles"
+    )
+    cx.compact_tiles(spark, out)
+    stats = cx.tile_file_stats(out)
+    bad = {t: s["n_files"] for t, s in stats.items() if s["n_files"] != 1}
+    assert not bad, f"compaction left multi-file tiles: {bad}"
+    stored = spark.read.option("basePath", out).parquet(out)
+    return stored.groupBy(
+        F.col("tile_id").cast("long").alias("tile_id")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("row_count"),
+        F.round(F.sum("band_blue"), 6).alias("sum_blue"),
+        F.round(F.sum("band_nir"), 6).alias("sum_nir"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
 def q_sensor_ndvi(spark, sf_dir):
     """gw.open sensor band-name resolution (backends/xarray_.py:349-382):
     generic positional columns band_1..band_4 renamed through the l8bgrn
@@ -2594,6 +2646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_precision": q_lsh_precision,
         "q_cluster_assign": q_cluster_assign,
         "q_ml_score_audit": q_ml_score_audit,
+        "q_compact_tiles": q_compact_tiles,
         # --- rows-only audits (no SQL oracle by nature: engine-internal
         #     RNG/seeding); value-level companions above carry the audit.
         #     Kept last so the recorded window is 50/50 value-level. -----
@@ -3201,6 +3254,16 @@ SELECT tile_id, CAST(count(*) AS BIGINT) AS row_count,
   CAST(sum({MD5I.format(x=_ROW_REPR)} % 1073741789) AS BIGINT) AS checksum,
   CAST(sum({MD5I.format(x="CAST(doc_id AS VARCHAR)")} % 1073741789) AS BIGINT) AS lineage
 FROM z GROUP BY tile_id
+"""
+
+    o["q_compact_tiles"] = f"""
+WITH {G_SQL}
+SELECT CAST(doc_id // 200 AS BIGINT) AS tile_id,
+  CAST(count(*) AS BIGINT) AS row_count,
+  round(sum(band_blue), 6) AS sum_blue,
+  round(sum(band_nir), 6) AS sum_nir,
+  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM g WHERE doc_id < 9600 GROUP BY 1
 """
 
     o["q_set_nodata"] = f"""

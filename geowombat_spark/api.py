@@ -159,6 +159,11 @@ from .plans.checkpoint import (  # noqa: F401
     write_tiled_checkpointed as save,
 )
 from .plans.checkpoint import write_tiled_checkpointed as to_raster  # noqa: F401
+from .plans.compact import (  # noqa: F401
+    compact_tiles,
+    recover_compaction,
+    tile_file_stats,
+)
 from .sensors import (  # noqa: F401
     CENTRAL_WAVELENGTH,
     SENSOR_BANDS,

@@ -1,4 +1,4 @@
 """Planner-side machinery: checkpointed tiling sink, salting, resume,
 bucketed storage layout."""
 
-from . import bucketing, checkpoint  # noqa: F401
+from . import bucketing, checkpoint, compact  # noqa: F401

@@ -259,7 +259,13 @@ def write_tiled_checkpointed(
             sub = sub.repartition(n_parts, F.col("tile_id"), salt.alias("_salt"))
         else:
             sub = sub.repartition(F.col("tile_id"))
-        sub = sub.sortWithinPartitions(sort_col)
+        # tile_id leads the sort: the partitioned writer requires task rows
+        # ordered by the partition column; if the explicit sort doesn't
+        # provide it, the writer inserts its OWN sort by tile_id alone —
+        # paying a second sort and (it is not stable) scrambling the
+        # sort_col order within multi-tile tasks. Leading with tile_id
+        # satisfies the requirement: one sort, guaranteed sorted files.
+        sub = sub.sortWithinPartitions("tile_id", sort_col)
         # Metrics must describe the rows actually committed — never a fresh
         # re-execution of the upstream plan (a nondeterministic upstream,
         # e.g. partition-seeded sampling, would let the manifest disagree

@@ -1,0 +1,348 @@
+"""Tile compaction — the Iceberg ``rewrite_data_files`` analogue for the
+tile-partitioned parquet shim.
+
+Why this exists at 100 TB: the checkpointed sink intentionally fragments.
+Hot tiles fan out over ``n_salt`` tasks (= ``n_salt`` files, the skew fix in
+``checkpoint.write_tiled_checkpointed``), streaming ingestion appends one
+file per micro-batch per touched tile, and resumed runs add more. Each small
+file costs a scan task, a footer fetch, and a driver file-status entry —
+at corpus scale the file count, not the byte count, becomes the read-path
+bottleneck (the same failure mode Iceberg's ``rewrite_data_files``
+maintenance action exists for). Compaction rewrites only the fragmented
+tiles back to their target file count, preserving content bit-for-bit and
+extending the manifest lineage, so readers keep partition pruning AND get
+one (or ``ceil(rows / target_rows_per_file)``) well-sorted file per tile.
+
+Scale design:
+
+- **Only fragmented tiles are touched.** Candidate selection is pure
+  metadata: a driver-side directory listing plus parquet-footer row counts
+  (``pyarrow.dataset.count_rows`` reads footers, not data). With a real
+  Iceberg catalog both come straight from the table's manifest files; the
+  shim's listing is the same information obtained the pedestrian way.
+- **Bounded batches.** Tiles are rewritten ``batch_tiles`` at a time, so
+  the working set is independent of corpus size — the same bound the sink
+  itself uses.
+- **One shuffle of only the fragmented rows.** The rewrite repartitions on
+  ``tile_id`` (each tile lands in exactly one task) and relies on the
+  writer's ``maxRecordsPerFile`` to split a big tile into exactly
+  ``ceil(rows / target_rows_per_file)`` files — compaction targets file
+  SIZE, not file count 1, so it never rebuilds the one-giant-file skew the
+  sink's salting removed. The per-tile file count is fully deterministic
+  (a salted shuffle would make it depend on hash-bucket collisions, which
+  breaks idempotence: a rewrite that lands one file over target would be
+  re-selected forever). The tradeoff is that one tile rewrites in one
+  task; tiles are geometry-bounded (the lattice caps cells per tile) and
+  batches of ``batch_tiles`` tiles rewrite concurrently, so the
+  maintenance pass stays parallel at corpus scale even though each tile
+  is sequential.
+- **Audited swap.** Per batch, ``checkpoint.tile_metrics`` (row count +
+  order-independent content checksum + lineage) is computed from the OLD
+  files and from the freshly written NEW files; any per-tile mismatch
+  aborts before the swap, leaving the originals untouched. On success each
+  tile directory is replaced via rename-aside (old dir → hidden
+  ``_precompact-*`` name, new dir in, old dir deleted) and a manifest row
+  with ``status='compacted'`` is appended — the manifest's checksum/lineage
+  for the tile are unchanged by construction, so
+  ``checkpoint.verify_against_manifest`` keeps passing afterwards.
+- **Crash recovery.** A crash mid-swap leaves a hidden ``_precompact-*``
+  directory (Spark readers ignore ``_``-prefixed paths, so a concurrent
+  read never sees doubled rows). ``recover_compaction`` — also run at the
+  start of every ``compact_tiles`` — rolls an interrupted swap back (tile
+  dir missing → restore the old one) or forward (tile dir present → drop
+  the leftover). On a real object store this whole dance is Iceberg's
+  atomic snapshot commit; the shim reproduces the same commit unit
+  (per-tile atomic replace + manifest row) with local-FS renames.
+- **Single-writer assumption.** Like Iceberg's maintenance actions under
+  optimistic concurrency, compaction assumes no concurrent writer is
+  appending to the tiles being rewritten (readers are fine throughout).
+
+Reference parity note: the reference has no compaction because its windowed
+writer (``/root/reference/src/geowombat/backends/rasterio_.py:131-135``)
+emits exactly one file per window by construction and never appends. The
+Spark sink gains appends/salting/resume — so it needs the maintenance
+action the reference never did.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import time
+from uuid import uuid4
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .checkpoint import (
+    _manifest_path,
+    content_checksum_cols,
+    read_manifest,
+    tile_metrics,
+)
+
+#: hidden (``_``-prefixed ⇒ invisible to Spark readers) rename-aside prefix
+PRECOMPACT_PREFIX = "_precompact-"
+
+
+def _is_data_file(name: str) -> bool:
+    return not name.startswith((".", "_"))
+
+
+def tile_file_stats(path: str) -> dict[int, dict]:
+    """Per-tile file statistics from a driver-side listing: ``{tile_id:
+    {'n_files': int, 'bytes': int, 'dir': str}}``.
+
+    Metadata-only — no data bytes are read. With an Iceberg catalog this is
+    a manifest scan; on the parquet shim it is one ``scandir`` per tile
+    directory (local FS / HDFS listing; object stores would use a prefix
+    list, same cost class).
+    """
+    out: dict[int, dict] = {}
+    for entry in os.scandir(path):
+        if not (entry.is_dir() and entry.name.startswith("tile_id=")):
+            continue
+        tile = int(entry.name.split("=", 1)[1])
+        n = 0
+        nbytes = 0
+        for f in os.scandir(entry.path):
+            if f.is_file() and _is_data_file(f.name):
+                n += 1
+                nbytes += f.stat().st_size
+        out[tile] = {"n_files": n, "bytes": nbytes, "dir": entry.path}
+    return out
+
+
+def _tile_row_count(tile_dir: str) -> int:
+    """Row count from parquet footers only (no data IO)."""
+    import pyarrow.dataset as pads
+
+    return pads.dataset(tile_dir, format="parquet").count_rows()
+
+
+def recover_compaction(path: str) -> dict[str, list[int]]:
+    """Roll back/forward any swap a crashed compaction left behind.
+
+    For every hidden ``_precompact-<tile>-<uuid>`` directory under ``path``:
+    if the live ``tile_id=<tile>`` directory is MISSING the crash happened
+    between rename-aside and rename-in — restore the old directory (roll
+    back; the manifest 'compacted' row is only written after a completed
+    swap, so the manifest stays truthful). If the live directory exists the
+    swap completed and only the delete was lost — drop the leftover (roll
+    forward). Returns ``{'rolled_back': [...], 'cleaned': [...]}``.
+    """
+    rolled_back: list[int] = []
+    cleaned: list[int] = []
+    if not os.path.isdir(path):
+        return {"rolled_back": rolled_back, "cleaned": cleaned}
+    for entry in os.scandir(path):
+        if not (entry.is_dir() and entry.name.startswith(PRECOMPACT_PREFIX)):
+            continue
+        tile = int(entry.name[len(PRECOMPACT_PREFIX) :].split("-", 1)[0])
+        live = os.path.join(path, f"tile_id={tile}")
+        if os.path.isdir(live):
+            shutil.rmtree(entry.path)
+            cleaned.append(tile)
+        else:
+            os.rename(entry.path, live)
+            rolled_back.append(tile)
+    return {"rolled_back": rolled_back, "cleaned": cleaned}
+
+
+def compact_tiles(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "doc_id",
+    sort_col: str = "cell_id",
+    target_rows_per_file: int | None = None,
+    batch_tiles: int = 64,
+    tiles: list[int] | None = None,
+) -> DataFrame:
+    """Rewrite fragmented tiles of a ``write_tiled_checkpointed`` dataset
+    down to their target file count; returns a driver-built report frame
+    ``(tile_id, files_before, files_after, row_count, wall_s)`` with one
+    row per rewritten tile (empty ⇒ nothing was fragmented).
+
+    ``target_rows_per_file=None`` targets ONE file per tile; otherwise each
+    tile targets ``ceil(rows / target_rows_per_file)`` files (big tiles
+    keep bounded-size files — compaction must not rebuild the skew the
+    sink's salting removed). ``tiles`` restricts the candidate set (e.g.
+    compact only the tiles a streaming job has been appending to).
+    """
+    recover_compaction(path)
+    stats = tile_file_stats(path)
+    if tiles is not None:
+        keep = set(tiles)
+        stats = {t: s for t, s in stats.items() if t in keep}
+
+    # candidate selection: footer row counts only for tiles that are even
+    # possibly fragmented (n_files == 1 can never need work)
+    plan: dict[int, dict] = {}
+    for t, s in stats.items():
+        if s["n_files"] <= 1:
+            continue
+        rows = _tile_row_count(s["dir"])
+        if rows == 0:
+            # degenerate all-empty-files tile: nothing to audit (groupBy
+            # emits no metrics row for it) and nothing to gain — skip
+            continue
+        want = (
+            1
+            if target_rows_per_file is None
+            else max(1, math.ceil(rows / target_rows_per_file))
+        )
+        if s["n_files"] > want:
+            plan[t] = {
+                **s,
+                "rows": rows,
+                "want": want,
+                "target": target_rows_per_file,
+            }
+
+    report_rows: list[tuple] = []
+    if plan:
+        ccols_from = spark.read.option("basePath", path).parquet(
+            plan[next(iter(plan))]["dir"]
+        )
+        ccols = content_checksum_cols(ccols_from, id_col)
+        man = read_manifest(spark, path)
+        batch_id0 = 0
+        if man is not None:
+            row = man.agg(F.max("batch_id")).collect()[0][0]
+            batch_id0 = int(row) + 1 if row is not None else 0
+
+        todo = sorted(plan)
+        batches = [
+            todo[i : i + batch_tiles] for i in range(0, len(todo), batch_tiles)
+        ]
+        for bi, batch in enumerate(batches):
+            t0 = time.time()
+            _compact_batch(
+                spark,
+                path,
+                batch,
+                plan,
+                id_col,
+                sort_col,
+                ccols,
+                batch_id0 + bi,
+            )
+            wall = round(time.time() - t0, 3)
+            after = tile_file_stats(path)
+            for t in batch:
+                report_rows.append(
+                    (
+                        t,
+                        plan[t]["n_files"],
+                        after[t]["n_files"],
+                        plan[t]["rows"],
+                        wall,
+                    )
+                )
+
+    return spark.createDataFrame(
+        report_rows,
+        "tile_id bigint, files_before int, files_after int, "
+        "row_count bigint, wall_s double",
+    )
+
+
+def _compact_batch(
+    spark: SparkSession,
+    path: str,
+    batch: list[int],
+    plan: dict[int, dict],
+    id_col: str,
+    sort_col: str,
+    ccols: tuple[str, ...],
+    batch_id: int,
+) -> None:
+    """Rewrite one bounded batch of tiles: read old files → repartition on
+    ``tile_id`` (one task per tile; ``maxRecordsPerFile`` splits big tiles
+    deterministically) → write to a hidden staging dir → checksum-audit new
+    vs old → per-tile rename swap → manifest append."""
+    old = spark.read.option("basePath", path).parquet(
+        *[plan[t]["dir"] for t in batch]
+    )
+    before = {
+        int(r["tile_id"]): r
+        for r in tile_metrics(old, id_col, ccols).collect()
+    }
+
+    target = plan[batch[0]].get("target") or 0
+    staged_dir = os.path.join(path, f"_compact-stage-{uuid4().hex}")
+    try:
+        writer = (
+            old.repartition(F.col("tile_id"))
+            # tile_id leads the sort: the partitioned writer REQUIRES task
+            # rows ordered by the partition column and would otherwise
+            # insert its own non-stable sort by tile_id alone, destroying
+            # the sort_col run order (observed: concatenated per-source
+            # runs). Leading with tile_id satisfies the requirement, so the
+            # one sort here is the only sort — and files stay sort_col-runs
+            .sortWithinPartitions("tile_id", sort_col)
+            .write.mode("overwrite")
+            .partitionBy("tile_id")
+        )
+        if target:
+            # exact ceil(rows/target) files per tile: the single writer
+            # task rolls to a new file every `target` rows of the sorted
+            # stream, so the split points are deterministic and idempotent
+            writer = writer.option("maxRecordsPerFile", target)
+        writer.parquet(staged_dir)
+        fresh = spark.read.option("basePath", staged_dir).parquet(
+            *[os.path.join(staged_dir, f"tile_id={t}") for t in batch]
+        )
+        after = {
+            int(r["tile_id"]): r
+            for r in tile_metrics(fresh, id_col, ccols).collect()
+        }
+        bad = [
+            t
+            for t in batch
+            if t not in after
+            or (
+                before[t]["row_count"],
+                before[t]["checksum"],
+                before[t]["lineage"],
+            )
+            != (
+                after[t]["row_count"],
+                after[t]["checksum"],
+                after[t]["lineage"],
+            )
+        ]
+        if bad:
+            raise RuntimeError(
+                f"compaction audit mismatch for tiles {bad} — originals "
+                f"left in place, staging dir removed"
+            )
+        # audited: swap each tile (rename-aside protocol; see module doc)
+        for t in batch:
+            live = os.path.join(path, f"tile_id={t}")
+            aside = os.path.join(path, f"{PRECOMPACT_PREFIX}{t}-{uuid4().hex}")
+            os.rename(live, aside)
+            os.rename(os.path.join(staged_dir, f"tile_id={t}"), live)
+            shutil.rmtree(aside)
+    finally:
+        shutil.rmtree(staged_dir, ignore_errors=True)
+
+    manifest_rows = spark.createDataFrame(
+        [
+            (
+                t,
+                batch_id,
+                int(after[t]["row_count"]),
+                int(after[t]["checksum"]),
+                int(after[t]["lineage"]),
+                0.0,
+                "compacted",
+                time.time(),
+            )
+            for t in batch
+        ],
+        "tile_id bigint, batch_id int, row_count bigint, checksum bigint, "
+        "lineage bigint, wall_s double, status string, ts double",
+    )
+    manifest_rows.coalesce(1).write.mode("append").parquet(_manifest_path(path))

@@ -120,6 +120,15 @@ def test_hot_tile_salting_spreads_files(spark, corpus, sink_dir):
     got = _stored(spark, sink_dir)
     assert got.count() == corpus.count()
     assert cp.verify_against_manifest(corpus, spark, sink_dir).count() == 0
+    # every file is sort_col-ordered even with multi-tile/salted tasks —
+    # guaranteed by leading the within-partition sort with tile_id (the
+    # writer's required ordering; without it the writer inserts its own
+    # non-stable tile_id sort and the data-skipping run order is luck)
+    import pyarrow.parquet as papq
+
+    for f in hot_files + cold_files:
+        cells = papq.read_table(f, columns=["cell_id"])["cell_id"].to_pylist()
+        assert cells == sorted(cells)
 
 
 def test_hilbert_tile_order_batches_are_compact(spark, corpus, sink_dir):

@@ -1,0 +1,186 @@
+"""Tile compaction (Iceberg ``rewrite_data_files`` analogue,
+``plans/compact.py``): fragmented salted writes collapse to the target
+file count with bit-identical content, manifest lineage extends, interrupted
+swaps recover. The reference never needed this — its windowed writer
+(``/root/reference/src/geowombat/backends/rasterio_.py:131-135``) emits one
+file per window and never appends; the Spark sink's salting/appends/resume
+are what create fragmentation."""
+
+import glob
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from geowombat_spark.plans import checkpoint as cp
+from geowombat_spark.plans import compact as cx
+
+
+@pytest.fixture()
+def sink_dir():
+    d = tempfile.mkdtemp(prefix="gw_compact_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """12 tiles, tile 3 is hot (4000 of 6000 rows)."""
+    base = spark.range(6000).withColumnRenamed("id", "doc_id")
+    return base.withColumns(
+        {
+            "tile_id": F.when(F.col("doc_id") < 4000, F.lit(3)).otherwise(
+                F.col("doc_id") % 12
+            ),
+            "cell_id": F.col("doc_id") * 7 % 100000,
+            "value": (F.col("doc_id") % 251).cast("double"),
+        }
+    ).cache()
+
+
+def _fragmented_write(corpus, sink_dir):
+    """salt_threshold=0 marks EVERY tile hot ⇒ n_salt files per tile."""
+    cp.write_tiled_checkpointed(
+        corpus, sink_dir, batch_tiles=6, salt_threshold=0, n_salt=4
+    )
+
+
+def _rows(spark, path):
+    return (
+        spark.read.option("basePath", path)
+        .parquet(path)
+        .select("doc_id", "tile_id", "cell_id", "value")
+    )
+
+
+def test_compact_to_one_file_per_tile(spark, corpus, sink_dir):
+    _fragmented_write(corpus, sink_dir)
+    before = cx.tile_file_stats(sink_dir)
+    assert all(s["n_files"] > 1 for s in before.values())
+
+    report = {r["tile_id"]: r for r in cx.compact_tiles(spark, sink_dir).collect()}
+    after = cx.tile_file_stats(sink_dir)
+    assert set(report) == set(before)
+    for t, s in after.items():
+        assert s["n_files"] == 1
+        assert report[t]["files_before"] == before[t]["n_files"]
+        assert report[t]["files_after"] == 1
+
+    # content bit-identical: nothing lost, duplicated, or mutated
+    got = _rows(spark, sink_dir)
+    src = corpus.select("doc_id", "tile_id", "cell_id", "value")
+    assert got.exceptAll(src).count() == 0
+    assert src.exceptAll(got).count() == 0
+    # the three-way manifest audit still passes after compaction (the
+    # 'compacted' rows carry identical checksum/lineage by construction)
+    assert cp.verify_against_manifest(corpus, spark, sink_dir).count() == 0
+    man = cp.read_manifest(spark, sink_dir)
+    statuses = {r["status"] for r in man.select("status").distinct().collect()}
+    assert statuses == {"ok", "compacted"}
+    # batch lineage stays a single monotone sequence across the two phases
+    ok_max = man.filter("status='ok'").agg(F.max("batch_id")).collect()[0][0]
+    cmp_min = man.filter("status='compacted'").agg(F.min("batch_id")).collect()[0][0]
+    assert cmp_min > ok_max
+
+
+def test_target_rows_keeps_big_tiles_split(spark, corpus, sink_dir):
+    """A hot tile must NOT collapse to one giant file: with
+    target_rows_per_file the tile keeps ceil(rows/target) files (compaction
+    targets file size, not file count — rebuilding the skew the sink's
+    salting removed would be a regression at scale)."""
+    _fragmented_write(corpus, sink_dir)
+    report = cx.compact_tiles(
+        spark, sink_dir, target_rows_per_file=1500
+    ).collect()
+    after = cx.tile_file_stats(sink_dir)
+    # tile 3 has 4000 rows -> ceil(4000/1500) = 3 files; cold tiles ~180 rows -> 1
+    assert after[3]["n_files"] == 3
+    for t, s in after.items():
+        if t != 3:
+            assert s["n_files"] == 1
+    got = _rows(spark, sink_dir)
+    src = corpus.select("doc_id", "tile_id", "cell_id", "value")
+    assert got.exceptAll(src).count() == 0
+    assert src.exceptAll(got).count() == 0
+    # tiles already at/below target are not rewritten again
+    again = cx.compact_tiles(spark, sink_dir, target_rows_per_file=1500)
+    assert again.count() == 0
+
+
+def test_compact_is_idempotent_and_scoped(spark, corpus, sink_dir):
+    _fragmented_write(corpus, sink_dir)
+    # scoped: only the requested tile is rewritten
+    rep = cx.compact_tiles(spark, sink_dir, tiles=[3]).collect()
+    assert [r["tile_id"] for r in rep] == [3]
+    stats = cx.tile_file_stats(sink_dir)
+    assert stats[3]["n_files"] == 1
+    assert any(s["n_files"] > 1 for t, s in stats.items() if t != 3)
+    # full pass compacts the rest; second full pass is a no-op
+    cx.compact_tiles(spark, sink_dir)
+    assert cx.compact_tiles(spark, sink_dir).count() == 0
+
+
+def test_recover_rolls_back_interrupted_swap(spark, corpus, sink_dir):
+    _fragmented_write(corpus, sink_dir)
+    src_count = corpus.count()
+    # simulate a crash between rename-aside and rename-in for tile 5:
+    # the live dir is gone, only the hidden _precompact dir remains
+    live = os.path.join(sink_dir, "tile_id=5")
+    aside = os.path.join(sink_dir, f"{cx.PRECOMPACT_PREFIX}5-deadbeef")
+    os.rename(live, aside)
+    # readers ignore the hidden dir: rows are missing, never doubled
+    assert _rows(spark, sink_dir).count() < src_count
+    out = cx.recover_compaction(sink_dir)
+    assert out["rolled_back"] == [5]
+    assert _rows(spark, sink_dir).count() == src_count
+
+    # completed-swap leftover (live dir present): cleaned, content intact
+    aside2 = os.path.join(sink_dir, f"{cx.PRECOMPACT_PREFIX}7-cafe")
+    shutil.copytree(os.path.join(sink_dir, "tile_id=7"), aside2)
+    out2 = cx.recover_compaction(sink_dir)
+    assert out2 == {"rolled_back": [], "cleaned": [7]}
+    assert not os.path.exists(aside2)
+    # compact_tiles runs recovery implicitly, then compacts as usual
+    os.rename(
+        os.path.join(sink_dir, "tile_id=5"),
+        os.path.join(sink_dir, f"{cx.PRECOMPACT_PREFIX}5-f00d"),
+    )
+    cx.compact_tiles(spark, sink_dir)
+    got = _rows(spark, sink_dir)
+    src = corpus.select("doc_id", "tile_id", "cell_id", "value")
+    assert got.exceptAll(src).count() == 0
+    assert src.exceptAll(got).count() == 0
+
+
+def test_streaming_append_fragmentation_then_compact(spark, corpus, sink_dir):
+    """The real 100 TB scenario: repeated appends to the same tiles (what a
+    micro-batch writer produces) → many small files → one compaction pass
+    restores the layout without touching row content."""
+    src = corpus.select("doc_id", "tile_id", "cell_id", "value")
+    # splitter must be independent of the tile key (doc_id % 12): doc_id % 3
+    # would starve tiles of chunks, so split on doc_id div 12 instead
+    for chunk in range(3):
+        (
+            src.filter(F.expr("doc_id div 12") % 3 == chunk)
+            .repartition(F.col("tile_id"))
+            .write.mode("append")
+            .partitionBy("tile_id")
+            .parquet(sink_dir)
+        )
+    before = cx.tile_file_stats(sink_dir)
+    assert all(s["n_files"] >= 3 for s in before.values())
+    cx.compact_tiles(spark, sink_dir)
+    after = cx.tile_file_stats(sink_dir)
+    assert all(s["n_files"] == 1 for s in after.values())
+    got = _rows(spark, sink_dir)
+    assert got.exceptAll(src).count() == 0
+    assert src.exceptAll(got).count() == 0
+    # within-file ordering restored for data skipping: each compacted file's
+    # cell_id values are sorted
+    import pyarrow.parquet as papq
+
+    f = sorted(glob.glob(os.path.join(sink_dir, "tile_id=3", "*.parquet")))[0]
+    cells = papq.read_table(f, columns=["cell_id"])["cell_id"].to_pylist()
+    assert cells == sorted(cells)
