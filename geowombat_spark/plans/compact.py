@@ -90,20 +90,25 @@ def _is_data_file(name: str) -> bool:
     return not name.startswith((".", "_"))
 
 
-def tile_file_stats(path: str) -> dict[int, dict]:
+def tile_file_stats(path: str, tiles=None) -> dict[int, dict]:
     """Per-tile file statistics from a driver-side listing: ``{tile_id:
     {'n_files': int, 'bytes': int, 'dir': str}}``.
 
     Metadata-only — no data bytes are read. With an Iceberg catalog this is
     a manifest scan; on the parquet shim it is one ``scandir`` per tile
     directory (local FS / HDFS listing; object stores would use a prefix
-    list, same cost class).
+    list, same cost class). ``tiles`` restricts the listing to that tile
+    set — per-batch callers must pass it so listing cost stays O(batch),
+    not O(corpus tiles) per batch.
     """
+    keep = None if tiles is None else {int(t) for t in tiles}
     out: dict[int, dict] = {}
     for entry in os.scandir(path):
         if not (entry.is_dir() and entry.name.startswith("tile_id=")):
             continue
         tile = int(entry.name.split("=", 1)[1])
+        if keep is not None and tile not in keep:
+            continue
         n = 0
         nbytes = 0
         for f in os.scandir(entry.path):
@@ -171,18 +176,25 @@ def compact_tiles(
     compact only the tiles a streaming job has been appending to).
     """
     recover_compaction(path)
-    stats = tile_file_stats(path)
-    if tiles is not None:
-        keep = set(tiles)
-        stats = {t: s for t, s in stats.items() if t in keep}
+    stats = tile_file_stats(path, tiles=tiles)
 
     # candidate selection: footer row counts only for tiles that are even
-    # possibly fragmented (n_files == 1 can never need work)
+    # possibly fragmented (n_files == 1 can never need work); footers are
+    # fetched by a driver thread pool — sequential per-tile metadata reads
+    # would serialize ~ms × tiles at corpus scale
+    from concurrent.futures import ThreadPoolExecutor
+
+    multi = {t: s for t, s in stats.items() if s["n_files"] > 1}
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        counts = dict(
+            zip(
+                multi,
+                pool.map(lambda t: _tile_row_count(multi[t]["dir"]), multi),
+            )
+        )
     plan: dict[int, dict] = {}
-    for t, s in stats.items():
-        if s["n_files"] <= 1:
-            continue
-        rows = _tile_row_count(s["dir"])
+    for t, s in multi.items():
+        rows = counts[t]
         if rows == 0:
             # degenerate all-empty-files tile: nothing to audit (groupBy
             # emits no metrics row for it) and nothing to gain — skip
@@ -202,10 +214,6 @@ def compact_tiles(
 
     report_rows: list[tuple] = []
     if plan:
-        ccols_from = spark.read.option("basePath", path).parquet(
-            plan[next(iter(plan))]["dir"]
-        )
-        ccols = content_checksum_cols(ccols_from, id_col)
         man = read_manifest(spark, path)
         batch_id0 = 0
         if man is not None:
@@ -225,11 +233,10 @@ def compact_tiles(
                 plan,
                 id_col,
                 sort_col,
-                ccols,
                 batch_id0 + bi,
             )
             wall = round(time.time() - t0, 3)
-            after = tile_file_stats(path)
+            after = tile_file_stats(path, tiles=batch)
             for t in batch:
                 report_rows.append(
                     (
@@ -255,7 +262,6 @@ def _compact_batch(
     plan: dict[int, dict],
     id_col: str,
     sort_col: str,
-    ccols: tuple[str, ...],
     batch_id: int,
 ) -> None:
     """Rewrite one bounded batch of tiles: read old files → repartition on
@@ -265,11 +271,7 @@ def _compact_batch(
     old = spark.read.option("basePath", path).parquet(
         *[plan[t]["dir"] for t in batch]
     )
-    before = {
-        int(r["tile_id"]): r
-        for r in tile_metrics(old, id_col, ccols).collect()
-    }
-
+    ccols = content_checksum_cols(old, id_col)
     target = plan[batch[0]].get("target") or 0
     staged_dir = os.path.join(path, f"_compact-stage-{uuid4().hex}")
     try:
@@ -294,10 +296,22 @@ def _compact_batch(
         fresh = spark.read.option("basePath", staged_dir).parquet(
             *[os.path.join(staged_dir, f"tile_id={t}") for t in batch]
         )
-        after = {
-            int(r["tile_id"]): r
-            for r in tile_metrics(fresh, id_col, ccols).collect()
-        }
+        # ONE Spark job audits both legs: old and staged metrics are a
+        # unioned aggregate (the old files are immutable until the swap
+        # below, so auditing them after the staged write is sound) — vs a
+        # metrics job per leg, this halves the audit's job-launch overhead
+        both = (
+            tile_metrics(old, id_col, ccols)
+            .withColumn("_leg", F.lit("old"))
+            .unionByName(
+                tile_metrics(fresh, id_col, ccols).withColumn(
+                    "_leg", F.lit("new")
+                )
+            )
+            .collect()
+        )
+        before = {int(r["tile_id"]): r for r in both if r["_leg"] == "old"}
+        after = {int(r["tile_id"]): r for r in both if r["_leg"] == "new"}
         bad = [
             t
             for t in batch
