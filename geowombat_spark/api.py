@@ -160,6 +160,7 @@ from .plans.checkpoint import (  # noqa: F401
 )
 from .plans.checkpoint import write_tiled_checkpointed as to_raster  # noqa: F401
 from .plans.compact import (  # noqa: F401
+    compact_manifest,
     compact_tiles,
     recover_compaction,
     tile_file_stats,

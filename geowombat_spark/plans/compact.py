@@ -126,7 +126,7 @@ def _tile_row_count(tile_dir: str) -> int:
     return pads.dataset(tile_dir, format="parquet").count_rows()
 
 
-def recover_compaction(path: str) -> dict[str, list[int]]:
+def recover_compaction(path: str) -> dict[str, list]:
     """Roll back/forward any swap a crashed compaction left behind.
 
     For every hidden ``_precompact-<tile>-<uuid>`` directory under ``path``:
@@ -135,24 +135,86 @@ def recover_compaction(path: str) -> dict[str, list[int]]:
     back; the manifest 'compacted' row is only written after a completed
     swap, so the manifest stays truthful). If the live directory exists the
     swap completed and only the delete was lost — drop the leftover (roll
-    forward). Returns ``{'rolled_back': [...], 'cleaned': [...]}``.
+    forward). The same protocol covers an interrupted ``compact_manifest``
+    swap (``_manifest-old-<uuid>`` aside dirs): a missing ``_manifest`` is
+    restored from the aside — CRITICAL, because a missing manifest would
+    make a resumed sink rewrite every tile from scratch. Returns
+    ``{'rolled_back': [...], 'cleaned': [...]}`` (tile ids, plus the
+    string 'manifest' for manifest-swap recoveries).
     """
-    rolled_back: list[int] = []
-    cleaned: list[int] = []
+    rolled_back: list = []
+    cleaned: list = []
     if not os.path.isdir(path):
         return {"rolled_back": rolled_back, "cleaned": cleaned}
-    for entry in os.scandir(path):
-        if not (entry.is_dir() and entry.name.startswith(PRECOMPACT_PREFIX)):
-            continue
-        tile = int(entry.name[len(PRECOMPACT_PREFIX) :].split("-", 1)[0])
-        live = os.path.join(path, f"tile_id={tile}")
-        if os.path.isdir(live):
+    manifest_live = _manifest_path(path)
+    # snapshot the listing first: the loop renames/deletes entries
+    for entry in list(os.scandir(path)):
+        if entry.is_dir() and entry.name.startswith(PRECOMPACT_PREFIX):
+            tile = int(entry.name[len(PRECOMPACT_PREFIX) :].split("-", 1)[0])
+            live = os.path.join(path, f"tile_id={tile}")
+            if os.path.isdir(live):
+                shutil.rmtree(entry.path)
+                cleaned.append(tile)
+            else:
+                os.rename(entry.path, live)
+                rolled_back.append(tile)
+        elif entry.is_dir() and entry.name.startswith("_manifest-old-"):
+            if os.path.isdir(manifest_live):
+                shutil.rmtree(entry.path)
+                cleaned.append("manifest")
+            else:
+                os.rename(entry.path, manifest_live)
+                rolled_back.append("manifest")
+        elif entry.is_dir() and entry.name.startswith(
+            ("_manifest-stage-", "_compact-stage-")
+        ):
+            # an abandoned staging dir (a hard kill skipped the in-process
+            # cleanup): discard. Safe in every crash ordering — any tile
+            # already swapped out of the stage lives under tile_id=...;
+            # tiles still in the stage have their originals either live or
+            # in a _precompact aside restored above.
             shutil.rmtree(entry.path)
-            cleaned.append(tile)
-        else:
-            os.rename(entry.path, live)
-            rolled_back.append(tile)
     return {"rolled_back": rolled_back, "cleaned": cleaned}
+
+
+def compact_manifest(spark: SparkSession, path: str) -> int:
+    """Rewrite the sink manifest into a single parquet file; returns the
+    file count before the rewrite.
+
+    The manifest appends one small file per committed batch (plus one per
+    compaction batch), so after thousands of batches the resume pre-pass
+    (``completed_tiles``) pays a file-per-batch listing+footer cost. All
+    rows are preserved verbatim — the manifest is an append-only log and
+    its consumers (resume anti-join, ``verify_against_manifest``'s
+    per-tile max) are order-independent, so packing the log loses nothing.
+    Same crash-safe rename-aside swap as the tile rewrite; an interrupted
+    swap is healed by ``recover_compaction`` (which both this function and
+    ``compact_tiles`` run first)."""
+    recover_compaction(path)
+    mp = _manifest_path(path)
+    man = read_manifest(spark, path)
+    if man is None:
+        return 0
+    n_files = sum(
+        1 for f in os.scandir(mp) if f.is_file() and _is_data_file(f.name)
+    )
+    if n_files <= 1:
+        return n_files
+    n_rows = man.count()
+    staged = os.path.join(path, f"_manifest-stage-{uuid4().hex}")
+    man.coalesce(1).write.parquet(staged)
+    # audit: the packed log must hold exactly the same rows
+    packed = spark.read.schema(man.schema).parquet(staged)
+    if packed.count() != n_rows or packed.exceptAll(man).count() != 0:
+        shutil.rmtree(staged)
+        raise RuntimeError(
+            "manifest compaction audit mismatch — original left in place"
+        )
+    aside = os.path.join(path, f"_manifest-old-{uuid4().hex}")
+    os.rename(mp, aside)
+    os.rename(staged, mp)
+    shutil.rmtree(aside)
+    return n_files
 
 
 def compact_tiles(

@@ -184,3 +184,50 @@ def test_streaming_append_fragmentation_then_compact(spark, corpus, sink_dir):
     f = sorted(glob.glob(os.path.join(sink_dir, "tile_id=3", "*.parquet")))[0]
     cells = papq.read_table(f, columns=["cell_id"])["cell_id"].to_pylist()
     assert cells == sorted(cells)
+
+
+def test_manifest_compaction(spark, corpus, sink_dir):
+    """The manifest is itself a small-file producer (one parquet per batch):
+    compact_manifest packs it to one file, preserving every row, and resume
+    semantics (completed_tiles) are unchanged."""
+    cp.write_tiled_checkpointed(corpus, sink_dir, batch_tiles=2)  # 6 batches
+    mp = os.path.join(sink_dir, "_manifest")
+    n_before = sum(
+        1 for f in os.scandir(mp)
+        if f.is_file() and not f.name.startswith((".", "_"))
+    )
+    assert n_before >= 6
+    rows_before = sorted(map(tuple, cp.read_manifest(spark, sink_dir).collect()))
+    done_before = cp.completed_tiles(spark, sink_dir)
+
+    assert cx.compact_manifest(spark, sink_dir) == n_before
+    n_after = sum(
+        1 for f in os.scandir(mp)
+        if f.is_file() and not f.name.startswith((".", "_"))
+    )
+    assert n_after == 1
+    assert sorted(map(tuple, cp.read_manifest(spark, sink_dir).collect())) == rows_before
+    assert cp.completed_tiles(spark, sink_dir) == done_before
+    # second pass is a no-op (already one file)
+    assert cx.compact_manifest(spark, sink_dir) == 1
+    # the audit still holds end to end
+    assert cp.verify_against_manifest(corpus, spark, sink_dir).count() == 0
+
+
+def test_recover_restores_missing_manifest(spark, corpus, sink_dir):
+    """A crash between the manifest swap renames must not leave the dataset
+    manifest-less (a resumed sink would rewrite everything): recovery
+    restores the aside copy."""
+    cp.write_tiled_checkpointed(corpus, sink_dir, batch_tiles=6)
+    mp = os.path.join(sink_dir, "_manifest")
+    done = cp.completed_tiles(spark, sink_dir)
+    os.rename(mp, os.path.join(sink_dir, "_manifest-old-deadbeef"))
+    assert cp.read_manifest(spark, sink_dir) is None
+    out = cx.recover_compaction(sink_dir)
+    assert out["rolled_back"] == ["manifest"]
+    assert cp.completed_tiles(spark, sink_dir) == done
+    # completed-swap leftover: cleaned, manifest untouched
+    shutil.copytree(mp, os.path.join(sink_dir, "_manifest-old-cafe"))
+    out2 = cx.recover_compaction(sink_dir)
+    assert out2["cleaned"] == ["manifest"]
+    assert cp.completed_tiles(spark, sink_dir) == done
