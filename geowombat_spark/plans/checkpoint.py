@@ -135,6 +135,18 @@ def read_manifest(spark: SparkSession, path: str) -> DataFrame | None:
         raise
 
 
+def next_batch_id(spark: SparkSession, path: str) -> int:
+    """First unused ``batch_id`` for ``path``'s manifest: max committed
+    id + 1, or 0 with no manifest. Shared by the sink's resume path and by
+    ``plans.compact`` so the manifest's batch walk stays ONE monotonically
+    labeled sequence across crashes, resumes, and maintenance passes."""
+    prior = read_manifest(spark, path)
+    if prior is None:
+        return 0
+    row = prior.agg(F.max("batch_id")).collect()[0][0]
+    return int(row) + 1 if row is not None else 0
+
+
 def completed_tiles(spark: SparkSession, path: str) -> set[int]:
     m = read_manifest(spark, path)
     if m is None:
@@ -219,14 +231,9 @@ def write_tiled_checkpointed(
         raise ValueError("tile_order must be 'id' or 'hilbert'")
     done = completed_tiles(spark, path)
     pending = [t for t in all_tiles if t not in done]
-    # resume continues the batch lineage, never restarts it: a rerun's
-    # first batch gets max(committed batch_id)+1, so the manifest's batch
-    # walk stays a single monotonically-labeled sequence across crashes
-    batch_id0 = 0
-    prior = read_manifest(spark, path)
-    if prior is not None:
-        row = prior.agg(F.max("batch_id")).collect()[0][0]
-        batch_id0 = int(row) + 1 if row is not None else 0
+    # resume continues the batch lineage, never restarts it (see
+    # next_batch_id)
+    batch_id0 = next_batch_id(spark, path)
 
     hot: set[int] = set()
     if salt_threshold is not None:

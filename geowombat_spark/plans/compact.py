@@ -47,15 +47,26 @@ Scale design:
   ``checkpoint.verify_against_manifest`` keeps passing afterwards.
 - **Crash recovery.** A crash mid-swap leaves a hidden ``_precompact-*``
   directory (Spark readers ignore ``_``-prefixed paths, so a concurrent
-  read never sees doubled rows). ``recover_compaction`` — also run at the
-  start of every ``compact_tiles`` — rolls an interrupted swap back (tile
-  dir missing → restore the old one) or forward (tile dir present → drop
-  the leftover). On a real object store this whole dance is Iceberg's
-  atomic snapshot commit; the shim reproduces the same commit unit
-  (per-tile atomic replace + manifest row) with local-FS renames.
-- **Single-writer assumption.** Like Iceberg's maintenance actions under
-  optimistic concurrency, compaction assumes no concurrent writer is
-  appending to the tiles being rewritten (readers are fine throughout).
+  read never sees doubled rows). ``recover_compaction`` — run at the
+  start of every ``compact_tiles``, and from ``_compact_batch``'s own
+  error path before the exception propagates — rolls an interrupted swap
+  back (tile dir missing → restore the old one) or forward (tile dir
+  present → drop the leftover). On a real object store this whole dance
+  is Iceberg's atomic snapshot commit; the shim reproduces the same
+  commit unit (per-tile atomic replace + manifest row) with local-FS
+  renames.
+- **Single-writer assumption; readers see a swap window.** Like
+  Iceberg's maintenance actions under optimistic concurrency, compaction
+  assumes no concurrent writer is appending to the tiles being rewritten.
+  Readers can never see DOUBLED rows (the aside dir is ``_``-hidden), but
+  the per-tile swap is not atomic for them: a read that lists the dataset
+  inside the rename-out→rename-in window of a tile misses that tile's
+  rows, and a long scan that indexed the old files before the swap can
+  hit ``FileNotFoundException`` once they are deleted (set
+  ``spark.sql.files.ignoreMissingFiles`` or retry). Iceberg avoids this
+  by keeping old files until snapshot expiry; the directory shim has no
+  snapshot layer, so quiesce readers of the affected tiles during a
+  compaction pass — or accept retry-on-miss semantics.
 
 Reference parity note: the reference has no compaction because its windowed
 writer (``/root/reference/src/geowombat/backends/rasterio_.py:131-135``)
@@ -78,6 +89,7 @@ from pyspark.sql import functions as F
 from .checkpoint import (
     _manifest_path,
     content_checksum_cols,
+    next_batch_id,
     read_manifest,
     tile_metrics,
 )
@@ -101,29 +113,46 @@ def tile_file_stats(path: str, tiles=None) -> dict[int, dict]:
     set — per-batch callers must pass it so listing cost stays O(batch),
     not O(corpus tiles) per batch.
     """
-    keep = None if tiles is None else {int(t) for t in tiles}
     out: dict[int, dict] = {}
-    for entry in os.scandir(path):
-        if not (entry.is_dir() and entry.name.startswith("tile_id=")):
-            continue
-        tile = int(entry.name.split("=", 1)[1])
-        if keep is not None and tile not in keep:
+    if tiles is not None:
+        # scoped mode: stat the known directory paths directly — no root
+        # scan, so a per-batch call really is O(batch) even when the
+        # corpus holds 100k+ tile dirs (on an object store: per-prefix
+        # lists instead of one full-table prefix list per batch)
+        dirs = [
+            (int(t), os.path.join(path, f"tile_id={int(t)}")) for t in tiles
+        ]
+    else:
+        dirs = [
+            (int(e.name.split("=", 1)[1]), e.path)
+            for e in os.scandir(path)
+            if e.is_dir() and e.name.startswith("tile_id=")
+        ]
+    for tile, tdir in dirs:
+        if not os.path.isdir(tdir):
             continue
         n = 0
         nbytes = 0
-        for f in os.scandir(entry.path):
+        for f in os.scandir(tdir):
             if f.is_file() and _is_data_file(f.name):
                 n += 1
                 nbytes += f.stat().st_size
-        out[tile] = {"n_files": n, "bytes": nbytes, "dir": entry.path}
+        out[tile] = {"n_files": n, "bytes": nbytes, "dir": tdir}
     return out
 
 
-def _tile_row_count(tile_dir: str) -> int:
-    """Row count from parquet footers only (no data IO)."""
+def _tile_row_count(tile_dir: str) -> tuple[int, int]:
+    """``(total_rows, max_rows_in_one_file)`` from parquet footers only
+    (no data IO) — the per-file counts cost the same footer reads as the
+    plain total and let candidate selection catch a lopsided tile whose
+    file COUNT is already at target but whose largest file is not."""
     import pyarrow.dataset as pads
 
-    return pads.dataset(tile_dir, format="parquet").count_rows()
+    per_file = [
+        frag.count_rows()
+        for frag in pads.dataset(tile_dir, format="parquet").get_fragments()
+    ]
+    return sum(per_file), max(per_file, default=0)
 
 
 def recover_compaction(path: str) -> dict[str, list]:
@@ -229,13 +258,22 @@ def compact_tiles(
     """Rewrite fragmented tiles of a ``write_tiled_checkpointed`` dataset
     down to their target file count; returns a driver-built report frame
     ``(tile_id, files_before, files_after, row_count, wall_s)`` with one
-    row per rewritten tile (empty ⇒ nothing was fragmented).
+    row per rewritten tile (empty ⇒ nothing was fragmented). ``wall_s`` is
+    the wall time of the tile's whole BATCH, repeated on each of its rows
+    (tiles within a batch rewrite concurrently, so no finer per-tile time
+    exists) — sum it per distinct value, not per row.
 
     ``target_rows_per_file=None`` targets ONE file per tile; otherwise each
     tile targets ``ceil(rows / target_rows_per_file)`` files (big tiles
     keep bounded-size files — compaction must not rebuild the skew the
-    sink's salting removed). ``tiles`` restricts the candidate set (e.g.
-    compact only the tiles a streaming job has been appending to).
+    sink's salting removed), and a multi-file tile is also re-selected
+    when any single file exceeds the target even if its file count is
+    already minimal. Single-file tiles are never candidates: merging small
+    files is the maintenance job, and the sink's own writer already bounds
+    fresh file sizes — splitting a lone pre-existing big file would add an
+    O(all tiles) footer scan to every pass for a case appends don't
+    produce. ``tiles`` restricts the candidate set (e.g. compact only the
+    tiles a streaming job has been appending to).
     """
     recover_compaction(path)
     stats = tile_file_stats(path, tiles=tiles)
@@ -256,7 +294,7 @@ def compact_tiles(
         )
     plan: dict[int, dict] = {}
     for t, s in multi.items():
-        rows = counts[t]
+        rows, max_file_rows = counts[t]
         if rows == 0:
             # degenerate all-empty-files tile: nothing to audit (groupBy
             # emits no metrics row for it) and nothing to gain — skip
@@ -266,22 +304,22 @@ def compact_tiles(
             if target_rows_per_file is None
             else max(1, math.ceil(rows / target_rows_per_file))
         )
-        if s["n_files"] > want:
-            plan[t] = {
-                **s,
-                "rows": rows,
-                "want": want,
-                "target": target_rows_per_file,
-            }
+        # select on file count OR on a single oversized file: a tile of
+        # (2999, 1) rows with target 1500 already has want=2 files, but
+        # one of them is ~2x over target — exactly the skew the option
+        # exists to bound, so it must still be rewritten (idempotent: the
+        # rewrite emits maxRecordsPerFile-bounded files, after which
+        # neither branch re-selects the tile)
+        oversized = (
+            target_rows_per_file is not None
+            and max_file_rows > target_rows_per_file
+        )
+        if s["n_files"] > want or oversized:
+            plan[t] = {**s, "rows": rows, "want": want}
 
     report_rows: list[tuple] = []
     if plan:
-        man = read_manifest(spark, path)
-        batch_id0 = 0
-        if man is not None:
-            row = man.agg(F.max("batch_id")).collect()[0][0]
-            batch_id0 = int(row) + 1 if row is not None else 0
-
+        batch_id0 = next_batch_id(spark, path)
         todo = sorted(plan)
         batches = [
             todo[i : i + batch_tiles] for i in range(0, len(todo), batch_tiles)
@@ -296,6 +334,7 @@ def compact_tiles(
                 id_col,
                 sort_col,
                 batch_id0 + bi,
+                target_rows_per_file,
             )
             wall = round(time.time() - t0, 3)
             after = tile_file_stats(path, tiles=batch)
@@ -325,16 +364,20 @@ def _compact_batch(
     id_col: str,
     sort_col: str,
     batch_id: int,
+    target_rows_per_file: int | None,
 ) -> None:
     """Rewrite one bounded batch of tiles: read old files → repartition on
     ``tile_id`` (one task per tile; ``maxRecordsPerFile`` splits big tiles
     deterministically) → write to a hidden staging dir → checksum-audit new
-    vs old → per-tile rename swap → manifest append."""
+    vs old → per-tile rename swap → manifest append. An exception during
+    the swap loop triggers an immediate ``recover_compaction`` before
+    re-raising, so no tile is left hidden in a ``_precompact`` aside until
+    some later call happens to run recovery."""
     old = spark.read.option("basePath", path).parquet(
         *[plan[t]["dir"] for t in batch]
     )
     ccols = content_checksum_cols(old, id_col)
-    target = plan[batch[0]].get("target") or 0
+    target = target_rows_per_file or 0
     staged_dir = os.path.join(path, f"_compact-stage-{uuid4().hex}")
     try:
         writer = (
@@ -395,12 +438,23 @@ def _compact_batch(
                 f"left in place, staging dir removed"
             )
         # audited: swap each tile (rename-aside protocol; see module doc)
-        for t in batch:
-            live = os.path.join(path, f"tile_id={t}")
-            aside = os.path.join(path, f"{PRECOMPACT_PREFIX}{t}-{uuid4().hex}")
-            os.rename(live, aside)
-            os.rename(os.path.join(staged_dir, f"tile_id={t}"), live)
-            shutil.rmtree(aside)
+        try:
+            for t in batch:
+                live = os.path.join(path, f"tile_id={t}")
+                aside = os.path.join(
+                    path, f"{PRECOMPACT_PREFIX}{t}-{uuid4().hex}"
+                )
+                os.rename(live, aside)
+                os.rename(os.path.join(staged_dir, f"tile_id={t}"), live)
+                shutil.rmtree(aside)
+        except BaseException:
+            # in-process failure mid-swap (disk full, EACCES, cross-device
+            # staging): restore any tile whose live dir is missing NOW —
+            # without this, the tile stays hidden in its aside until an
+            # unrelated later compaction call runs recovery, and every
+            # read in between silently loses its rows
+            recover_compaction(path)
+            raise
     finally:
         shutil.rmtree(staged_dir, ignore_errors=True)
 

@@ -109,6 +109,78 @@ def test_target_rows_keeps_big_tiles_split(spark, corpus, sink_dir):
     assert again.count() == 0
 
 
+def test_oversized_file_reselected(spark, corpus, sink_dir):
+    """A lopsided tile whose file COUNT already equals ceil(rows/target)
+    but whose largest file exceeds target must still be rewritten (one
+    2999-row + one 1-row file at target 1500 is exactly the skew the
+    option bounds) — and the rewrite is idempotent."""
+    t0 = corpus.filter((F.col("tile_id") == 3) & (F.col("doc_id") < 3000))
+    big = t0.filter(F.col("doc_id") < 2999)
+    one = t0.filter(F.col("doc_id") == 2999)
+    for part in (big, one):
+        (
+            part.coalesce(1)
+            .write.mode("append")
+            .partitionBy("tile_id")
+            .parquet(sink_dir)
+        )
+    before = cx.tile_file_stats(sink_dir)
+    assert before[3]["n_files"] == 2  # already at ceil(3000/1500)
+    rep = cx.compact_tiles(spark, sink_dir, target_rows_per_file=1500)
+    assert [r["tile_id"] for r in rep.collect()] == [3]
+    import pyarrow.dataset as pads
+
+    per_file = [
+        frag.count_rows()
+        for frag in pads.dataset(
+            os.path.join(sink_dir, "tile_id=3"), format="parquet"
+        ).get_fragments()
+    ]
+    assert sorted(per_file) == [1500, 1500]
+    # bounded files ⇒ neither selection branch fires again
+    assert cx.compact_tiles(spark, sink_dir, target_rows_per_file=1500).count() == 0
+
+
+def test_midswap_failure_recovers_immediately(
+    spark, corpus, sink_dir, monkeypatch
+):
+    """An in-process exception between rename-aside and rename-in must not
+    leave the tile hidden until some later compaction call: _compact_batch's
+    error path runs recovery itself, so every row is readable the moment
+    the exception surfaces."""
+    _fragmented_write(corpus, sink_dir)
+    src_count = corpus.count()
+    victim = os.path.join(sink_dir, "tile_id=5")
+    real_rename = os.rename
+
+    def failing_rename(src, dst):
+        if dst == victim and cx.PRECOMPACT_PREFIX not in src:
+            raise OSError(28, "No space left on device (injected)")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(cx.os, "rename", failing_rename)
+    with pytest.raises(OSError, match="injected"):
+        cx.compact_tiles(spark, sink_dir)
+    monkeypatch.undo()
+    # no hidden asides or staging dirs remain, and no rows are lost
+    leftovers = [
+        e.name
+        for e in os.scandir(sink_dir)
+        if e.name.startswith((cx.PRECOMPACT_PREFIX, "_compact-stage-"))
+    ]
+    assert leftovers == []
+    assert _rows(spark, sink_dir).count() == src_count
+    # a clean retry finishes the job
+    cx.compact_tiles(spark, sink_dir)
+    assert all(
+        s["n_files"] == 1 for s in cx.tile_file_stats(sink_dir).values()
+    )
+    got = _rows(spark, sink_dir)
+    src = corpus.select("doc_id", "tile_id", "cell_id", "value")
+    assert got.exceptAll(src).count() == 0
+    assert src.exceptAll(got).count() == 0
+
+
 def test_compact_is_idempotent_and_scoped(spark, corpus, sink_dir):
     _fragmented_write(corpus, sink_dir)
     # scoped: only the requested tile is rewritten
