@@ -2589,8 +2589,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_recode": q_recode,
         "q_jaccard_pairs": q_jaccard_pairs,
         "q_embed_neardup": q_embed_neardup,
-        "q_tile_manifest": q_tile_manifest,
+        # new in r5 ⇒ needs its first driver row; displaces q_tile_manifest
+        # (green r3 row) below the window
+        "q_compact_tiles": q_compact_tiles,
         # === 50-entry window ends here (all value-level oracles) =======
+        "q_tile_manifest": q_tile_manifest,
         # --- r3-block overflow: freshest independent check_oracle
         #     verification (r4 judging session), so they yield their
         #     window slots to the block above ---------------------------
@@ -2646,7 +2649,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_precision": q_lsh_precision,
         "q_cluster_assign": q_cluster_assign,
         "q_ml_score_audit": q_ml_score_audit,
-        "q_compact_tiles": q_compact_tiles,
         # --- rows-only audits (no SQL oracle by nature: engine-internal
         #     RNG/seeding); value-level companions above carry the audit.
         #     Kept last so the recorded window is 50/50 value-level. -----
