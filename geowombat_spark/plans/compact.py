@@ -240,9 +240,16 @@ def compact_manifest(spark: SparkSession, path: str) -> int:
             "manifest compaction audit mismatch — original left in place"
         )
     aside = os.path.join(path, f"_manifest-old-{uuid4().hex}")
-    os.rename(mp, aside)
-    os.rename(staged, mp)
-    shutil.rmtree(aside)
+    try:
+        os.rename(mp, aside)
+        os.rename(staged, mp)
+        shutil.rmtree(aside)
+    except BaseException:
+        # same contract as the tile swap: restore the manifest NOW rather
+        # than leaving the dataset manifest-less (a resumed sink would
+        # rewrite every tile) until some later call runs recovery
+        recover_compaction(path)
+        raise
     return n_files
 
 

@@ -286,6 +286,39 @@ def test_manifest_compaction(spark, corpus, sink_dir):
     assert cp.verify_against_manifest(corpus, spark, sink_dir).count() == 0
 
 
+def test_manifest_midswap_failure_recovers_immediately(
+    spark, corpus, sink_dir, monkeypatch
+):
+    """compact_manifest's swap has the same contract as the tile swap: an
+    in-process failure between rename-out and rename-in restores the
+    manifest before the exception surfaces (a manifest-less dataset makes
+    a resumed sink rewrite everything)."""
+    cp.write_tiled_checkpointed(corpus, sink_dir, batch_tiles=2)
+    mp = os.path.join(sink_dir, "_manifest")
+    done = cp.completed_tiles(spark, sink_dir)
+    real_rename = os.rename
+
+    def failing_rename(src, dst):
+        if dst == mp and "_manifest-stage-" in src:
+            raise OSError(28, "No space left on device (injected)")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(cx.os, "rename", failing_rename)
+    with pytest.raises(OSError, match="injected"):
+        cx.compact_manifest(spark, sink_dir)
+    monkeypatch.undo()
+    leftovers = [
+        e.name
+        for e in os.scandir(sink_dir)
+        if e.name.startswith(("_manifest-old-", "_manifest-stage-"))
+    ]
+    assert leftovers == []
+    assert cp.completed_tiles(spark, sink_dir) == done
+    # a clean retry packs the log as usual
+    assert cx.compact_manifest(spark, sink_dir) > 1
+    assert cp.completed_tiles(spark, sink_dir) == done
+
+
 def test_recover_restores_missing_manifest(spark, corpus, sink_dir):
     """A crash between the manifest swap renames must not leave the dataset
     manifest-less (a resumed sink would rewrite everything): recovery
