@@ -339,6 +339,12 @@ def ivf_topk(
     spark = corpus.sparkSession
     cents = train_corpus_centroids(corpus, nlist, id_col, vec_col)
     bc = spark.sparkContext.broadcast(cents)
+    # derive the pass-through types from the input schema: hardcoding
+    # `array<float>` would silently downcast double embeddings before the
+    # "exact" probe scoring, and `bigint` would crash string ids (the same
+    # contract _cluster_cosine_pairs documents in dedup.py)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    vec_type = corpus.schema[vec_col].dataType.simpleString()
 
     def _assign(it):
         cm = bc.value
@@ -350,11 +356,11 @@ def ivf_topk(
             yield out
 
     assigned = corpus.select(id_col, vec_col).mapInPandas(
-        _assign, f"{id_col} bigint, {vec_col} array<float>, cluster int"
+        _assign, f"{id_col} {id_type}, {vec_col} {vec_type}, cluster int"
     )
 
     qrows = queries.select(id_col, vec_col).collect()
-    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    q_ids = np.asarray([r[0] for r in qrows])
     q_mat = _normalize([r[1] for r in qrows])
     probes = np.argsort(-(q_mat @ cents.T), axis=1)[:, :nprobe]
     bq = spark.sparkContext.broadcast((q_ids, q_mat, probes))
@@ -364,7 +370,11 @@ def ivf_topk(
         for pdf in it:
             c = _normalize(list(pdf[vec_col]))
             cl = pdf["cluster"].values
-            cids = pdf[id_col].values.astype(np.int64)
+            # keep the id dtype native (int64 or str); str converts to a
+            # fixed-width U array so np.lexsort's tiebreak stays total
+            cids = np.asarray(pdf[id_col].values)
+            if cids.dtype == object:
+                cids = cids.astype("U")
             frames = []
             for qi in range(len(ids)):
                 mask = np.isin(cl, pr[qi])
@@ -390,7 +400,7 @@ def ivf_topk(
             )
 
     local = assigned.mapInPandas(
-        _probe, "query_id bigint, vec_id bigint, cosine double"
+        _probe, f"query_id {id_type}, vec_id {id_type}, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -493,8 +503,10 @@ def pq_topk(
     dim = sample.shape[1]
     ds = dim // m_sub
 
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
     qrows = queries.select(query_id_col, vec_col).collect()
-    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    q_ids = np.asarray([r[0] for r in qrows])
     q_mat = _normalize([r[1] for r in qrows])
     # per-query ADC lookup tables: LUT[q, m, c] = ||q_sub - codeword||^2
     lut = np.stack(
@@ -530,9 +542,18 @@ def pq_topk(
             d = np.zeros((len(ids), c.shape[0]))
             for m in range(m_sub):
                 d += tables[:, m, :][:, codes[:, m]]
-            cids = pdf[id_col].values.astype(np.int64)
+            cids = np.asarray(pdf[id_col].values)
+            if cids.dtype == object:
+                cids = cids.astype("U")
             take = min(shortlist, c.shape[0])
-            part = np.argpartition(d, take - 1, axis=1)[:, :take]
+            # tie-safe bounded local shortlist: (adc asc, vec_id asc) is
+            # the SAME total order as the global window below, so which
+            # tied candidate survives the local cut cannot depend on Arrow
+            # batch slicing (argpartition picks arbitrarily among ties —
+            # the failure mode brute_force_topk._score documents)
+            part = np.lexsort(
+                (np.broadcast_to(cids, d.shape), d), axis=1
+            )[:, :take]
             yield pd.DataFrame(
                 {
                     "query_id": np.repeat(ids, take),
@@ -542,7 +563,7 @@ def pq_topk(
             )
 
     local = corpus.select(id_col, vec_col).mapInPandas(
-        _adc, "query_id bigint, vec_id bigint, adc double"
+        _adc, f"query_id {qid_type}, vec_id {id_type}, adc double"
     )
     w0 = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
     cand = (
@@ -560,22 +581,22 @@ def pq_topk(
 
     def _rescore(it):
         ids, qm = bq.value
-        pos = {int(q): i for i, q in enumerate(ids)}
+        pos = {q: i for i, q in enumerate(ids.tolist())}
         for pdf in it:
             c = _normalize(list(pdf[vec_col]))
-            qi = pdf["query_id"].values.astype(np.int64)
-            rowsel = np.array([pos[int(q)] for q in qi])
+            qi = pdf["query_id"].values
+            rowsel = np.array([pos[q] for q in qi])
             cos = round6((qm[rowsel] * c).sum(axis=1))
             yield pd.DataFrame(
                 {
                     "query_id": qi,
-                    "vec_id": pdf[id_col].values.astype(np.int64),
+                    "vec_id": pdf[id_col].values,
                     "cosine": cos,
                 }
             )
 
     scored = cand_vec.mapInPandas(
-        _rescore, "query_id bigint, vec_id bigint, cosine double"
+        _rescore, f"query_id {qid_type}, vec_id {id_type}, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (

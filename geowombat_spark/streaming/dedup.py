@@ -125,12 +125,16 @@ def stream_dedup_against(
     )
 
 
-_FLAG_SCHEMA = "doc_id bigint, band_idx int, band_hash string, seen_min bigint"
-_STATE_SCHEMA = "min_doc bigint, n bigint"
+_FLAG_SCHEMA = (
+    "doc_id bigint, band_idx int, band_hash string, seen_min bigint, "
+    "status string"
+)
+_STATE_SCHEMA = "min_doc bigint, n bigint, occupied boolean"
 
-#: seen_min sentinel: bucket exceeded the skew cap — membership was NOT
-#: evaluated (the batch path drops such buckets entirely; see
-#: pipeline/dedup.DEFAULT_MAX_BUCKET).
+#: legacy seen_min sentinel for over-cap buckets. ``status`` is the
+#: authoritative verdict ('fresh' | 'seen' | 'overflow'): sentinel values
+#: inside the id domain would collide with real negative doc ids, which
+#: the batch path (plain ``a.doc_id < b.doc_id`` joins) handles fine.
 BUCKET_OVERFLOW = -2
 
 
@@ -139,9 +143,12 @@ def _make_update_bucket(max_bucket_size: int | None, timeout_ms: int):
         if state.hasTimedOut:
             state.remove()
             return
-        min_doc, n_seen = state.get if state.exists else (None, 0)
-        if min_doc is not None and min_doc < 0:
-            min_doc = None  # -1 = stored "no occupant yet" sentinel
+        # occupancy is an explicit state flag, NOT a sign convention on
+        # min_doc: negative doc ids are legal (the batch path accepts any
+        # int64), so "min_doc < 0 means empty" would corrupt the fold
+        min_doc, n_seen, occupied = (
+            state.get if state.exists else (0, 0, False)
+        )
         # Drain EVERY Arrow chunk before sorting: chunk boundaries are a
         # transport artifact (arrow batch size, upstream slicing), and a
         # per-chunk sort would make seen_min depend on which chunk a doc
@@ -150,21 +157,29 @@ def _make_update_bucket(max_bucket_size: int | None, timeout_ms: int):
         parts = [pdf["doc_id"].to_numpy(dtype="int64") for pdf in pdfs]
         ids = np.sort(np.concatenate(parts)) if parts else np.array([], "int64")
         m = len(ids)
-        seen = np.empty(m, dtype="int64")
+        seen = np.full(m, -1, dtype="int64")
+        has_prior = np.empty(m, dtype=bool)
         if m:
             # seen_min[i] = min(state, ids[:i]) — a shifted prefix-min,
             # vectorized (the per-row dict loop was O(rows) interpreter
             # work per bucket per trigger)
             prefix = np.minimum.accumulate(ids)
-            seen[0] = -1 if min_doc is None else min_doc
+            has_prior[0] = occupied
+            if occupied:
+                seen[0] = min_doc
             if m > 1:
                 before = prefix[: m - 1]
                 seen[1:] = (
-                    before if min_doc is None else np.minimum(before, min_doc)
+                    np.minimum(before, min_doc) if occupied else before
                 )
-            new_min = int(prefix[-1] if min_doc is None else min(min_doc, prefix[-1]))
+                has_prior[1:] = True
+            new_min = int(
+                min(min_doc, prefix[-1]) if occupied else prefix[-1]
+            )
+            new_occupied = True
         else:
-            new_min = min_doc if min_doc is not None else -1
+            new_min, new_occupied = min_doc, occupied
+        status = np.where(has_prior, "seen", "fresh")
         if max_bucket_size is not None and n_seen + m > max_bucket_size:
             # skew guard, mirroring the batch cap semantics: an over-cap
             # bucket (boilerplate/empty text) emits no membership claims —
@@ -172,7 +187,8 @@ def _make_update_bucket(max_bucket_size: int | None, timeout_ms: int):
             # rather than a false "fresh"/"seen" verdict, and the batch
             # path would have dropped the bucket's candidates entirely
             seen[:] = BUCKET_OVERFLOW
-        state.update((int(new_min) if new_min != -1 else -1, int(n_seen + m)))
+            status = np.full(m, "overflow")
+        state.update((int(new_min), int(n_seen + m), bool(new_occupied)))
         state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(
             {
@@ -180,6 +196,7 @@ def _make_update_bucket(max_bucket_size: int | None, timeout_ms: int):
                 "band_idx": np.full(m, int(key[0]), dtype="int64"),
                 "band_hash": str(key[1]),
                 "seen_min": seen,
+                "status": status,
             }
         )
 
@@ -194,9 +211,14 @@ def stream_lsh_neardup_flags(
     """Stateful LSH-bucket membership: input is a stream of
     (doc_id, band_idx, band_hash) rows (the streaming side computes band
     hashes with the same ``lsh_candidate_pairs`` banding expressions);
-    output marks each row with the minimum doc id that previously occupied
-    the bucket (−1 = bucket was fresh). A doc whose every band emitted
-    ``seen_min != -1`` is a near-dup candidate against those prior docs.
+    output marks each row with ``status`` ('fresh' = bucket had no prior
+    occupant, 'seen' = occupied, 'overflow' = skew cap tripped) and, for
+    'seen' rows, ``seen_min`` — the minimum doc id that previously
+    occupied the bucket. A doc whose every band emitted 'seen' is a
+    near-dup candidate against those prior docs. ``status`` is the
+    authoritative verdict; the -1/-2 values seen_min carries on
+    fresh/overflow rows are legacy conveniences that would be ambiguous
+    on their own for corpora with negative doc ids.
 
     ``max_bucket_size`` is the same skew guard the batch path defaults ON
     (one boilerplate bucket would otherwise funnel every trigger into a

@@ -1120,21 +1120,24 @@ def test_topk_bounded_under_massive_ties(spark):
 
 
 def test_capped_bucket_frame_registry_bounded(spark):
-    """capped_bucket_frame keeps at most _MAX_LIVE_CAPPED_FRAMES persisted
-    frames: older ones are unpersisted FIFO, so per-batch pipeline calls
-    in a long-lived session cannot grow executor storage without bound."""
+    """capped_bucket_frame keeps at most cache.MAX_LIVE persisted frames
+    (the live knob — read at persist time, not snapshotted at import):
+    older ones are unpersisted FIFO, so per-batch pipeline calls in a
+    long-lived session cannot grow executor storage without bound."""
+    from geowombat_spark import cache
+
     base = spark.createDataFrame(
         [(i, i % 3) for i in range(30)], "vec_id long, bucket long"
     )
     before = list(dedup._LIVE_CAPPED_FRAMES)
     frames = []
-    for i in range(dedup._MAX_LIVE_CAPPED_FRAMES + 4):
+    for i in range(cache.MAX_LIVE + 4):
         f = dedup.capped_bucket_frame(
             base.withColumn("n", F.lit(i)), ["bucket"], 100
         )
         f.count()
         frames.append(f)
-    assert len(dedup._LIVE_CAPPED_FRAMES) <= dedup._MAX_LIVE_CAPPED_FRAMES
+    assert len(dedup._LIVE_CAPPED_FRAMES) <= cache.MAX_LIVE
     # the newest frames are still cached; the oldest were unpersisted
     assert frames[-1].storageLevel.useMemory or frames[-1].storageLevel.useDisk
     evicted = frames[0]

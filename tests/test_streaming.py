@@ -213,10 +213,10 @@ def test_stream_lsh_neardup_flags(spark, stream_dirs):
     rows = spark.sql("select * from lsh_flags_test").collect()
     by_doc = {}
     for r in rows:
-        by_doc.setdefault(r["doc_id"], []).append(r["seen_min"])
+        by_doc.setdefault(r["doc_id"], []).append((r["status"], r["seen_min"]))
     # doc 1: all 4 bands fresh; doc 7: all 4 bands previously held by doc 1
-    assert sorted(by_doc[1]) == [-1, -1, -1, -1]
-    assert sorted(by_doc[7]) == [1, 1, 1, 1]
+    assert by_doc[1] == [("fresh", -1)] * 4
+    assert by_doc[7] == [("seen", 1)] * 4
 
 
 def test_streaming_pii_scrub_and_token_estimate(spark, stream_dirs):
@@ -354,4 +354,41 @@ def test_stream_lsh_bucket_overflow_cap(spark, stream_dirs):
     q.awaitTermination(120)
     rows = spark.sql("select * from lsh_cap_test").collect()
     assert len(rows) == 5 * 4  # every row still accounted for
+    assert {r["status"] for r in rows} == {"overflow"}
     assert {r["seen_min"] for r in rows} == {sdedup.BUCKET_OVERFLOW}
+
+
+def test_stream_lsh_negative_doc_ids(spark, stream_dirs):
+    """Negative doc ids are legal int64s (the batch path joins them fine):
+    the state fold must not confuse a stored negative min with 'bucket
+    empty'. Doc -5 then doc 7 in the same buckets: doc 7 must be flagged
+    'seen' with seen_min = -5, not 'fresh'."""
+    from geowombat_spark.streaming import dedup as sdedup
+
+    text = "negative identifier document shared text for the bucket fold"
+    _text_batch(
+        spark, stream_dirs["in"], [(-5, text, "2026-01-01 00:00:10")], "t1"
+    )
+    _text_batch(
+        spark, stream_dirs["in"], [(7, text, "2026-01-01 00:01:10")], "t2"
+    )
+    stream = (
+        spark.readStream.schema(TEXT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dirs["in"])
+    )
+    flags = sdedup.stream_lsh_neardup_flags(sdedup.band_stream(stream))
+    q = (
+        flags.writeStream.format("memory")
+        .queryName("lsh_neg_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from lsh_neg_test").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["status"], r["seen_min"]))
+    assert by_doc[-5] == [("fresh", -1)] * 4
+    assert by_doc[7] == [("seen", -5)] * 4
