@@ -96,6 +96,20 @@ def _phase_correlate(
     r = r - r.mean()
     t = t - t.mean()
     H, W = r.shape
+    if H < 3 or W < 3:
+        # a 1-cell axis has a flat correlation plane (argmax tie → a
+        # spurious -half/usfac offset) and a 2-cell axis zeroes under the
+        # Hann taper (hanning(2) == [0, 0] → the NaN chain below): neither
+        # carries shift information, so report "no detectable shift"
+        # with zero confidence instead of a confident wrong answer
+        return 0.0, np.nan, np.nan
+    if not (np.any(r) and np.any(t)):
+        # zero-texture window (constant ref or target: water, cloud fill,
+        # saturation): the cross spectrum is identically 0 and the phase
+        # whitening would divide denormals into NaN — and Spark's
+        # `peak > min_peak` filter treats NaN as GREATER than any bound,
+        # so a NaN peak would pass quality filtering as a fake tie point
+        return 0.0, np.nan, np.nan
     # Hann taper against spectral leakage (windows are not periodic)
     taper = np.outer(
         np.hanning(H) if H > 1 else np.ones(1),
@@ -168,7 +182,10 @@ def detect_shifts(
         )
     if max_tiles is not None:
         n_tiles = grid.tiles_x * grid.tiles_y
-        keep_mod = max(1, n_tiles // int(max_tiles))
+        # ceil, not floor: floor keeps up to 2x the requested tile count
+        # (n_tiles=1999, max_tiles=1000 → keep_mod=1 → ALL tiles sampled),
+        # doubling the detection shuffle the caller bounded
+        keep_mod = max(1, -(-n_tiles // int(max_tiles)))
         src = src.filter(F.xxhash64("_tile") % keep_mod == 0)
 
     schema = "tile long, n_valid long, peak double, dy double, dx double"
@@ -204,6 +221,24 @@ def detect_shifts(
     return src.groupBy("_tile").applyInPandas(compute, schema)
 
 
+def _quality_filter(
+    shifts: DataFrame, min_peak: float, min_valid: int
+) -> DataFrame:
+    """The ONE tie-point acceptance predicate, shared by the global median
+    (``global_shift``) and the per-tile field (``apply_shift_field``) so
+    the two coregistration entry points can never drift apart. NaN guards
+    are explicit: Spark orders NaN ABOVE every number, so a bare
+    ``peak > min_peak`` would accept a NaN-peak tile as a tie point."""
+    return shifts.filter(
+        (F.col("peak") > min_peak)
+        & ~F.isnan("peak")
+        & (F.col("n_valid") >= min_valid)
+        & F.col("dy").isNotNull()
+        & ~F.isnan("dy")
+        & ~F.isnan("dx")
+    )
+
+
 def global_shift(
     shifts: DataFrame,
     min_peak: float = 0.0,
@@ -212,11 +247,7 @@ def global_shift(
     """Robust global shift from the tie-point frame: median dy/dx over
     quality-filtered tiles (AROSICS' outlier-resistant global vector).
     Returns one row ``(n_tiles, dy, dx)``."""
-    q = shifts.filter(
-        (F.col("peak") > min_peak)
-        & (F.col("n_valid") >= min_valid)
-        & F.col("dy").isNotNull()
-    )
+    q = _quality_filter(shifts, min_peak, min_valid)
     return q.agg(
         F.count(F.lit(1)).cast("long").alias("n_tiles"),
         F.percentile(F.col("dy"), F.lit(0.5)).alias("dy"),
@@ -270,12 +301,16 @@ def apply_shift_field(
     4-neighbor explode + ONE hash equi-join as ``transform_grid``
     bilinear, except the fractional offset is a per-row column instead of
     a plan literal. Still exactly one corpus shuffle.
+
+    Output contract differs from :func:`apply_shift` (documented, not
+    accidental): rows cover the INPUT cells only (no full destination
+    lattice) and carry ``(row, col, <bands>)`` without x/y — the local
+    field corrects a raster in place on its own lattice, it does not
+    resample onto a new grid.
     """
-    good = shifts.filter(
-        (F.col("peak") > min_peak)
-        & (F.col("n_valid") >= min_valid)
-        & F.col("dy").isNotNull()
-    ).select("tile", "dy", "dx")
+    good = _quality_filter(shifts, min_peak, min_valid).select(
+        "tile", "dy", "dx"
+    )
     fb = good.agg(
         F.count(F.lit(1)).alias("n"),
         F.percentile(F.col("dy"), F.lit(0.5)).alias("dy"),

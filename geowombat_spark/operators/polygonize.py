@@ -129,9 +129,12 @@ def connected_components(
     else:
         import warnings
 
+        # `changed` is unbound when max_iter <= 0 skipped the loop body
+        # entirely — the warning must not NameError in that degenerate case
+        n_changing = changed if max_iter > 0 else "all"
         warnings.warn(
             f"connected_components did not converge in {max_iter} rounds "
-            f"({changed} labels still changing) — component ids are "
+            f"({n_changing} labels still changing) — component ids are "
             "incomplete; raise max_iter",
             RuntimeWarning,
             stacklevel=2,
@@ -727,10 +730,25 @@ def connected_components_tiled(
     import numpy as np
     import pandas as pd
 
+    # NaN handling must match the plain cell-graph formulation, whose
+    # Spark equi-joins treat NaN = NaN as TRUE (one NaN class) and
+    # NULL = NULL as FALSE (NULL cells stay singletons). Neither survives
+    # a Python kernel naively: numpy NaN != NaN would fragment the NaN
+    # class intra-tile, and the Arrow round trip folds NaN into NULL. So
+    # NaN-ness travels as an explicit flag (`_vnan`), the value column is
+    # NULLed for NaN cells on the way in, and the original NaN is
+    # reconstructed on the way out.
+    vt = cells.schema[value_col].dataType.simpleString()
+    is_float = vt in ("float", "double")
+    vexpr = F.col(value_col)
+    vnan = F.isnan(vexpr) if is_float else F.lit(False)
     src = cells.select(
         "row",
         "col",
-        F.col(value_col).alias("value"),
+        (
+            F.nanvl(vexpr, F.lit(None).cast(vt)) if is_float else vexpr
+        ).alias("value"),
+        vnan.alias("_vnan"),
         (F.floor(F.col("row") / tile_rows) * F.lit(1 << 20)
          + F.floor(F.col("col") / tile_cols)).alias("_tile"),
     )
@@ -739,6 +757,7 @@ def connected_components_tiled(
         rows = pdf["row"].to_numpy()
         cols = pdf["col"].to_numpy()
         vals = pdf["value"].to_numpy()
+        vn = pdf["_vnan"].to_numpy()
         key_of = {}
         for i in range(len(pdf)):
             key_of[(int(rows[i]), int(cols[i]))] = i
@@ -759,7 +778,12 @@ def connected_components_tiled(
             r, c = int(rows[i]), int(cols[i])
             for nr, nc in ((r + 1, c), (r, c + 1)):
                 j = key_of.get((nr, nc))
-                if j is not None and vals[j] == vals[i]:
+                # same-class test: NaN cells (flagged) all match each
+                # other; genuine NULLs never match anything (vals holds
+                # NaN for both post-nanvl, so == is False for both)
+                if j is not None and (
+                    (vn[i] and vn[j]) or vals[j] == vals[i]
+                ):
                     union(i, j)
         # label = min cell key in the local component
         cellkey = rows.astype(np.int64) * (1 << 32) + cols.astype(np.int64)
@@ -770,13 +794,13 @@ def connected_components_tiled(
             rt = roots[i]
             if lab[rt] == np.iinfo(np.int64).max:
                 lab[rt] = cellkey[i]
-        out = pdf[["row", "col", "value"]].copy()
+        out = pdf[["row", "col", "value", "_vnan"]].copy()
         out["label"] = lab[roots]
         return out
 
-    vt = cells.schema[value_col].dataType.simpleString()
     labeled = src.groupBy("_tile").applyInPandas(
-        local_cc, f"row bigint, col bigint, value {vt}, label bigint"
+        local_cc,
+        f"row bigint, col bigint, value {vt}, _vnan boolean, label bigint",
     ).localCheckpoint()
 
     # phase 2: merge edges across tile borders only
@@ -796,11 +820,32 @@ def connected_components_tiled(
                 F.struct(F.col("row").alias("row"), (F.col("col") - 1).alias("col")),
             )
         ).alias("tgt"),
-        F.col("value"),
+        F.col("value").alias("_cval"),
+        F.col("_vnan").alias("_cvnan"),
         F.col("label").alias("nlabel"),
-    ).select(F.col("tgt.row"), F.col("tgt.col"), "value", "nlabel")
+    ).select(
+        F.col("tgt.row").alias("_crow"),
+        F.col("tgt.col").alias("_ccol"),
+        "_cval",
+        "_cvnan",
+        "nlabel",
+    )
+    # same-class condition across the border, mirroring the kernel's rule:
+    # matching non-NULL values merge; NaN cells (value NULLed, flag set)
+    # merge with each other via the null-safe <=>; genuine NULL cells
+    # (flag unset) never merge — a bare eqNullSafe would wrongly union them
+    same_class = (
+        F.col("value").eqNullSafe(F.col("_cval"))
+        & (F.col("_vnan") == F.col("_cvnan"))
+        & (F.col("_vnan") | F.col("value").isNotNull())
+    )
     edges = (
-        border.join(contrib, ["row", "col", "value"])
+        border.join(
+            contrib,
+            (F.col("row") == F.col("_crow"))
+            & (F.col("col") == F.col("_ccol"))
+            & same_class,
+        )
         .filter(F.col("label") != F.col("nlabel"))
         .select(F.col("label").alias("doc_a"), F.col("nlabel").alias("doc_b"))
         .distinct()
@@ -810,10 +855,19 @@ def connected_components_tiled(
     groups = dedup_groups(edges, max_iter=max_iter).withColumnsRenamed(
         {"doc_id": "label", "group_id": "comp"}
     )
+    # reconstruct NaN for the cells whose value was NULLed on the way in
+    # (output fidelity: the plain path emits NaN, not NULL, for NaN cells)
+    value_out = (
+        F.when(
+            F.col("_vnan"), F.lit(float("nan")).cast(vt)
+        ).otherwise(F.col("value"))
+        if is_float
+        else F.col("value")
+    )
     out = labeled.join(groups, "label", "left").select(
         "row",
         "col",
-        "value",
+        value_out.alias("value"),
         F.coalesce("comp", "label").alias("comp"),
     )
     return out

@@ -94,6 +94,49 @@ def test_numpy_kernel_nan_and_empty():
     assert np.isnan(dy) and np.isnan(dx)
 
 
+def test_numpy_kernel_flat_and_degenerate_windows():
+    """Zero-texture and 1-2-cell windows carry no shift information: the
+    kernel must report peak=0 / NaN shift (so the shared quality filter
+    drops the tile) instead of the NaN peak or spurious -0.75 offset the
+    raw math produces — Spark orders NaN above every number, so a NaN
+    peak would PASS `peak > min_peak` as a fake tie point."""
+    # constant (water/cloud-fill) tiles: both flat, and flat-vs-textured
+    base = _noise(64, 64)
+    for ref, tar in (
+        (np.full((64, 64), 5.0), np.full((64, 64), 5.0)),
+        (np.full((64, 64), 5.0), base),
+        (base, np.full((64, 64), 7.0)),
+    ):
+        peak, dy, dx = _phase_correlate(ref, tar, 4)
+        assert peak == 0.0 and np.isnan(dy) and np.isnan(dx)
+    # degenerate strips (grid not divisible by tile size): 1- and 2-cell
+    # axes have flat/zeroed correlation planes
+    for shape in ((1, 64), (64, 1), (2, 64), (64, 2)):
+        rng = np.random.default_rng(9)
+        ref = rng.normal(size=shape)
+        tar = np.roll(ref, 3, axis=int(shape[0] == 1))
+        peak, dy, dx = _phase_correlate(ref, tar, 4)
+        assert peak == 0.0 and np.isnan(dy) and np.isnan(dx)
+
+
+def test_quality_filter_rejects_nan_rows(spark):
+    """The shared tie-point filter must drop NaN peak/shift rows even
+    though Spark's comparison operators would rank NaN above min_peak."""
+    from geowombat_spark.operators.coregister import _quality_filter
+
+    rows = spark.createDataFrame(
+        [
+            (0, 100, float("nan"), 0.5, 0.5),
+            (1, 100, 0.9, float("nan"), 0.0),
+            (2, 100, 0.9, 0.25, -0.5),
+            (3, 100, 0.9, None, None),
+        ],
+        "tile long, n_valid long, peak double, dy double, dx double",
+    )
+    kept = _quality_filter(rows, 0.0, 16).collect()
+    assert [r["tile"] for r in kept] == [2]
+
+
 def test_detect_shifts_single_tile(spark):
     base = _noise(64, 64)
     df = _frame(spark, G64, base, _fourier_shift(base, 1.5, -0.75))

@@ -221,6 +221,57 @@ def test_tiled_cc_matches_iterative(spark):
     assert a == b
 
 
+def test_tiled_cc_nan_parity(spark):
+    """NaN-valued cells must behave identically in both formulations:
+    Spark's equi-joins treat NaN = NaN as TRUE (one NaN class) and
+    NULL = NULL as FALSE (NULL cells stay singletons). The tiled kernel's
+    numpy comparison and the Arrow NaN→NULL fold would otherwise fragment
+    the NaN class into per-cell singletons and corrupt the value column."""
+    import numpy as np
+    import pandas as pd
+    from geowombat_spark.operators.polygonize import (
+        connected_components,
+        connected_components_tiled,
+    )
+
+    # 4x4 raster: top 2 rows NaN (one class), bottom 2 rows value 1.0.
+    # Built from Python tuples: createDataFrame(pandas) folds NaN into
+    # NULL on ingestion, which would silently test the NULL path twice.
+    df = spark.createDataFrame(
+        [
+            (int(r), int(c), float("nan") if r < 2 else 1.0)
+            for r in range(4)
+            for c in range(4)
+        ],
+        "row long, col long, value double",
+    )
+    a = {
+        (r["row"], r["col"]): r["comp"]
+        for r in connected_components(df, "value").collect()
+    }
+    got = connected_components_tiled(
+        df, "value", tile_rows=2, tile_cols=2
+    ).collect()
+    b = {(r["row"], r["col"]): r["comp"] for r in got}
+    assert a == b
+    assert len(set(b.values())) == 2  # one NaN component + one 1.0 component
+    # value fidelity through the Python kernel: NaN out, never NULL
+    vmap = {(r["row"], r["col"]): r["value"] for r in got}
+    assert all(v is not None for v in vmap.values())
+    assert np.isnan(vmap[(0, 0)]) and vmap[(3, 3)] == 1.0
+
+    # genuine NULLs never union — matching the plain path's equi-join
+    df2 = spark.createDataFrame(
+        [(0, 0, None), (0, 1, None), (1, 0, 2.0), (1, 1, 2.0)],
+        "row long, col long, value double",
+    )
+    tiled2 = connected_components_tiled(df2, "value", 2, 2).collect()
+    comps_null = {r["comp"] for r in tiled2 if r["value"] is None}
+    comps_two = {r["comp"] for r in tiled2 if r["value"] == 2.0}
+    assert len(comps_null) == 2  # NULL cells stay singletons
+    assert len(comps_two) == 1
+
+
 # ---------------------------------------------------------------------------
 # trace_rings_tiled: identical output to the single-task tracer
 # ---------------------------------------------------------------------------
