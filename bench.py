@@ -307,6 +307,16 @@ def main() -> None:
 
     run_noop(warm.select(_warm_udf("x")))
     run_noop(warm.groupBy(F.col("id") % 8).agg(F.sum("x")))
+    # mapInPandas/applyInPandas use different eval types than the scalar
+    # pandas UDF above — warm those worker paths too, or the first
+    # media/grouped-kernel query in the rotated order absorbs the Arrow
+    # batch-transport first-touch (observed 4.6 s cold vs 1.6 s warm on
+    # q_media_decode at sf0.1)
+    run_noop(warm.mapInPandas(lambda it: it, "id long, x double"))
+    run_noop(
+        warm.groupBy((F.col("id") % 8).alias("g"))
+        .applyInPandas(lambda pdf: pdf[["x"]].head(1), "x double")
+    )
     try:  # spin up the micro-batch engine + HDFS state store once
         import tempfile
 
