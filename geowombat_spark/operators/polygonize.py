@@ -176,6 +176,28 @@ def _boundary_edges(
     return edges
 
 
+def _sgn2(v):
+    """Component-wise sign of a 2-vector: the ONE direction/collinearity
+    rule every boundary walker shares (single-task walk, per-tile chain
+    walk, cross-tile stitcher). A private re-implementation in any walker
+    could drift and silently break the tiled-equals-single-task
+    contract."""
+    return ((v[0] > 0) - (v[0] < 0), (v[1] > 0) - (v[1] < 0))
+
+
+def _turn_pref(din):
+    """:func:`_take_next`'s successor-direction preference for incoming
+    unit direction ``din`` — right turn, straight, left turn, in the
+    (row-down, col-right) frame. Shared with the stitcher's junction rule
+    so the cross-tile edge-successor permutation can never diverge from
+    the single-task walk's."""
+    return [
+        (din[1], -din[0]),   # right turn
+        din,                 # straight
+        (-din[1], din[0]),   # left turn
+    ]
+
+
 def _take_next(cur, din, outs):
     """Pop the successor of a directed boundary step — single edge, or the
     sharpest right turn at a pinch vertex (the non-crossing pairing that
@@ -185,13 +207,7 @@ def _take_next(cur, din, outs):
     produce the identical edge-successor permutation."""
     if len(outs) == 1:
         return outs.pop(0)
-    # right of din=(dr,dc) in (row-down, col-right) frame
-    pref = [
-        (din[1], -din[0]),   # right turn
-        din,                 # straight
-        (-din[1], din[0]),   # left turn
-    ]
-    for d in pref:
+    for d in _turn_pref(din):
         cand = (cur[0] + d[0], cur[1] + d[1])
         if cand in outs:
             outs.remove(cand)
@@ -212,17 +228,14 @@ def _merge_collinear_cyclic(
     ring: list[tuple[int, int]],
 ) -> list[tuple[int, int]]:
     """Keep only corners of a closed vertex cycle (direction changes),
-    comparing step *signs* so it also canonicalizes stitched rings whose
-    steps are already multi-unit runs."""
-    def sgn(v):
-        return (v > 0) - (v < 0)
-
+    comparing step *signs* (:func:`_sgn2`) so it also canonicalizes
+    stitched rings whose steps are already multi-unit runs."""
     merged = []
     m = len(ring)
     for i in range(m):
         p0, p1, p2 = ring[i - 1], ring[i], ring[(i + 1) % m]
-        d0 = (sgn(p1[0] - p0[0]), sgn(p1[1] - p0[1]))
-        d1 = (sgn(p2[0] - p1[0]), sgn(p2[1] - p1[1]))
+        d0 = _sgn2((p1[0] - p0[0], p1[1] - p0[1]))
+        d1 = _sgn2((p2[0] - p1[0], p2[1] - p1[1]))
         if d0 != d1:
             merged.append(p1)
     return merged
@@ -432,8 +445,7 @@ def _walk_tile_chains(edges, tile_rows: int, tile_cols: int):
             for i in range(1, len(verts) - 1):
                 d0 = (verts[i][0] - kept[-1][0], verts[i][1] - kept[-1][1])
                 d1 = (verts[i + 1][0] - verts[i][0], verts[i + 1][1] - verts[i][1])
-                sg = lambda v: ((v[0] > 0) - (v[0] < 0), (v[1] > 0) - (v[1] < 0))
-                if sg(d0) != sg(d1):
+                if _sgn2(d0) != _sgn2(d1):
                     kept.append(verts[i])
             kept.append(verts[-1])
             chains.append((kept, n))
@@ -449,12 +461,9 @@ def _stitch_segments(segs):
     (vertex list, unit edge count). Returns :func:`_walk_closed_rings`
     form (corners starting at the ring's min vertex, n_edges, signed
     area)."""
-    def sgn(v):
-        return ((v[0] > 0) - (v[0] < 0), (v[1] > 0) - (v[1] < 0))
-
     def first_dir(i):
         v = segs[i][0]
-        return sgn((v[1][0] - v[0][0], v[1][1] - v[0][1]))
+        return _sgn2((v[1][0] - v[0][0], v[1][1] - v[0][1]))
 
     outmap: dict[tuple[int, int], list[int]] = {}
     for i, (v, _) in enumerate(segs):
@@ -491,9 +500,8 @@ def _stitch_segments(segs):
             if len(cands) == 1:
                 i = cands[0]
             else:
-                din = sgn((end[0] - verts[-2][0], end[1] - verts[-2][1]))
-                pref = [(din[1], -din[0]), din, (-din[1], din[0])]
-                for d in pref:
+                din = _sgn2((end[0] - verts[-2][0], end[1] - verts[-2][1]))
+                for d in _turn_pref(din):
                     nxt = [j for j in cands if first_dir(j) == d]
                     if nxt:
                         i = nxt[0]

@@ -345,6 +345,11 @@ def ivf_topk(
     # contract _cluster_cosine_pairs documents in dedup.py)
     id_type = corpus.schema[id_col].dataType.simpleString()
     vec_type = corpus.schema[vec_col].dataType.simpleString()
+    # query ids are typed from the QUERIES frame, not the corpus: probe
+    # vectors routinely carry a different id type (spark.range bigints
+    # against a string-id corpus) and a corpus-typed query_id schema
+    # would fail every Arrow batch at runtime (pq_topk's qid_type rule)
+    qid_type = queries.schema[id_col].dataType.simpleString()
 
     def _assign(it):
         cm = bc.value
@@ -400,7 +405,7 @@ def ivf_topk(
             )
 
     local = assigned.mapInPandas(
-        _probe, f"query_id {id_type}, vec_id {id_type}, cosine double"
+        _probe, f"query_id {qid_type}, vec_id {id_type}, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -546,19 +551,36 @@ def pq_topk(
             if cids.dtype == object:
                 cids = cids.astype("U")
             take = min(shortlist, c.shape[0])
-            # tie-safe bounded local shortlist: (adc asc, vec_id asc) is
-            # the SAME total order as the global window below, so which
-            # tied candidate survives the local cut cannot depend on Arrow
-            # batch slicing (argpartition picks arbitrarily among ties —
-            # the failure mode brute_force_topk._score documents)
-            part = np.lexsort(
-                (np.broadcast_to(cids, d.shape), d), axis=1
-            )[:, :take]
+            # tie-safe bounded local shortlist, O(nc) per query: the kept
+            # SET must equal the global (adc asc, vec_id asc) order's
+            # take-prefix (argpartition alone picks arbitrarily among
+            # boundary ties — the failure mode brute_force_topk._score
+            # documents), but a full lexsort of every row is O(nc log nc)
+            # with string-key compares on the hottest stage. Instead:
+            # argpartition for the threshold, keep everything strictly
+            # under it, and resolve only the AT-threshold ties by vec_id.
+            # Local output order is irrelevant — the global window below
+            # re-sorts; only the set must be deterministic.
+            sel_ids, sel_adc = [], []
+            for qi in range(d.shape[0]):
+                drow = d[qi]
+                if take >= drow.shape[0]:
+                    keep = np.arange(drow.shape[0])
+                else:
+                    part = np.argpartition(drow, take - 1)[:take]
+                    thr = drow[part].max()
+                    less = np.flatnonzero(drow < thr)
+                    eq = np.flatnonzero(drow == thr)
+                    need = take - less.size
+                    eq_keep = eq[np.argsort(cids[eq], kind="stable")[:need]]
+                    keep = np.concatenate([less, eq_keep])
+                sel_ids.append(cids[keep])
+                sel_adc.append(drow[keep])
             yield pd.DataFrame(
                 {
                     "query_id": np.repeat(ids, take),
-                    "vec_id": cids[part.ravel()],
-                    "adc": np.take_along_axis(d, part, axis=1).ravel(),
+                    "vec_id": np.concatenate(sel_ids),
+                    "adc": np.concatenate(sel_adc),
                 }
             )
 

@@ -43,6 +43,7 @@ import fnmatch
 import hashlib
 import os
 import shutil
+import time
 from urllib.parse import urlparse
 from uuid import uuid4
 
@@ -116,6 +117,7 @@ def fetch_assets(
     outdir: str,
     resume: bool = True,
     n_partitions: int | None = None,
+    sweep_temp_age_s: float = 3600.0,
 ) -> DataFrame:
     """Fetch every manifest row's asset into ``outdir``; return a status
     frame (``asset_id, dest, status, bytes, error``).
@@ -158,8 +160,27 @@ def fetch_assets(
     destination only ever holds ONE writer's complete verified copy
     (last publish wins) — never an interleaved blend. Dedupe the manifest
     upstream when duplicate ids carry *different* bytes, since the
-    surviving copy is then order-dependent."""
+    surviving copy is then order-dependent.
+
+    **Orphan temp reclamation**: per-attempt unique temp names mean a
+    hard-killed task (OOM, speculative cancel) can leave a partial
+    ``<dest>.inprogress.<pid>.<uuid>`` behind that no retry ever reuses —
+    unlike a fixed temp name, nothing overwrites it. Each run therefore
+    sweeps, driver-side before the copy stage, temp files older than
+    ``sweep_temp_age_s`` (default 1 h). The age floor keeps the sweep safe
+    against a concurrent fetch job actively writing into the same outdir:
+    a LIVE writer's temp is minutes old and survives; only genuinely
+    abandoned partials accumulate past the floor. Pass ``0`` to reclaim
+    everything (single-job-per-outdir deployments)."""
     os.makedirs(outdir, exist_ok=True)
+    now = time.time()
+    for e in os.scandir(outdir):
+        if e.is_file() and ".inprogress." in e.name:
+            try:
+                if now - e.stat().st_mtime >= sweep_temp_age_s:
+                    os.unlink(e.path)
+            except OSError:
+                pass  # raced with a concurrent publisher — its problem
     cols = {f.name for f in manifest.schema.fields}
     if not {"asset_id", "uri"} <= cols:
         raise ValueError("manifest must carry asset_id and uri columns")
@@ -182,14 +203,26 @@ def fetch_assets(
             "supported in this offline build — only file:// (or bare-path) "
             "sources; see the module docstring"
         )
-    sel = [F.col("asset_id").cast("string"), F.col("uri").cast("string")]
+    sel = [
+        F.col("asset_id").cast("string").alias("asset_id"),
+        F.col("uri").cast("string").alias("uri"),
+    ]
+    # explicit aliases: the NULL-literal fallbacks otherwise surface as
+    # 'CAST(NULL AS BIGINT)' column names and the kernel's pdf["size"]
+    # lookup KeyErrors — the documented optional-columns case
     sel.append(
-        F.col("size").cast("long") if "size" in cols else F.lit(None).cast("long")
+        (
+            F.col("size").cast("long")
+            if "size" in cols
+            else F.lit(None).cast("long")
+        ).alias("size")
     )
     sel.append(
-        F.col("sha256").cast("string")
-        if "sha256" in cols
-        else F.lit(None).cast("string")
+        (
+            F.col("sha256").cast("string")
+            if "sha256" in cols
+            else F.lit(None).cast("string")
+        ).alias("sha256")
     )
     m = manifest.select(*sel)
     if n_partitions:

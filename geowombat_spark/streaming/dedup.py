@@ -230,6 +230,18 @@ def stream_lsh_neardup_flags(
     State per bucket is (min id, count); idle buckets are evicted by a
     processing-time timeout (``timeout_ms``) — the state store stays
     proportional to the live bucket set, never the stream length.
+
+    .. warning:: **State-schema version.** The per-bucket state gained an
+       ``occupied`` flag (``min_doc bigint, n bigint, occupied boolean``)
+       to make the chunk-order-independent fold correct for buckets whose
+       first occupant has doc id 0. Structured Streaming validates the
+       state-store schema on restart: a checkpoint written under the old
+       two-field state will NOT restart against this build (Spark raises
+       a state-schema-incompatibility error, it does not corrupt state).
+       Recovery is a checkpoint reset, which discards bucket membership —
+       previously-seen docs then re-flag 'fresh' once. Re-seed membership
+       by replaying the corpus band index through the stream (or start
+       from a fresh checkpoint and accept one-time re-flags).
     """
     return banded.groupBy("band_idx", "band_hash").applyInPandasWithState(
         _make_update_bucket(max_bucket_size, timeout_ms),

@@ -243,10 +243,31 @@ def test_minhash_index_family_fingerprint_guards_load(spark):
         dedup.load_minhash_index(spark, "bkt_mh_fam", bands=8, rows=2)
     with pytest.raises(ValueError, match="different hash family"):
         dedup.load_minhash_index(spark, "bkt_mh_fam", n=5)
-    # a table written before fingerprints existed warns but loads
+    # appending a different family must refuse BEFORE writing any rows
+    # (a mixed-family table re-stamped with the new fingerprint would
+    # load clean while half its band hashes are garbage)
+    with pytest.raises(ValueError, match="cannot append"):
+        dedup.save_minhash_index(
+            corpus, "bkt_mh_fam", bands=8, rows=2, mode="append"
+        )
+    # same-family append is allowed and keeps the table loadable
+    dedup.save_minhash_index(corpus, "bkt_mh_fam", n_buckets=4, mode="append")
+    assert dedup.load_minhash_index(spark, "bkt_mh_fam").count() > 0
+    # a fingerprint-less table (interrupted save / pre-fingerprint build)
+    # refuses to load by default, warns under the explicit escape hatch
     spark.sql(
         "ALTER TABLE bkt_mh_fam UNSET TBLPROPERTIES ('gw.minhash_family')"
     )
+    with pytest.raises(ValueError, match="no family fingerprint"):
+        dedup.load_minhash_index(spark, "bkt_mh_fam")
     with pytest.warns(RuntimeWarning, match="no family fingerprint"):
-        assert dedup.load_minhash_index(spark, "bkt_mh_fam").count() > 0
+        assert (
+            dedup.load_minhash_index(
+                spark, "bkt_mh_fam", allow_unfingerprinted=True
+            ).count()
+            > 0
+        )
+    # and append onto an unverifiable table refuses too
+    with pytest.raises(ValueError, match="cannot append"):
+        dedup.save_minhash_index(corpus, "bkt_mh_fam", mode="append")
     spark.sql("DROP TABLE IF EXISTS bkt_mh_fam")

@@ -197,3 +197,47 @@ def test_search_assets_character_classes(spark, remote_dir):
     assert got == {n for n in payloads if n.endswith(("B1.bin", "B2.bin"))}
     neg = {r["asset_id"] for r in search_assets(m, ["B[!1].bin"]).collect()}
     assert neg == {n for n in payloads if not n.endswith("B1.bin")}
+
+
+def test_minimal_manifest_without_size_or_sha(spark, remote_dir):
+    """size/sha256 are documented optional: a two-column manifest must
+    fetch (vacuous verification), not KeyError in the worker — the NULL
+    fallback literals need explicit aliases."""
+    d, payloads = remote_dir
+    out = tempfile.mkdtemp(prefix="gw_fetched_")
+    name = sorted(payloads)[0]
+    m = spark.createDataFrame(
+        [(name, "file://" + os.path.join(d, name))],
+        "asset_id string, uri string",
+    )
+    st = fetch_assets(m, out).collect()
+    assert len(st) == 1 and st[0]["status"] == "fetched", st
+    assert open(os.path.join(out, name), "rb").read() == payloads[name]
+
+
+def test_orphan_temp_sweep(spark, remote_dir):
+    """Hard-killed attempts leave unique .inprogress.* temps nothing
+    overwrites; the driver-side sweep reclaims ones past the age floor
+    and leaves fresh ones (a possible live concurrent writer) alone."""
+    import time as _time
+
+    d, payloads = remote_dir
+    out = tempfile.mkdtemp(prefix="gw_fetched_")
+    name = sorted(payloads)[0]
+    old_tmp = os.path.join(out, f"{name}.inprogress.1.aaaa")
+    new_tmp = os.path.join(out, f"{name}.inprogress.2.bbbb")
+    for p in (old_tmp, new_tmp):
+        with open(p, "wb") as f:
+            f.write(b"partial")
+    _time_old = _time.time() - 7200
+    os.utime(old_tmp, (_time_old, _time_old))
+    m = spark.createDataFrame(
+        [(name, "file://" + os.path.join(d, name))],
+        "asset_id string, uri string",
+    )
+    assert fetch_assets(m, out).collect()[0]["status"] == "fetched"
+    assert not os.path.exists(old_tmp), "stale orphan survived the sweep"
+    assert os.path.exists(new_tmp), "fresh temp was wrongly reclaimed"
+    st = fetch_assets(m, out, sweep_temp_age_s=0).collect()
+    assert st[0]["status"] == "skipped"
+    assert not os.path.exists(new_tmp), "age=0 must reclaim everything"

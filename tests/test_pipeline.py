@@ -261,6 +261,40 @@ def test_ivf_topk_runs_and_ranks(spark, emb_df):
     )
 
 
+def test_ivf_topk_mixed_id_types(spark, emb_df):
+    """query_id is typed from the QUERIES frame, vec_id from the corpus:
+    bigint probe ids against a string-id corpus must not crash the Arrow
+    batch (the schema once hardcoded both to the corpus id type)."""
+    df, mat = emb_df
+    corpus = df.select(
+        F.concat(F.lit("v"), F.col("vec_id").cast("string")).alias("vec_id"),
+        "embedding",
+    )
+    queries = df.filter(F.col("vec_id") < 2)  # bigint ids
+    out = ann.ivf_topk(corpus, queries, k=3, nlist=4, nprobe=4).collect()
+    assert {type(r["query_id"]) for r in out} == {int}
+    assert {type(r["vec_id"]) for r in out} == {str}
+    # exhaustive probe: the query's own corpus copy must rank first
+    top1 = {r["query_id"]: r["vec_id"] for r in out if r["rank"] == 1}
+    assert top1 == {0: "v0", 1: "v1"}
+
+
+def test_pq_topk_tie_set_is_global_order_prefix(spark):
+    """All-identical vectors tie every ADC distance; the O(nc) local
+    shortlist (argpartition + boundary-tie resolution by vec_id) must
+    keep exactly the smallest vec_ids — the same set the full
+    (adc asc, vec_id asc) order's prefix selects, independent of Arrow
+    batch slicing."""
+    n, dim = 300, 8
+    rows = [(int(i), [1.0] + [0.0] * (dim - 1)) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for nparts in (1, 7):
+        pq = ann.pq_topk(
+            df.repartition(nparts), df.limit(1), k=10, m_sub=4, refine=3
+        ).collect()
+        assert sorted(r["vec_id"] for r in pq) == list(range(10))
+
+
 # --- multimodal -----------------------------------------------------------
 
 
