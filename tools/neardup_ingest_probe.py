@@ -129,7 +129,18 @@ def main() -> None:
         mode="overwrite",
     )
     print(f"bucketed layout from parquet re-read: {time.time() - t0:.1f}s")
-    idx_bucketed = dedup.load_minhash_index(spark, "neardup_probe_idx")
+    # the probe wrote the table via write_bucketed (skipping the second
+    # signature pass save_minhash_index would run), so it stamps the
+    # family fingerprint itself — load_minhash_index refuses
+    # unfingerprinted tables by design
+    fp = dedup.minhash_family_fingerprint(3, BANDS, ROWS)
+    spark.sql(
+        "ALTER TABLE neardup_probe_idx SET TBLPROPERTIES "
+        f"('gw.minhash_family'='{fp}')"
+    )
+    idx_bucketed = dedup.load_minhash_index(
+        spark, "neardup_probe_idx", bands=BANDS, rows=ROWS
+    )
 
     # batch: 50k exact twins of corpus ids 0..50k, 50k disjoint-universe
     batch = spark.range(N_BATCH).select(
