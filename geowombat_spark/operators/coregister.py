@@ -91,6 +91,15 @@ def _phase_correlate(
     valid = ~(np.isnan(ref) | np.isnan(tar))
     if not valid.any():
         return 0.0, np.nan, np.nan
+    # exact zero-texture test BEFORE mean subtraction: a constant window
+    # (water, cloud fill, saturation) must bail here — after float mean
+    # subtraction a constant field can carry a 1-ulp residue everywhere
+    # (np.mean of n copies of x need not equal x), which `np.any(r)`
+    # below would treat as texture, and phase whitening then normalizes
+    # that taper-autocorrelation residue into a confident dy=dx=0 fake
+    # tie point that biases the global median shift toward zero
+    if ref[valid].max() == ref[valid].min() or tar[valid].max() == tar[valid].min():
+        return 0.0, np.nan, np.nan
     r = np.where(valid, ref, np.nanmean(ref[valid]))
     t = np.where(valid, tar, np.nanmean(tar[valid]))
     r = r - r.mean()

@@ -765,6 +765,13 @@ def connected_components_tiled(
         rows = pdf["row"].to_numpy()
         cols = pdf["col"].to_numpy()
         vals = pdf["value"].to_numpy()
+        # genuine-NULL mask, computed BEFORE to_numpy: float columns carry
+        # NULL as NaN (NaN == NaN is already False) but object-backed types
+        # (string/boolean/decimal) carry it as None, and None == None is
+        # True — without this mask two adjacent NULL string cells would
+        # merge intra-tile while the identical pair straddling a tile
+        # border stays singleton (the cross-tile join excludes NULLs).
+        vnull = pdf["value"].isna().to_numpy()
         vn = pdf["_vnan"].to_numpy()
         key_of = {}
         for i in range(len(pdf)):
@@ -787,10 +794,15 @@ def connected_components_tiled(
             for nr, nc in ((r + 1, c), (r, c + 1)):
                 j = key_of.get((nr, nc))
                 # same-class test: NaN cells (flagged) all match each
-                # other; genuine NULLs never match anything (vals holds
-                # NaN for both post-nanvl, so == is False for both)
+                # other; genuine NULLs never match anything, whatever the
+                # storage type (float NULL→NaN, object NULL→None)
                 if j is not None and (
-                    (vn[i] and vn[j]) or vals[j] == vals[i]
+                    (vn[i] and vn[j])
+                    or (
+                        not vnull[i]
+                        and not vnull[j]
+                        and vals[j] == vals[i]
+                    )
                 ):
                     union(i, j)
         # label = min cell key in the local component

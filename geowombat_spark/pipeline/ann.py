@@ -561,26 +561,38 @@ def pq_topk(
             # under it, and resolve only the AT-threshold ties by vec_id.
             # Local output order is irrelevant — the global window below
             # re-sorts; only the set must be deterministic.
-            sel_ids, sel_adc = [], []
+            sel_ids, sel_adc, sel_n = [], [], []
             for qi in range(d.shape[0]):
                 drow = d[qi]
-                if take >= drow.shape[0]:
+                # NaN-adc candidates (NaN query embedding → all-NaN LUT
+                # row) are dropped, not emitted: argpartition sorts NaN
+                # last, so cap k at the finite count or thr itself goes
+                # NaN and every comparison below returns empty.
+                k = min(take, int((~np.isnan(drow)).sum()))
+                if k == 0:
+                    keep = np.empty(0, dtype=np.int64)
+                elif k == drow.shape[0]:
                     keep = np.arange(drow.shape[0])
                 else:
-                    part = np.argpartition(drow, take - 1)[:take]
+                    part = np.argpartition(drow, k - 1)[:k]
                     thr = drow[part].max()
                     less = np.flatnonzero(drow < thr)
                     eq = np.flatnonzero(drow == thr)
-                    need = take - less.size
+                    need = k - less.size
                     eq_keep = eq[np.argsort(cids[eq], kind="stable")[:need]]
                     keep = np.concatenate([less, eq_keep])
                 sel_ids.append(cids[keep])
                 sel_adc.append(drow[keep])
+                sel_n.append(keep.size)
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(ids, take),
-                    "vec_id": np.concatenate(sel_ids),
-                    "adc": np.concatenate(sel_adc),
+                    "query_id": np.repeat(ids, sel_n),
+                    "vec_id": np.concatenate(sel_ids)
+                    if sel_ids
+                    else np.empty(0, dtype=cids.dtype),
+                    "adc": np.concatenate(sel_adc)
+                    if sel_adc
+                    else np.empty(0),
                 }
             )
 

@@ -32,9 +32,12 @@ Semantics (each asserted in ``tests/test_fetch.py``):
   its manifest checksum is moved aside to ``<dest>.corrupt`` and reported
   with ``status='corrupt'`` — never left in place as a plausible-looking
   good file.
-- **atomic publish**: bytes land in ``<dest>.inprogress`` and rename into
-  place only after the post-copy verify, so readers (and the resume
-  check) can never observe a half-copied asset.
+- **atomic publish**: bytes land in a per-attempt unique temp
+  (``<dest>.inprogress.<pid>.<uuid>``) and rename into place only after
+  the post-copy verify, so readers (and the resume check) can never
+  observe a half-copied asset, and concurrent/speculative attempts can
+  never interleave writes into one temp file. Abandoned temps (either
+  naming generation) are swept by age at the start of each run.
 """
 
 from __future__ import annotations
@@ -175,7 +178,14 @@ def fetch_assets(
     os.makedirs(outdir, exist_ok=True)
     now = time.time()
     for e in os.scandir(outdir):
-        if e.is_file() and ".inprogress." in e.name:
+        # both the per-attempt names ('<dest>.inprogress.<pid>.<uuid>')
+        # and the legacy fixed name ('<dest>.inprogress') from builds
+        # before the unique-temp change: the old partials are never
+        # reused or overwritten by the new naming, so without this they
+        # would leak forever
+        if e.is_file() and (
+            ".inprogress." in e.name or e.name.endswith(".inprogress")
+        ):
             try:
                 if now - e.stat().st_mtime >= sweep_temp_age_s:
                     os.unlink(e.path)

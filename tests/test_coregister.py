@@ -106,6 +106,13 @@ def test_numpy_kernel_flat_and_degenerate_windows():
         (np.full((64, 64), 5.0), np.full((64, 64), 5.0)),
         (np.full((64, 64), 5.0), base),
         (base, np.full((64, 64), 7.0)),
+        # 1-ulp trap: np.mean(35 copies of 0.1) != 0.1 exactly, so the
+        # post-subtraction residue is a tiny nonzero CONSTANT — an
+        # any(r)-after-subtraction guard misses it and phase whitening
+        # amplifies the taper autocorrelation into a confident fake
+        # dy=dx=0 tie point; the guard must test flatness pre-subtraction
+        (np.full((5, 7), 0.1), np.full((5, 7), 0.1)),
+        (np.full((5, 7), 0.1), _noise(5, 7)),
     ):
         peak, dy, dx = _phase_correlate(ref, tar, 4)
         assert peak == 0.0 and np.isnan(dy) and np.isnan(dx)

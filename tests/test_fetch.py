@@ -226,17 +226,23 @@ def test_orphan_temp_sweep(spark, remote_dir):
     name = sorted(payloads)[0]
     old_tmp = os.path.join(out, f"{name}.inprogress.1.aaaa")
     new_tmp = os.path.join(out, f"{name}.inprogress.2.bbbb")
-    for p in (old_tmp, new_tmp):
+    # legacy fixed-name partial from a build before per-attempt temps:
+    # nothing ever reuses or overwrites it, so the sweep must match the
+    # bare '.inprogress' suffix too or it leaks forever
+    legacy_tmp = os.path.join(out, f"{name}.inprogress")
+    for p in (old_tmp, new_tmp, legacy_tmp):
         with open(p, "wb") as f:
             f.write(b"partial")
     _time_old = _time.time() - 7200
     os.utime(old_tmp, (_time_old, _time_old))
+    os.utime(legacy_tmp, (_time_old, _time_old))
     m = spark.createDataFrame(
         [(name, "file://" + os.path.join(d, name))],
         "asset_id string, uri string",
     )
     assert fetch_assets(m, out).collect()[0]["status"] == "fetched"
     assert not os.path.exists(old_tmp), "stale orphan survived the sweep"
+    assert not os.path.exists(legacy_tmp), "legacy fixed-name orphan leaked"
     assert os.path.exists(new_tmp), "fresh temp was wrongly reclaimed"
     st = fetch_assets(m, out, sweep_temp_age_s=0).collect()
     assert st[0]["status"] == "skipped"

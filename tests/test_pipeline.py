@@ -295,6 +295,28 @@ def test_pq_topk_tie_set_is_global_order_prefix(spark):
         assert sorted(r["vec_id"] for r in pq) == list(range(10))
 
 
+def test_pq_topk_nan_query_degrades_not_crashes(spark):
+    """A query embedding containing NaN produces an all-NaN ADC row; the
+    local shortlist must emit zero candidates for that query (variable
+    per-query counts) instead of the fixed take-per-query repeat that
+    raises a pandas length-mismatch ValueError in every _adc task."""
+    rng = np.random.default_rng(41)
+    rows = [
+        (int(i), rng.standard_normal(8).tolist()) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    bad = spark.createDataFrame(
+        [(1000, [float("nan")] * 8)], "vec_id long, embedding array<float>"
+    )
+    queries = df.limit(1).union(bad)
+    out = ann.pq_topk(df, queries, k=5, m_sub=4, ksub=8, refine=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert len(by_q.get(0, [])) == 5  # the clean query is unaffected
+    assert by_q.get(1000, []) == []  # the NaN query yields nothing
+
+
 # --- multimodal -----------------------------------------------------------
 
 

@@ -271,6 +271,23 @@ def test_tiled_cc_nan_parity(spark):
     assert len(comps_null) == 2  # NULL cells stay singletons
     assert len(comps_two) == 1
 
+    # object-backed value types (string): Arrow hands the kernel None,
+    # and None == None is True in Python — without the explicit NULL
+    # mask two adjacent NULL strings would merge INTRA-tile while the
+    # same pair straddling a border stays singleton (layout-dependent
+    # output). Run the same raster at tile=2 (all NULLs in one tile)
+    # and tile=1 (every adjacency crosses a border): both must agree.
+    df3 = spark.createDataFrame(
+        [(0, 0, None), (0, 1, None), (1, 0, "a"), (1, 1, "a")],
+        "row long, col long, value string",
+    )
+    for tr, tc in ((2, 2), (1, 1)):
+        t = connected_components_tiled(df3, "value", tr, tc).collect()
+        nulls = {r["comp"] for r in t if r["value"] is None}
+        strs = {r["comp"] for r in t if r["value"] == "a"}
+        assert len(nulls) == 2, (tr, tc)  # NULL strings stay singletons
+        assert len(strs) == 1, (tr, tc)
+
 
 # ---------------------------------------------------------------------------
 # trace_rings_tiled: identical output to the single-task tracer
