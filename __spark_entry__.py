@@ -613,8 +613,9 @@ def q_sample_random(spark, sf_dir):
 
 def q_focal_expand(spark, sf_dir):
     """Morphological expand (_moving.pyx:230-257): target class 1 grows
-    into 0 cells through the plus-shaped w=3 weight support (corners have
-    inverse-distance weight 0); 1s and foreign classes pass through."""
+    into 0 cells through the FULL w=3 window (the reference's reachable
+    configuration uses all-ones weights — _moving.pyx:366 — so diagonal
+    corners count); 1s and foreign classes pass through."""
     gd = grid_docs(spark, sf_dir)
     masked = gd.withColumn(
         "band_blue",
@@ -2985,7 +2986,7 @@ WITH {G_SQL}
 SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        round(sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)), 6) AS dist
 FROM g a JOIN g b ON a.doc_id < b.doc_id
-WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) < 4225.0
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 4225.0
 """
 
     o["q_knn_join"] = f"""
@@ -3350,7 +3351,7 @@ m AS (SELECT doc_id, row, col,
 SELECT a.doc_id,
   CASE WHEN a.mask = 0.0 AND max(b.mask) = 1.0 THEN 1.0 ELSE a.mask END
     AS expanded
-FROM m a JOIN m b ON abs(a.row - b.row) + abs(a.col - b.col) <= 1
+FROM m a JOIN m b ON abs(a.row - b.row) <= 1 AND abs(a.col - b.col) <= 1
 GROUP BY a.doc_id, a.mask
 """
 

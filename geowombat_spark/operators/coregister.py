@@ -356,32 +356,11 @@ def apply_shift_field(
             "_wc": fc - F.floor(fc),
         }
     )
-    nbrs = F.array(
-        *[
-            F.struct(
-                (F.col("_r0") + dr).alias("_sr"),
-                (F.col("_c0") + dc).alias("_sc"),
-                (
-                    (F.col("_wr") if dr else (1.0 - F.col("_wr")))
-                    * (F.col("_wc") if dc else (1.0 - F.col("_wc")))
-                ).alias("_w"),
-            )
-            for dr in (0, 1)
-            for dc in (0, 1)
-        ]
-    )
-    expl = lat.select("row", "col", F.explode(nbrs).alias("_n")).select(
-        "row", "col", "_n._sr", "_n._sc", "_n._w"
-    )
-    srcside = docs.select(
-        F.col("row").alias("_sr"), F.col("col").alias("_sc"), *bands
-    )
-    joined = expl.join(srcside, ["_sr", "_sc"], "left")
-    aggs = []
-    for b in bands:
-        w_ok = F.when(F.col(b).isNotNull(), F.col("_w"))
-        aggs.append((F.sum(w_ok * F.col(b)) / F.sum(w_ok)).alias(b))
-    return joined.groupBy("row", "col").agg(*aggs)
+    # same bilinear plan as transform_grid(resampling='bilinear') — one
+    # definition, so edge-renormalization fixes land in both
+    from .transform import bilinear_gather
+
+    return bilinear_gather(lat, docs, bands, carry=("row", "col"))
 
 
 def coregister_local(

@@ -301,10 +301,24 @@ def sample_polygons(
     pdf["rings"] = pdf["rings"].apply(lambda rs: [list(map(float, r)) for r in rs])
     pdf_spark = spark.createDataFrame(pdf)
 
-    out_schema = f"{id_column} bigint, point bigint, x double, y double"
+    # id type follows the input: the reference's sample_feature supports
+    # non-numeric feature ids (util.py:553-559 int/str fallback), so a
+    # GeoDataFrame-style string fid must survive, not int()-crash the job
+    id_is_str = not pd.api.types.is_integer_dtype(pdf[id_column])
+    id_sql_type = "string" if id_is_str else "bigint"
+    out_schema = f"{id_column} {id_sql_type}, point bigint, x double, y double"
 
     def _sample(key, g: pd.DataFrame) -> pd.DataFrame:
-        fid = int(key[0])
+        # deterministic per-feature rng offset: identity for int fids
+        # (preserves historical sampled outputs), crc32 for strings
+        if id_is_str:
+            import zlib
+
+            fid = str(key[0])
+            fid_seed = zlib.crc32(fid.encode("utf-8"))
+        else:
+            fid = int(key[0])
+            fid_seed = fid
         # EVERY row of the group is a polygon: duplicate fids (a multipart
         # feature exploded without renumbering) are real inputs, and
         # sampling only g.iloc[0] would silently drop the rest — the
@@ -324,7 +338,7 @@ def sample_polygons(
                 if min_frac_area is not None and cx.shape[0] <= min_frac_area:
                     take = False
                 if take:
-                    rng = np.random.default_rng(seed + fid + 7919 * ri)
+                    rng = np.random.default_rng(seed + fid_seed + 7919 * ri)
                     idx = rng.choice(
                         cx.shape[0], size=int(cx.shape[0] * frac), replace=False
                     )
@@ -336,7 +350,11 @@ def sample_polygons(
         cy = np.concatenate(ys) if ys else np.array([], dtype=np.float64)
         return pd.DataFrame(
             {
-                id_column: np.full(cx.shape[0], fid, dtype=np.int64),
+                id_column: (
+                    np.full(cx.shape[0], fid, dtype=object)
+                    if id_is_str
+                    else np.full(cx.shape[0], fid, dtype=np.int64)
+                ),
                 "point": np.arange(cx.shape[0], dtype=np.int64),
                 "x": cx,
                 "y": cy,

@@ -151,17 +151,17 @@ def _window_stat(stat: str, perc: int | None):
             if stat == "expand":
                 # morphological expand of the target class 1 into 0 cells
                 # (``_moving.pyx:230-257`` ``_get_expand``): a center of
-                # exactly 0 flips to 1.0 if ANY window cell inside the
-                # weight support (weight > 0 — the inverse-distance weights
-                # are 0 only at the 4 exact corners, so the support at w=3
-                # is the plus-shaped 4-neighborhood) equals exactly 1;
-                # every other center (1, nodata, any other class) passes
-                # through unchanged. NaN (absent/clipped-edge) cells never
-                # count as hits.
-                ww = int(round(np.sqrt(flat.shape[-1])))
-                support = window_weights(ww).ravel() > 0
+                # exactly 0 flips to 1.0 if ANY window cell with weight > 0
+                # equals exactly 1. In the reference's only reachable
+                # configuration the weight matrix is all-ones
+                # (``_moving.pyx:366`` — ``weights=True`` never combines
+                # with expand, and this port rejects it), so the support is
+                # the FULL w×w window including the diagonal corners, not
+                # the plus-shaped IDW support. Every other center (1,
+                # nodata, any other class) passes through unchanged. NaN
+                # (absent/clipped-edge) cells never count as hits.
                 center = flat[..., flat.shape[-1] // 2]
-                hit = ((flat == 1.0) & support).any(axis=2)
+                hit = (flat == 1.0).any(axis=2)
                 return np.where((center == 0.0) & hit, 1.0, center)
         raise ValueError(stat)
 

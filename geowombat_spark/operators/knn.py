@@ -49,11 +49,16 @@ def near_pairs(
     min_dist: float,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """All pairs (a, b) with euclidean distance < min_dist, a.id < b.id —
+    """All pairs (a, b) with euclidean distance <= min_dist, a.id < b.id —
     the distributed ``_remove_near_points`` candidate set.
 
-    k is derived from min_dist (ceil in cell units), so the k-ring join is
-    guaranteed to cover every qualifying pair.
+    INCLUSIVE bound: the reference thins via ``scipy.cKDTree.query_pairs``
+    (distance <= r, ``util.py`` ``_remove_near_points``), and the
+    driver-side twin :func:`~geowombat_spark.operators.sample.thin_min_dist`
+    matches scipy with ``<=`` — grid-derived points sit at exact
+    cell-multiple distances, so the boundary case is common, not
+    theoretical. k is derived from min_dist (ceil in cell units), so the
+    k-ring join is guaranteed to cover every qualifying pair.
     """
     k = int(np.ceil(min_dist / min(grid.cellx, grid.celly)))
     left = expand_kring(
@@ -74,12 +79,15 @@ def near_pairs(
     dy = F.col("a_y") - F.col("b_y")
     # explicit multiplication, not pow(): bit-identical to the SQL oracle
     d2 = dx * dx + dy * dy
+    # no distinct needed: only the left side is k-ring-expanded and ring
+    # cell ids are unique per point, so each (a, b) pair joins exactly
+    # once (b contributes its single home cell) — a distinct here would
+    # re-shuffle the whole surviving pair set for nothing
     return (
         left.join(right, "neighbor_cell_id")
         .filter(F.col("a_id") < F.col("b_id"))
-        .filter(d2 < F.lit(float(min_dist) * float(min_dist)))
+        .filter(d2 <= F.lit(float(min_dist) * float(min_dist)))
         .select("a_id", "b_id", F.sqrt(d2).alias("dist"))
-        .distinct()
     )
 
 

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..grid import GridSpec, round_window
-from .extract import encode_cells, sample_polygons
+from .extract import encode_cells, in_bounds_col, sample_polygons
 
 
 def polygon_to_array(
@@ -43,20 +43,30 @@ def polygon_to_array(
     feature in ``polygons`` wins (GDAL rasterize parity).
     """
     if window is None:
-        xs = np.concatenate(
-            [np.asarray(r)[0::2] for rs in polygons["rings"] for r in rs]
-        )
-        ys = np.concatenate(
-            [np.asarray(r)[1::2] for rs in polygons["rings"] for r in rs]
-        )
-        window = round_window(
-            grid, xs.min(), ys.min(), xs.max(), ys.max(), expand_by=0
-        )
+        from .sops import _total_bounds
+
+        minx, miny, maxx, maxy = _total_bounds(polygons)
+        window = round_window(grid, minx, miny, maxx, maxy, expand_by=0)
     row0, row1, col0, col1 = window
+    nrows, ncols = max(0, row1 - row0), max(0, col1 - col0)
+    if nrows == 0 or ncols == 0:
+        # bbox entirely off-grid: round_window clamps each bound
+        # independently, so row1 < row0 (or col1 < col0) here — a raw
+        # nrows*ncols product would be positive again and `id % ncols`
+        # with a negative ncols would fabricate out-of-grid lattice rows
+        return spark.createDataFrame(
+            [], "row long, col long, x double, y double, value double"
+        )
 
     samples = sample_polygons(
         spark, polygons, grid, all_touched=all_touched, id_column=id_column
     )
+    # DROP sample centers outside the grid BEFORE encoding (same contract
+    # as extract_polygons, reference sops.py:836-844): encode_cells clamps
+    # out-of-grid centers onto border cells, so a polygon arm overhanging
+    # the grid would otherwise burn the border cells it snaps onto —
+    # GDAL rasterize leaves those cells at fill
+    samples = samples.filter(in_bounds_col(grid))
     enc = encode_cells(samples, grid).select(id_column, "row", "col")
 
     burn = polygons[[id_column]].copy()
@@ -72,7 +82,6 @@ def polygon_to_array(
         .agg(F.max_by("burn", "ord").alias("value"))
     )
 
-    nrows, ncols = row1 - row0, col1 - col0
     cells = (
         spark.range(nrows * ncols)
         .select(

@@ -156,39 +156,56 @@ def transform_grid(
                 "_wr": fr - F.floor(fr),
             }
         )
-        # 4 weighted neighbor addresses, one equi-join, renormalizing agg
-        nbrs = F.array(
-            *[
-                F.struct(
-                    (F.col("_r0") + dr).alias("_sr"),
-                    (F.col("_c0") + dc).alias("_sc"),
-                    (
-                        (F.col("_wr") if dr else (1.0 - F.col("_wr")))
-                        * (F.col("_wc") if dc else (1.0 - F.col("_wc")))
-                    ).alias("_w"),
-                )
-                for dr in (0, 1)
-                for dc in (0, 1)
-            ]
-        )
-        expl = lat.select(
-            "row", "col", "x", "y", F.explode(nbrs).alias("_n")
-        ).select("row", "col", "x", "y", "_n._sr", "_n._sc", "_n._w")
-        srcside = docs.select(
-            F.col("row").alias("_sr"), F.col("col").alias("_sc"), *bands
-        )
-        joined = expl.join(srcside, ["_sr", "_sc"], "left")
-        aggs = []
-        for b in bands:
-            w_ok = F.when(F.col(b).isNotNull(), F.col("_w"))
-            aggs.append((F.sum(w_ok * F.col(b)) / F.sum(w_ok)).alias(b))
-        return (
-            joined.groupBy("row", "col", "x", "y")
-            .agg(*aggs)
-            .select("row", "col", "x", "y", *bands)
-        )
+        return bilinear_gather(
+            lat, docs, bands, carry=("row", "col", "x", "y")
+        ).select("row", "col", "x", "y", *bands)
 
     raise ValueError(f"unknown resampling {resampling!r}")
+
+
+def bilinear_gather(
+    lat: DataFrame,
+    docs: DataFrame,
+    bands: tuple[str, ...],
+    carry: tuple[str, ...],
+) -> DataFrame:
+    """The shared bilinear interpolation plan: ``lat`` carries the integer
+    base source cell (``_r0``, ``_c0``) and fractional weights (``_wr``,
+    ``_wc``); explode the 4 weighted neighbor addresses, ONE equi-join
+    against the source cells, and a NULL-renormalizing weighted average
+    grouped by ``carry`` (missing neighbors drop out of both numerator
+    and denominator — GDAL's edge renormalization).
+
+    Single definition used by both ``transform_grid(resampling='bilinear')``
+    and ``coregister.apply_shift_field`` so a weight-convention or NaN-guard
+    fix lands in both plans at once.
+    """
+    nbrs = F.array(
+        *[
+            F.struct(
+                (F.col("_r0") + dr).alias("_sr"),
+                (F.col("_c0") + dc).alias("_sc"),
+                (
+                    (F.col("_wr") if dr else (1.0 - F.col("_wr")))
+                    * (F.col("_wc") if dc else (1.0 - F.col("_wc")))
+                ).alias("_w"),
+            )
+            for dr in (0, 1)
+            for dc in (0, 1)
+        ]
+    )
+    expl = lat.select(*carry, F.explode(nbrs).alias("_n")).select(
+        *carry, "_n._sr", "_n._sc", "_n._w"
+    )
+    srcside = docs.select(
+        F.col("row").alias("_sr"), F.col("col").alias("_sc"), *bands
+    )
+    joined = expl.join(srcside, ["_sr", "_sc"], "left")
+    aggs = []
+    for b in bands:
+        w_ok = F.when(F.col(b).isNotNull(), F.col("_w"))
+        aggs.append((F.sum(w_ok * F.col(b)) / F.sum(w_ok)).alias(b))
+    return joined.groupBy(*carry).agg(*aggs)
 
 
 def _mode_agg(fwd: DataFrame, bands: tuple[str, ...]) -> DataFrame:

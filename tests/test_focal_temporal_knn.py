@@ -186,11 +186,15 @@ def _pts(spark, coords, id_col="doc_id"):
 
 
 def test_near_pairs(spark):
-    pts = _pts(spark, [(100.0, 100.0), (105.0, 100.0), (500.0, 500.0), (508.0, 500.0), (1000.0, 1000.0)])
+    # p4-p5 sit at EXACTLY min_dist: the bound is inclusive (scipy
+    # query_pairs / thin_min_dist use <=), and grid-derived points land
+    # on exact cell-multiple distances all the time
+    pts = _pts(spark, [(100.0, 100.0), (105.0, 100.0), (500.0, 500.0),
+                       (508.0, 500.0), (1000.0, 1000.0), (1010.0, 1000.0)])
     out = near_pairs(pts, SMALL, min_dist=10.0).toPandas()
     pairs = set(map(tuple, out[["a_id", "b_id"]].values))
-    assert pairs == {("p0", "p1"), ("p2", "p3")}
-    np.testing.assert_allclose(sorted(out["dist"]), [5.0, 8.0])
+    assert pairs == {("p0", "p1"), ("p2", "p3"), ("p4", "p5")}
+    np.testing.assert_allclose(sorted(out["dist"]), [5.0, 8.0, 10.0])
 
 
 def test_knn_join(spark):
@@ -243,10 +247,11 @@ def test_moving_weighted_rejects_unweighted_stats(spark, small_docs):
 def test_focal_expand_golden(spark):
     """_get_expand parity (_moving.pyx:230-257) on a hand-computed 6x6 mask.
 
-    w=3 support = the plus-shaped 4-neighborhood (inverse-distance weight
-    is 0 only at the exact window corners): a 0 center flips to 1 iff an
-    edge-adjacent cell is 1; diagonal-only contact does NOT expand; 1s and
-    other classes (here 7.0) pass through unchanged."""
+    w=3 support = the FULL 3x3 window: the reference's reachable
+    configuration passes all-ones weights (_moving.pyx:366 — weights=True
+    never combines with expand), so a 0 center flips to 1 iff ANY of its
+    8 neighbors is 1, diagonal contact included; 1s and other classes
+    (here 7.0) pass through unchanged."""
     g = GridSpec(left=0.0, top=60.0, cellx=10.0, celly=10.0,
                  nrows=6, ncols=6, tile_rows=4, tile_cols=4)
     mask = np.zeros((6, 6))
@@ -269,14 +274,18 @@ def test_focal_expand_golden(spark):
     for r in res:
         got[r["row"], r["col"]] = r["band_blue_expand"]
     want = mask.copy()
-    # plus-neighbors of (1,1)
-    for dr, dc in ((-1, 0), (1, 0), (0, -1), (0, 1)):
-        want[1 + dr, 1 + dc] = 1.0
-    # plus-neighbors of (3,0) inside the grid
+    # all 8 neighbors of (1,1) — diagonal corners included
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            if (dr, dc) != (0, 0):
+                want[1 + dr, 1 + dc] = 1.0
+    # in-grid neighbors of (3,0): edge-adjacent AND diagonal
     want[2, 0] = want[4, 0] = want[3, 1] = 1.0
-    # diagonal neighbors of the seeds must NOT have expanded; (4,4)=7 kept
-    assert want[0, 0] == 0.0 and got[0, 0] == 0.0
+    want[2, 1] = want[4, 1] = 1.0
+    # (4,4)=7 is a foreign class: kept, never expands anything
     assert got[4, 4] == 7.0
+    # cells two steps away stay 0
+    assert want[3, 3] == 0.0 and got[3, 3] == 0.0
     np.testing.assert_array_equal(got, want)
 
 
@@ -288,13 +297,20 @@ def test_focal_expand_matches_reference_kernel_shape(spark):
     pdf = pdf.assign(band_blue=binary)
     arr = np.zeros((256, 256))
     arr[pdf["row"], pdf["col"]] = pdf["band_blue"].values
-    # numpy rendition: 0 center -> 1 if any plus-neighbor is 1
+    # numpy rendition: 0 center -> 1 if ANY 3x3 window cell is 1
+    # (all-ones reference weights — diagonals included)
     hit = np.zeros_like(arr, dtype=bool)
-    hit[1:, :] |= arr[:-1, :] == 1.0
-    hit[:-1, :] |= arr[1:, :] == 1.0
-    hit[:, 1:] |= arr[:, :-1] == 1.0
-    hit[:, :-1] |= arr[:, 1:] == 1.0
-    hit |= arr == 1.0  # center itself in the support
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            src = arr[
+                max(0, -dr) : arr.shape[0] - max(0, dr),
+                max(0, -dc) : arr.shape[1] - max(0, dc),
+            ]
+            dst = hit[
+                max(0, dr) : arr.shape[0] - max(0, -dr),
+                max(0, dc) : arr.shape[1] - max(0, -dc),
+            ]
+            dst |= src == 1.0
     want = np.where((arr == 0.0) & hit, 1.0, arr)
     out = moving(spark.createDataFrame(pdf).repartition(8, "tile_id"),
                  SMALL, stat="expand", w=3, band="band_blue")

@@ -54,6 +54,52 @@ def test_rasterize_later_feature_wins(spark):
     assert (only_b["value"] == 2.0).all()
 
 
+def test_rasterize_offgrid_overhang_does_not_burn_border(spark):
+    """A polygon arm overhanging the grid must NOT burn the border cells
+    its off-grid sample centers would clamp onto (GDAL rasterize leaves
+    them at fill; extract_polygons applies the same in-bounds filter)."""
+    # L-shape: on-grid foot rows 0-1 (x up to 25), off-grid arm x in
+    # [-45,-5] at rows 2-5 — without the in-bounds filter the arm's
+    # centers snap to col 0 and burn (2,0)..(5,0)
+    ring = [
+        -45.0, -2.0, 25.0, -2.0, 25.0, -22.0,
+        -5.0, -22.0, -5.0, -58.0, -45.0, -58.0,
+    ]
+    polys = pd.DataFrame([{"fid": 1, "rings": [ring]}])
+    out = rz.polygon_to_array(spark, polys, GRID, default_value=1.0, fill=0.0)
+    pdf = out.toPandas()
+    burned = pdf[pdf["value"] == 1.0]
+    assert set(burned["row"]) <= {0, 1}, burned.to_dict("records")
+    assert len(burned) > 0  # the on-grid foot does burn
+
+
+def test_rasterize_fully_offgrid_polygon_is_empty(spark):
+    """A polygon bbox entirely outside the grid yields an EMPTY frame:
+    round_window clamps each bound independently, so row1 < row0 /
+    col1 < col0 here, and the raw (negative x negative) lattice product
+    used to fabricate phantom out-of-grid rows."""
+    for ring in (
+        _rect_rings(1015.0, -1050.0, 1025.0, -1040.0),  # past bottom-right
+        _rect_rings(-45.0, -58.0, -5.0, -2.0),  # past the left edge
+    ):
+        polys = pd.DataFrame([{"fid": 1, "rings": ring}])
+        out = rz.polygon_to_array(spark, polys, GRID)
+        assert out.count() == 0
+        assert out.columns == ["row", "col", "x", "y", "value"]
+
+
+def test_rasterize_string_fid(spark):
+    """String feature ids are valid in the reference (util.py:553-559
+    int/str fallback): the sampling kernel and burn join must carry them
+    through instead of int()-crashing in the executor."""
+    polys = pd.DataFrame(
+        [{"fid": "field_A", "rings": _rect_rings(2.0, -28.0, 38.0, -2.0)}]
+    )
+    out = rz.polygon_to_array(spark, polys, GRID, default_value=5.0)
+    pdf = out.toPandas()
+    assert (pdf["value"] == 5.0).sum() == 6
+
+
 def _cells(spark, arr):
     rows, cols = np.nonzero(np.ones_like(arr))
     pdf = pd.DataFrame(
