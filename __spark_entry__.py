@@ -1043,8 +1043,16 @@ def q_dn_toar(spark, sf_dir):
     from geowombat_spark.functions import radiometry as rad
 
     gd = grid_docs(spark, sf_dir)
+    # synthetic solar zenith in CENTI-degrees (40.00°–55.00°), the repo
+    # band convention — dn_to_toar's default angle_factor=0.01 converts
+    gd = gd.withColumn(
+        "sza_cd", (F.lit(4000) + F.col("doc_id") % 1500).cast("double")
+    )
     gd = rad.dn_to_toar(
-        gd, {"band_blue": (2e-05, -0.1), "band_green": (3e-05, -0.05)}, clip=True
+        gd,
+        {"band_blue": (2e-05, -0.1), "band_green": (3e-05, -0.05)},
+        clip=True,
+        solar_za="sza_cd",
     )
     gd = rad.dn_to_radiance(gd, {"band_red": (0.01, 1.0)})
     gd = gd.withColumn(
@@ -2424,6 +2432,9 @@ def q_mask_s2(spark, sf_dir):
         d, GRID, prob="prob", threshold=0.4, average_over=1,
         dilation_size=1, cloud_heights=(500.0,), nodata=0.0,
         nodata_bands=("band_swir2", "band_green"),
+        # the synthetic angles above are RADIANS by construction;
+        # the 0.01 default mirrors the reference's centi-degree bands
+        angle_factor=None,
     )
     return out.select("doc_id", F.col("mask").cast("long").alias("mask"))
 
@@ -3505,10 +3516,13 @@ FROM q
     o["q_dn_toar"] = f"""
 WITH {G_SQL}
 SELECT doc_id,
-  round(least(greatest(band_blue * 2e-05 + -0.1, 0.0), 1.0), 6) AS toar_blue,
-  round(least(greatest(band_green * 3e-05 + -0.05, 0.0), 1.0), 6) AS toar_green,
+  round(least(greatest((band_blue * 2e-05 + -0.1)
+      / cos(radians((4000 + doc_id % 1500) * 0.01)), 0.0), 1.0), 6) AS toar_blue,
+  round(least(greatest((band_green * 3e-05 + -0.05)
+      / cos(radians((4000 + doc_id % 1500) * 0.01)), 0.0), 1.0), 6) AS toar_green,
   round((band_red * 0.01 + 1.0) * {TOAR_FACTOR!r}, 6) AS toar_red,
-  round(least(greatest(band_blue * 2e-05 + -0.1, 0.0), 1.0) * {_RAD_FACTOR!r}, 6) AS rad_blue
+  round(least(greatest((band_blue * 2e-05 + -0.1)
+      / cos(radians((4000 + doc_id % 1500) * 0.01)), 0.0), 1.0) * {_RAD_FACTOR!r}, 6) AS rad_blue
 FROM g
 """
 

@@ -62,6 +62,13 @@ def estimate_shadows(
         aggs.append(F.min(F.round(F.cos(F.col(solar_az)) * vec, 0)).alias(f"_y{i}"))
         aggs.append(F.min(F.round(F.sin(F.col(solar_az)) * vec, 0)).alias(f"_x{i}"))
     row = docs.agg(*aggs).first()
+    if row is None or row[0] is None:
+        # empty frame or all-NULL angle columns: min() aggregates to NULL
+        # and int(None) would raise a bare TypeError with no diagnosis
+        raise ValueError(
+            "estimate_shadows: no usable solar-angle values — the input "
+            f"is empty or {solar_za!r}/{solar_az!r} are entirely NULL"
+        )
     shifts = [
         (int(row[f"_y{i}"]), -int(row[f"_x{i}"]))
         for i in range(len(cloud_heights))
@@ -123,6 +130,7 @@ def mask_s2(
     nodata_bands: tuple[str, ...] = (),
     keep: tuple[str, ...] = ("doc_id",),
     out: str = "mask",
+    angle_factor: float | None = 0.01,
 ) -> DataFrame:
     """``CloudShadowMasker.mask_s2`` (``mask.py:117-310``) minus the
     external model: probability → spatial average → threshold → dilate →
@@ -186,16 +194,37 @@ def mask_s2(
     cloudf = bounded_persist(
         dil.withColumn("cloud", (F.col("_cdil") >= 0.5).cast("int"))
     )
+    # estimate_shadows consumes RADIANS (mask.py:22-114 applies tan/cos
+    # directly); the reference's mask_s2 entry point receives the
+    # repo-conventional CENTI-DEGREE angle bands and converts with
+    # sza = solar_za * 0.01 then deg2rad (mask.py:255-263). angle_factor
+    # mirrors that: the 0.01 default matches the reference; pass
+    # angle_factor=None when the columns already hold radians.
+    if angle_factor is not None:
+        cloudf = cloudf.withColumns(
+            {
+                "_sza_rad": F.radians(
+                    F.col(solar_za) * F.lit(float(angle_factor))
+                ),
+                "_saa_rad": F.radians(
+                    F.col(solar_az) * F.lit(float(angle_factor))
+                ),
+            }
+        )
+        za_col, az_col = "_sza_rad", "_saa_rad"
+    else:
+        za_col, az_col = solar_za, solar_az
     sh = estimate_shadows(
-        cloudf, grid, cloud="cloud", solar_za=solar_za, solar_az=solar_az,
+        cloudf, grid, cloud="cloud", solar_za=za_col, solar_az=az_col,
         swir2=swir2, green=green, cloud_heights=cloud_heights,
         nodata=nodata, out="_shadow",
     )
     fill = F.lit(False)
     if nodata is not None and nodata_bands:
-        fill = F.greatest(
-            *[F.col(b) for b in nodata_bands]
-        ) == F.lit(float(nodata))
+        ncols_ = [F.col(b) for b in nodata_bands]
+        # F.greatest requires >= 2 columns; one nodata band is legitimate
+        gmax = F.greatest(*ncols_) if len(ncols_) > 1 else ncols_[0]
+        fill = gmax == F.lit(float(nodata))
     return (
         sh.withColumn(
             out,
@@ -205,5 +234,8 @@ def mask_s2(
             .otherwise(F.lit(0))
             .cast("int"),
         )
-        .drop("_p", "_pavg", "_cl", "_cdil", "_shadow", "cloud")
+        .drop(
+            "_p", "_pavg", "_cl", "_cdil", "_shadow", "cloud",
+            "_sza_rad", "_saa_rad",
+        )
     )

@@ -67,5 +67,7 @@ def mask_nodata(df: DataFrame, bands: tuple[str, ...], nodata: float | None = No
 
 def band_mask(df: DataFrame, valid_bands: tuple[str, ...], out: str = "mask") -> DataFrame:
     """1 where any valid band ≤ 0 else 0 (``geoxarray.py:1409-1446``)."""
-    least = F.least(*[F.col(b) for b in valid_bands])
+    cols = [F.col(b) for b in valid_bands]
+    # F.least requires >= 2 columns; a single-band mask is legitimate
+    least = F.least(*cols) if len(cols) > 1 else cols[0]
     return df.withColumn(out, F.when(least <= 0, F.lit(1)).otherwise(F.lit(0)))

@@ -57,12 +57,38 @@ def radiance_to_toar(
 
 
 def dn_to_toar(
-    df: DataFrame, bands: dict[str, tuple[float, float]], clip: bool = True
+    df: DataFrame,
+    bands: dict[str, tuple[float, float]],
+    clip: bool = True,
+    solar_za: str | None = None,
+    angle_factor: float = 0.01,
+    sun_angle: bool = True,
 ) -> DataFrame:
     """DN → TOAR with the reflectance rescaling coefficients:
-    ``rho = mp*DN + ap`` (``sr.py:830-873``), optionally clipped to [0, 1]."""
+    ``rho = mp*DN + ap`` (``sr.py:830-873``), then the reference's
+    sun-angle correction ``rho / cos(deg2rad(solar_za * angle_factor))``
+    (``sr.py:846-862``, on by default there too) when ``solar_za`` names
+    the zenith column, and finally the optional [0, 1] clip (the clip is
+    this port's addition; it applies AFTER the correction so the bound
+    holds on the published value).
+
+    Mirroring the reference: ``sun_angle=True`` with no ``solar_za``
+    raises (the reference raises ``NameError``); pass ``sun_angle=False``
+    for the uncorrected rescale.
+    """
+    if sun_angle and solar_za is None:
+        raise ValueError(
+            "dn_to_toar: sun_angle=True requires the solar_za column "
+            "(reference sr.py:850-855 raises the same way); pass "
+            "sun_angle=False for the uncorrected rescale"
+        )
+    cos_sza = (
+        F.cos(F.radians(_ang(solar_za, angle_factor))) if sun_angle else None
+    )
     for b, (mp, ap) in bands.items():
         c = F.col(b).cast("double") * F.lit(float(mp)) + F.lit(float(ap))
+        if sun_angle:
+            c = c / cos_sza
         if clip:
             c = F.least(F.greatest(c, F.lit(0.0)), F.lit(1.0))
         df = df.withColumn(b, c)
@@ -132,10 +158,26 @@ def qa_mask(
     IS the absence of the cloud flag)."""
     bits = bits or QA_BITS_L8
     df = qa_unpack(df, qa_col, bits)
-    cond = F.col("cloud_conf") <= F.lit(max_cloud_conf)
-    if keep_clear:
-        cond = cond & (F.col("cloud") == 0)
-    cond = cond & (F.col("fill") == 0)
+    # build the usability test from the flags the LAYOUT actually carries:
+    # e.g. QA_BITS_LANDSAT_C2_L2 / QA_BITS_HLS_FMASK have no 'cloud_conf'
+    # field, and referencing it unconditionally would raise
+    # UNRESOLVED_COLUMN for layouts this same module exports
+    parts = []
+    if "cloud_conf" in bits:
+        parts.append(F.col("cloud_conf") <= F.lit(max_cloud_conf))
+    if keep_clear and "cloud" in bits:
+        parts.append(F.col("cloud") == 0)
+    if "fill" in bits:
+        parts.append(F.col("fill") == 0)
+    if not parts:
+        raise ValueError(
+            "qa_mask: the bits layout carries none of the flags the mask "
+            "is built from (cloud_conf/cloud/fill) — a vacuous all-usable "
+            "mask would be silently wrong"
+        )
+    cond = parts[0]
+    for p in parts[1:]:
+        cond = cond & p
     return df.withColumn("qa_ok", F.when(cond, F.lit(1)).otherwise(F.lit(0)))
 
 

@@ -279,10 +279,14 @@ def norm_topo(
     # the terrain came from the internal slope_aspect (a halo shuffle +
     # applyInPandas stencil), persist so the stencil runs ONCE, not once
     # for the coefficient job and again for the main query.
+    # bounded_persist (not a raw persist): caps live persists and evicts
+    # the oldest, so a per-scene pipeline calling norm_topo many times
+    # cannot accumulate dead cached stencil frames until storage thrashes
+    # (same registry mask_s2 and the LSH signature frames use)
     if slope is None or aspect is None:
-        from pyspark import StorageLevel
+        from ..cache import bounded_persist
 
-        d = d.persist(StorageLevel.MEMORY_AND_DISK)
+        d = bounded_persist(d)
 
     # OLS sr ~ il per band over valid samples: one global aggregate row,
     # broadcast back. covar_pop/var_pop give sklearn's closed form. The

@@ -27,10 +27,14 @@ def _scaled(df: DataFrame, band: str, scale_factor: float, nodata: float | None)
 
 
 def _clip(c: Column, lo: float, hi: float) -> Column:
-    # greatest/least skip NULLs, so clip must explicitly preserve them
-    # (nodata must propagate, vi.py:71-155 mask_and_assign semantics)
+    # greatest/least skip NULLs and order NaN ABOVE every number, so clip
+    # must explicitly preserve both: a NULL must stay NULL (nodata
+    # propagation, vi.py:71-155 mask_and_assign semantics) and a NaN must
+    # stay NaN (numpy clip keeps NaN) — otherwise e.g. avi's
+    # pow(negative, 0.3334) = NaN would clip to the UPPER bound and every
+    # water/shadow pixel would read as maximum vegetation
     clipped = F.least(F.greatest(c, F.lit(float(lo))), F.lit(float(hi)))
-    return F.when(c.isNull(), F.lit(None).cast("double")).otherwise(clipped)
+    return F.when(c.isNull() | F.isnan(c), c).otherwise(clipped)
 
 
 def norm_diff(

@@ -57,7 +57,15 @@ def fit(
     from pyspark.ml import Pipeline
     from pyspark.ml.feature import VectorAssembler
 
-    assembler = VectorAssembler(inputCols=list(bands), outputCol="features")
+    # handleInvalid='skip': the engine's canonical nodata representation
+    # is NULL (functions/nodata.py mask_nodata), and the assembler's
+    # default 'error' would crash MLlib on the first nodata pixel of any
+    # masked corpus. 'skip' drops nodata cells from training and from
+    # prediction output — the reference equivalently fits/predicts only
+    # on valid samples (classifiers.py:297-404 nan filtering).
+    assembler = VectorAssembler(
+        inputCols=list(bands), outputCol="features", handleInvalid="skip"
+    )
     est = clf.copy()
     est.set(est.getParam("featuresCol"), "features")
 

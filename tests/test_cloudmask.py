@@ -120,9 +120,14 @@ def test_mask_s2_matches_numpy_chain(spark):
     rr, cc = np.meshgrid(np.arange(N), np.arange(N), indexing="ij")
     rr, cc = rr.ravel(), cc.ravel()
     prob = ((rr >= 2) & (rr <= 4) & (cc >= 2) & (cc <= 4)).astype(float)
-    # za chosen so tan(za)*500/30 rounds to 2; az=0 -> shift (y=+2, x=0)
+    # za chosen so tan(za)*500/30 rounds to 2; az=0 -> shift (y=+2, x=0).
+    # The COLUMNS carry centi-degrees (the repo band convention) so this
+    # test also pins mask_s2's default angle_factor=0.01 deg2rad chain
+    # (reference mask.py:255-263); the numpy mirror keeps radians.
     za = np.full(rr.shape, np.arctan(2.0 * 30.0 / 500.0))
     az = np.zeros(rr.shape)
+    za_cd = np.degrees(za) * 100.0
+    az_cd = np.degrees(az) * 100.0
     swir2 = ((rr * 3 + cc * 5) % 40 + 60).astype(np.float64)
     # rows >= 6 are "dark" (swir2 << green) so the +2-shifted shadow of
     # the dilated cloud block (rows 1-5 -> landing rows 6-7) registers
@@ -136,7 +141,7 @@ def test_mask_s2_matches_numpy_chain(spark):
         {
             "doc_id": np.arange(N * N, dtype=np.int64),
             "row": rr, "col": cc, "cell_id": zorder_encode(rr, cc),
-            "prob": prob, "solar_za": za, "solar_az": az,
+            "prob": prob, "solar_za": za_cd, "solar_az": az_cd,
             "band_swir2": swir2, "band_green": green,
         }
     )
