@@ -358,3 +358,47 @@ def test_focal_sum_all_nodata_window_refills(spark):
     assert out[(0, 0)] == -9999.0
     # cell (2,2): window holds (1,1)=nodata and three 5.0 cells -> 15.0
     assert out[(2, 2)] == 15.0
+
+
+def test_near_pairs_matches_bruteforce_random(spark):
+    """Randomized cross-check of the k-ring near-pair join against an
+    O(N^2) numpy brute force (the reference's cKDTree.query_pairs
+    semantics, sops.py:56-81): same pair SET and same distances, at
+    several radii including one exactly on a snapped lattice distance.
+    Fixed seed -> deterministic; ~40% of points are snapped onto cell
+    centers so exact-boundary distances (d == min_dist) actually occur
+    and exercise the inclusive bound."""
+    rng = np.random.default_rng(20260820)
+    n = 160
+    xs = rng.uniform(5.0, 2555.0, n)
+    ys = rng.uniform(5.0, 2555.0, n)
+    snap = rng.random(n) < 0.4
+    xs[snap] = np.floor(xs[snap] / 10.0) * 10.0 + 5.0
+    ys[snap] = np.floor(ys[snap] / 10.0) * 10.0 + 5.0
+    pts = _pts(spark, list(zip(xs, ys)))
+
+    dx = xs[:, None] - xs[None, :]
+    dy = ys[:, None] - ys[None, :]
+    dist = np.sqrt(dx * dx + dy * dy)
+
+    # 10.0: one cell; 23.7: non-multiple radius; 40.0: k=4 with snapped
+    # pairs landing EXACTLY on the bound (inclusive semantics)
+    for min_dist in (10.0, 23.7, 40.0):
+        out = near_pairs(pts, SMALL, min_dist=min_dist).toPandas()
+        got = set(map(tuple, out[["a_id", "b_id"]].values))
+        exp = set()
+        exp_d = []
+        for i in range(n):
+            for j in range(i + 1, n):
+                if dist[i, j] <= min_dist:
+                    exp.add(tuple(sorted((f"p{i}", f"p{j}"))))
+                    exp_d.append(dist[i, j])
+        assert got == exp, (
+            f"min_dist={min_dist}: missing={exp - got} extra={got - exp}"
+        )
+        # each pair exactly once (the r5 distinct-drop relies on unique
+        # k-ring cells per point) and bit-identical double distances
+        assert len(out) == len(exp)
+        np.testing.assert_allclose(
+            np.sort(out["dist"].values), np.sort(exp_d), rtol=0, atol=0
+        )

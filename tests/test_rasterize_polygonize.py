@@ -405,3 +405,102 @@ def test_trace_rings_tiled_grid_coords(spark):
     b = _canon_rings(trace_rings_tiled(df, grid=g, tile_rows=2, tile_cols=2))
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
     assert a["xs"].iloc[0][0] == 100.0 and a["ys"].iloc[0][0] == -50.0
+
+
+def _winding_inside(px, py, ring):
+    """Independent winding-number PIP (vs the engine's even-odd ray cast,
+    grid.py point_in_rings): for simple polygons the two rules agree, so
+    any disagreement is an arithmetic bug, not a convention choice."""
+    r = np.asarray(ring, dtype=np.float64)
+    xs, ys = r[0::2], r[1::2]
+    if xs[0] != xs[-1] or ys[0] != ys[-1]:
+        xs = np.concatenate([xs, xs[:1]])
+        ys = np.concatenate([ys, ys[:1]])
+    wn = np.zeros(np.asarray(px).shape[0], dtype=np.int64)
+    for i in range(xs.shape[0] - 1):
+        x1, y1, x2, y2 = xs[i], ys[i], xs[i + 1], ys[i + 1]
+        cross = (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1)
+        wn += ((y1 <= py) & (y2 > py) & (cross > 0)).astype(np.int64)
+        wn -= ((y1 > py) & (y2 <= py) & (cross < 0)).astype(np.int64)
+    return wn != 0
+
+
+def _convex_poly(rng, cx, cy, rad, nv):
+    ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+    radii = rng.uniform(0.4 * rad, rad, nv)
+    xs = cx + radii * np.cos(ang)
+    ys = cy + radii * np.sin(ang)
+    return [np.stack([xs, ys], axis=1).ravel().tolist()]
+
+
+def test_rasterize_matches_bruteforce_random(spark):
+    """Randomized end-to-end cross-check of polygon_to_array against a
+    from-scratch numpy re-derivation of the reference semantics
+    (conversion.py:570-833 + util.py:269-295): polygon-LOCAL sampling
+    grid (origin (minx, maxy), truncated shape), center-in-polygon via an
+    INDEPENDENT winding-number test, centers snapped to global cells by
+    plain floor division, off-grid centers dropped, later feature wins,
+    window filled with `fill`. Polygons deliberately overhang the grid on
+    all four sides to exercise the off-grid drop path."""
+    rng = np.random.default_rng(42_2026)
+    # centers pushed near the grid edges -> guaranteed overhang cases
+    recs = []
+    for i in range(7):
+        cx = rng.uniform(-60.0, 1060.0)
+        cy = rng.uniform(-1060.0, 60.0)
+        rad = rng.uniform(40.0, 160.0)
+        recs.append(
+            {
+                "fid": i,
+                "rings": _convex_poly(rng, cx, cy, rad, int(rng.integers(3, 8))),
+                "burn": float(i + 1),
+            }
+        )
+    polys = pd.DataFrame(recs)
+    out = rz.polygon_to_array(spark, polys, GRID, col="burn", fill=-1.0)
+    pdf = out.toPandas().sort_values(["row", "col"]).reset_index(drop=True)
+
+    # ---- brute force ----
+    from geowombat_spark.grid import round_window
+
+    allx = np.concatenate([np.asarray(r)[0::2] for rs in polys["rings"] for r in rs])
+    ally = np.concatenate([np.asarray(r)[1::2] for rs in polys["rings"] for r in rs])
+    row0, row1, col0, col1 = round_window(
+        GRID, allx.min(), ally.min(), allx.max(), ally.max(), expand_by=0
+    )
+    exp = {}
+    for _, rec in polys.iterrows():
+        ring = rec["rings"][0]
+        xs, ys = np.asarray(ring)[0::2], np.asarray(ring)[1::2]
+        minx, maxx = xs.min(), xs.max()
+        miny, maxy = ys.min(), ys.max()
+        nr = int((maxy - miny) / GRID.celly)
+        nc = int((maxx - minx) / GRID.cellx)
+        if nr <= 0 or nc <= 0:
+            continue
+        rr, cc = np.meshgrid(np.arange(nr), np.arange(nc), indexing="ij")
+        px = minx + (cc.ravel() + 0.5) * GRID.cellx
+        py = maxy - (rr.ravel() + 0.5) * GRID.celly
+        hit = _winding_inside(px, py, ring)
+        px, py = px[hit], py[hit]
+        ok = (
+            (px >= GRID.left)
+            & (px < GRID.left + GRID.ncols * GRID.cellx)
+            & (py <= GRID.top)
+            & (py > GRID.top - GRID.nrows * GRID.celly)
+        )
+        gr = np.floor((GRID.top - py[ok]) / GRID.celly).astype(np.int64)
+        gc = np.floor((px[ok] - GRID.left) / GRID.cellx).astype(np.int64)
+        for a, b in zip(gr, gc):
+            exp[(a, b)] = rec["burn"]  # later feature overwrites
+
+    assert len(pdf) == (row1 - row0) * (col1 - col0)
+    got = {
+        (int(r), int(c)): v
+        for r, c, v in pdf[["row", "col", "value"]].values
+        if v != -1.0
+    }
+    assert got == exp
+    # every window cell is present exactly once and fill is intact
+    n_fill = (pdf["value"] == -1.0).sum()
+    assert n_fill == len(pdf) - len(exp)
