@@ -594,3 +594,84 @@ def test_round6_exact_extreme_magnitude_stays_exact():
     # finite double (a streaming running total is unbounded)
     for v in (1e22, 1e25, -1e25, 1e300, -1.7976931348623157e308):
         assert round6_exact(v) == v
+
+
+# ---------------------------------------------------------------------------
+# segment_supercover: exact-rational differential check
+# ---------------------------------------------------------------------------
+
+
+def _exact_segment_cells(c0, r0, c1, r1):
+    """Ground-truth cell walk with exact rational arithmetic: every float is
+    a dyadic rational, so Fraction() is lossless and every boundary-crossing
+    parameter t is computed exactly. Returns {cell: parameter measure} — the
+    total length (in segment-parameter units) the segment interior spends in
+    each cell — from the floor of the midpoint of every maximal parameter
+    interval between crossings. An entirely independent formulation from
+    the DDA under test."""
+    import math
+    from fractions import Fraction
+
+    fc0, fr0, fc1, fr1 = (Fraction(v) for v in (c0, r0, c1, r1))
+    dc, dr = fc1 - fc0, fr1 - fr0
+    ts = {Fraction(0), Fraction(1)}
+    for p0, d in ((fc0, dc), (fr0, dr)):
+        if d == 0:
+            continue
+        lo, hi = (p0, p0 + d) if d > 0 else (p0 + d, p0)
+        for k in range(math.floor(lo) + 1, math.ceil(hi)):
+            t = (Fraction(k) - p0) / d
+            if 0 <= t <= 1:
+                ts.add(t)
+    ts = sorted(ts)
+    cells: dict = {}
+    for t0, t1 in zip(ts[:-1], ts[1:]):
+        tm = (t0 + t1) / 2
+        key = (math.floor(fr0 + dr * tm), math.floor(fc0 + dc * tm))
+        cells[key] = cells.get(key, Fraction(0)) + (t1 - t0)
+    if not cells:  # zero-length segment
+        cells[(math.floor(fr0), math.floor(fc0))] = Fraction(1)
+    return cells
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.floats(-5.0, 20.0), st.floats(-5.0, 20.0),
+    st.floats(-5.0, 20.0), st.floats(-5.0, 20.0),
+)
+def test_segment_supercover_matches_exact_rational_walk(c0, r0, c1, r1):
+    from geowombat_spark.grid import segment_supercover
+
+    got = segment_supercover(c0, r0, c1, r1)
+    exact = _exact_segment_cells(c0, r0, c1, r1)
+    # The DDA must never miss a RESOLVABLE cell (a miss = a hole in GDAL
+    # all_touched parity). Cells the exact walk assigns a parameter measure
+    # below double resolution (hypothesis feeds subnormals that open
+    # 1e-311-wide slivers between two crossings) are unresolvable by ANY
+    # float DDA — GDAL's included — and are exempt.
+    missing = {
+        cell for cell, m in exact.items() if cell not in got and m > 1e-9
+    }
+    assert not missing, f"supercover missed {missing} for {(c0, r0, c1, r1)}"
+    # Extras are allowed only as the documented conservative corner-graze
+    # inclusions: every extra must touch a genuinely-traversed cell at
+    # Chebyshev distance 1 (side OR diagonal neighbor — the unconditional
+    # endpoint-cell add lands diagonal when the endpoint IS a corner).
+    extra = set(got) - set(exact)
+    for r, c in extra:
+        assert any(
+            max(abs(r - r2), abs(c - c2)) == 1 for r2, c2 in exact
+        ), f"non-adjacent extra {(r, c)} for {(c0, r0, c1, r1)}"
+
+
+def test_segment_supercover_exact_corner_crossing_is_conservative():
+    """A segment through the exact lattice corner (1,1) grazes all four
+    adjacent cells: GDAL any-touch counts a corner graze as touched, and
+    the DDA adds both side neighbors at every exact corner crossing."""
+    from geowombat_spark.grid import segment_supercover
+
+    got = segment_supercover(0.0, 0.0, 2.0, 2.0)
+    assert {(0, 0), (1, 1)} <= got  # the diagonal path (endpoint cell (2,2)
+    assert (2, 2) in got            # is clamped by callers when off-window)
+    assert {(0, 1), (1, 0)} <= got  # corner grazes at (1,1)
+    assert {(1, 2), (2, 1)} <= got  # corner grazes at (2,2)
