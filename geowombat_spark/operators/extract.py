@@ -301,10 +301,22 @@ def sample_polygons(
     pdf["rings"] = pdf["rings"].apply(lambda rs: [list(map(float, r)) for r in rs])
     pdf_spark = spark.createDataFrame(pdf)
 
-    # id type follows the input: the reference's sample_feature supports
-    # non-numeric feature ids (util.py:553-559 int/str fallback), so a
-    # GeoDataFrame-style string fid must survive, not int()-crash the job
-    id_is_str = not pd.api.types.is_integer_dtype(pdf[id_column])
+    # id type follows the input with the reference's int-FIRST fallback
+    # (util.py:553-559: try int(fid), fall back to str on ValueError) —
+    # so a float64 fid column (pandas merge/NaN promotion of ints) stays
+    # numeric (int(1.0) == 1, not the string '1.0'), while a genuinely
+    # non-numeric GeoDataFrame-style fid survives as string rather than
+    # int()-crashing the job. Column-level dispatch: the int path only
+    # when EVERY value round-trips through int().
+    def _all_int_convertible(col) -> bool:
+        try:
+            for v in col:
+                int(v)
+        except (ValueError, TypeError, OverflowError):
+            return False
+        return True
+
+    id_is_str = not _all_int_convertible(pdf[id_column])
     id_sql_type = "string" if id_is_str else "bigint"
     out_schema = f"{id_column} {id_sql_type}, point bigint, x double, y double"
 

@@ -239,3 +239,34 @@ def test_sample_polygons_duplicate_fids_sample_every_row(spark):
     assert len(pts) == 8, pts
     assert len([x for x in xs if x < 717885.0]) == 2  # 2 distinct x per square
     assert len({r["point"] for r in pts}) == 8  # point ids unique within fid
+
+
+def test_sample_polygons_float_fid_stays_numeric(spark):
+    """A float64 fid column (pandas merge/NaN promotion of ints) follows
+    the reference's int-FIRST fallback (util.py:553-559: int(1.0) == 1),
+    producing a bigint id column — NOT the string '1.0'. A genuinely
+    non-numeric fid still takes the string path."""
+    from geowombat_spark.operators.extract import sample_polygons
+
+    sq = lambda x0, y0: [  # noqa: E731
+        [x0, y0, x0 + 60.0, y0, x0 + 60.0, y0 - 60.0, x0, y0 - 60.0, x0, y0]
+    ]
+    polys = pd.DataFrame(
+        {"fid": [1.0, 2.0], "rings": [sq(717585.0, -2776995.0),
+                                      sq(717885.0, -2776995.0)]}
+    )
+    out = sample_polygons(spark, polys, L8_GRID, id_column="fid")
+    assert dict(out.dtypes)["fid"] == "bigint"
+    assert sorted({r["fid"] for r in out.collect()}) == [1, 2]
+
+    # int-convertible STRINGS also take the int path (int('7') == 7)
+    polys_s = polys.assign(fid=["7", "8"])
+    out_s = sample_polygons(spark, polys_s, L8_GRID, id_column="fid")
+    assert dict(out_s.dtypes)["fid"] == "bigint"
+    assert sorted({r["fid"] for r in out_s.collect()}) == [7, 8]
+
+    # non-numeric fids keep the string path (no int() crash)
+    polys_n = polys.assign(fid=["a", "b"])
+    out_n = sample_polygons(spark, polys_n, L8_GRID, id_column="fid")
+    assert dict(out_n.dtypes)["fid"] == "string"
+    assert sorted({r["fid"] for r in out_n.collect()}) == ["a", "b"]
