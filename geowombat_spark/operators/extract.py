@@ -307,11 +307,16 @@ def sample_polygons(
     # numeric (int(1.0) == 1, not the string '1.0'), while a genuinely
     # non-numeric GeoDataFrame-style fid survives as string rather than
     # int()-crashing the job. Column-level dispatch: the int path only
-    # when EVERY value round-trips through int().
+    # when EVERY value round-trips through int() LOSSLESSLY and fits
+    # int64 — a non-integral float (7.2) must not truncate onto another
+    # feature's id/seed, and an integral float beyond int64 (1e19) must
+    # not pass the probe only to overflow the kernel's int64 column.
     def _all_int_convertible(col) -> bool:
         try:
             for v in col:
-                int(v)
+                iv = int(v)
+                if float(v) != float(iv) or not (-(2**63) <= iv < 2**63):
+                    return False
         except (ValueError, TypeError, OverflowError):
             return False
         return True

@@ -94,10 +94,15 @@ def tile_metrics(
     # 30-bit hash units: Spark 4 runs ANSI mode, where a long-sum overflow
     # is a job-killing error. 30-bit units keep the sum < 2^63 for any tile
     # up to 2^33 rows — far beyond the 512×512 tile ceiling.
+    key_cols = [F.col(id_col).cast("string")]
+    if "cell_id" in df.columns:
+        # sink tables always carry cell_id and keep their historical
+        # checksum; generic tile-partitioned tables (compact_tiles on an
+        # arbitrary dataset) may not have one — key on id alone then
+        key_cols.append(F.col("cell_id").cast("string"))
     row_repr = F.concat_ws(
         ",",
-        F.col(id_col).cast("string"),
-        F.col("cell_id").cast("string"),
+        *key_cols,
         *[_col_repr(df, c) for c in content_cols],
     )
     return df.groupBy("tile_id").agg(

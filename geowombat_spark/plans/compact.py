@@ -123,11 +123,16 @@ def tile_file_stats(path: str, tiles=None) -> dict[int, dict]:
             (int(t), os.path.join(path, f"tile_id={int(t)}")) for t in tiles
         ]
     else:
-        dirs = [
-            (int(e.name.split("=", 1)[1]), e.path)
-            for e in os.scandir(path)
-            if e.is_dir() and e.name.startswith("tile_id=")
-        ]
+        # skip partition values that aren't integers — a NULL tile_id row
+        # writes 'tile_id=__HIVE_DEFAULT_PARTITION__', which has no int
+        # key and is left uncompacted rather than crashing the run
+        dirs = []
+        for e in os.scandir(path):
+            if e.is_dir() and e.name.startswith("tile_id="):
+                try:
+                    dirs.append((int(e.name.split("=", 1)[1]), e.path))
+                except ValueError:
+                    continue
     for tile, tdir in dirs:
         if not os.path.isdir(tdir):
             continue

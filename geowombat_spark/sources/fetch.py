@@ -45,6 +45,7 @@ from __future__ import annotations
 import fnmatch
 import hashlib
 import os
+import re
 import shutil
 import time
 from urllib.parse import urlparse
@@ -59,6 +60,11 @@ FETCH_SCHEMA = (
 )
 
 _ALLOWED_SCHEMES = ("", "file")
+
+# exact per-attempt temp shape ('<dest>.inprogress.<pid>.<uuid4 hex>') —
+# the sweep must match ONLY names this module generated; a published asset
+# whose own id merely contains '.inprogress.' must never be reclaimed
+_TEMP_NAME_RE = re.compile(r"\.inprogress\.\d+\.[0-9a-f]{32}$")
 
 
 def _local_path(uri: str) -> str:
@@ -178,13 +184,15 @@ def fetch_assets(
     os.makedirs(outdir, exist_ok=True)
     now = time.time()
     for e in os.scandir(outdir):
-        # both the per-attempt names ('<dest>.inprogress.<pid>.<uuid>')
-        # and the legacy fixed name ('<dest>.inprogress') from builds
-        # before the unique-temp change: the old partials are never
-        # reused or overwritten by the new naming, so without this they
-        # would leak forever
+        # both the per-attempt names (exact pattern match — an asset
+        # whose id merely CONTAINS '.inprogress.' is not a temp) and the
+        # legacy fixed name ('<dest>.inprogress') from builds before the
+        # unique-temp change: the old partials are never reused or
+        # overwritten by the new naming, so without this they would leak
+        # forever. (An asset id literally ENDING in '.inprogress' is
+        # indistinguishable from a legacy partial and is still swept.)
         if e.is_file() and (
-            ".inprogress." in e.name or e.name.endswith(".inprogress")
+            _TEMP_NAME_RE.search(e.name) or e.name.endswith(".inprogress")
         ):
             try:
                 if now - e.stat().st_mtime >= sweep_temp_age_s:

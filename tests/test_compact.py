@@ -336,3 +336,58 @@ def test_recover_restores_missing_manifest(spark, corpus, sink_dir):
     out2 = cx.recover_compaction(sink_dir)
     assert out2["cleaned"] == ["manifest"]
     assert cp.completed_tiles(spark, sink_dir) == done
+
+
+def test_null_partition_dir_skipped_not_crashed(spark, corpus, sink_dir):
+    """A dataset written with a NULL tile_id row carries a
+    'tile_id=__HIVE_DEFAULT_PARTITION__' directory whose partition value
+    has no int key: stats/compaction must skip it (left uncompacted),
+    not ValueError before doing any work."""
+    _fragmented_write(corpus, sink_dir)
+    nulldir = os.path.join(sink_dir, "tile_id=__HIVE_DEFAULT_PARTITION__")
+    os.makedirs(nulldir)
+    with open(os.path.join(nulldir, "part-00000.parquet"), "wb") as f:
+        f.write(b"not read by stats")
+    stats = cx.tile_file_stats(sink_dir)
+    assert all(isinstance(t, int) for t in stats)
+    cx.compact_tiles(spark, sink_dir)
+    after = cx.tile_file_stats(sink_dir)
+    assert all(s["n_files"] == 1 for s in after.values())
+    # the null-key dir is untouched
+    assert os.path.exists(os.path.join(nulldir, "part-00000.parquet"))
+
+
+def test_compact_generic_table_without_cell_id(spark, sink_dir):
+    """compact_tiles on an arbitrary tile-partitioned dataset (no
+    cell_id column — the generic id_col/sort_col surface): the audit
+    checksum keys on id alone instead of raising UNRESOLVED_COLUMN."""
+    base = (
+        spark.range(1200)
+        .withColumnRenamed("id", "rec_id")
+        .withColumns(
+            {
+                "tile_id": F.col("rec_id") % 5,
+                "payload": (F.col("rec_id") * 3 % 97).cast("double"),
+            }
+        )
+    )
+    base.repartition(12).write.partitionBy("tile_id").parquet(
+        sink_dir, mode="overwrite"
+    )
+    assert sum(s["n_files"] for s in cx.tile_file_stats(sink_dir).values()) > 5
+    rep = cx.compact_tiles(spark, sink_dir, id_col="rec_id", sort_col="rec_id")
+    assert rep.count() == 5
+    after = cx.tile_file_stats(sink_dir)
+    assert all(s["n_files"] == 1 for s in after.values())
+    got = (
+        spark.read.option("basePath", sink_dir)
+        .parquet(sink_dir)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("payload").alias("s"),
+        )
+        .collect()[0]
+    )
+    assert got["n"] == 1200
+    exp = base.agg(F.sum("payload")).collect()[0][0]
+    assert got["s"] == exp

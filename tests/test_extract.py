@@ -270,3 +270,19 @@ def test_sample_polygons_float_fid_stays_numeric(spark):
     out_n = sample_polygons(spark, polys_n, L8_GRID, id_column="fid")
     assert dict(out_n.dtypes)["fid"] == "string"
     assert sorted({r["fid"] for r in out_n.collect()}) == ["a", "b"]
+
+    # NON-integral floats must NOT truncate onto a shared int id/seed
+    # (7.2 and 7.8 both becoming id 7 is silent wrong output): the int
+    # path requires lossless round-trip, so these take the string path
+    polys_f = polys.assign(fid=[7.2, 7.8])
+    out_f = sample_polygons(spark, polys_f, L8_GRID, id_column="fid")
+    assert dict(out_f.dtypes)["fid"] == "string"
+    assert sorted({r["fid"] for r in out_f.collect()}) == ["7.2", "7.8"]
+
+    # integral floats beyond int64 pass int() but would overflow the
+    # kernel's int64 column — they must fall back to the string path,
+    # not crash the job mid-stage
+    polys_big = polys.assign(fid=[1e19, 2e19])
+    out_big = sample_polygons(spark, polys_big, L8_GRID, id_column="fid")
+    assert dict(out_big.dtypes)["fid"] == "string"
+    assert out_big.count() > 0

@@ -224,8 +224,8 @@ def test_orphan_temp_sweep(spark, remote_dir):
     d, payloads = remote_dir
     out = tempfile.mkdtemp(prefix="gw_fetched_")
     name = sorted(payloads)[0]
-    old_tmp = os.path.join(out, f"{name}.inprogress.1.aaaa")
-    new_tmp = os.path.join(out, f"{name}.inprogress.2.bbbb")
+    old_tmp = os.path.join(out, f"{name}.inprogress.1.{'a' * 32}")
+    new_tmp = os.path.join(out, f"{name}.inprogress.2.{'b' * 32}")
     # legacy fixed-name partial from a build before per-attempt temps:
     # nothing ever reuses or overwrites it, so the sweep must match the
     # bare '.inprogress' suffix too or it leaks forever
@@ -247,3 +247,15 @@ def test_orphan_temp_sweep(spark, remote_dir):
     st = fetch_assets(m, out, sweep_temp_age_s=0).collect()
     assert st[0]["status"] == "skipped"
     assert not os.path.exists(new_tmp), "age=0 must reclaim everything"
+
+    # a PUBLISHED asset whose own id merely contains '.inprogress.' is
+    # not a temp: the sweep must match the exact generated pattern
+    # ('.inprogress.<pid>.<32-hex>'), never a bare substring
+    lookalike = os.path.join(out, "report.inprogress.2024.bin")
+    with open(lookalike, "wb") as f:
+        f.write(b"published asset")
+    os.utime(lookalike, (_time_old, _time_old))
+    fetch_assets(m, out, sweep_temp_age_s=0).collect()
+    assert os.path.exists(lookalike), (
+        "published asset with '.inprogress.' in its name was reclaimed"
+    )
