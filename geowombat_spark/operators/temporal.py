@@ -74,7 +74,15 @@ def series_stats(
     if nodata is not None:
         v = F.nullif(v, F.lit(float(nodata)))
 
-    src = docs.select(*key_cols, t_idx.alias("_ti"), v.alias("_v"))
+    # rows whose t is NOT in time_names (possible only with an explicit
+    # caller list) are excluded from EVERY stat: without this filter they
+    # would pollute the unordered aggregates (mean/max/percentile/
+    # mean_abs_diff) while the quarter-indexed slopes and the
+    # norm_abs_energy 1/T factor exclude them — silently inconsistent
+    # statistics. Matches series_apply, which masks ti<0 out of the cube.
+    src = docs.select(*key_cols, t_idx.alias("_ti"), v.alias("_v")).filter(
+        F.col("_ti").isNotNull()
+    )
     aggs = []
     for stat in stats:
         if stat == "mean":
@@ -251,7 +259,11 @@ def series_apply(
             r[0]
             for r in docs.select(time_col).distinct().orderBy(time_col).collect()
         ]
-    times_global = np.sort(np.asarray(time_names))
+    # honor the caller's axis order (series_stats does the same via
+    # enumerate): re-sorting would silently shuffle a chronological list
+    # that isn't lexicographic ('2020-9' > '2020-10'); the inferred path
+    # above is already sorted by the orderBy
+    times_global = np.asarray(time_names)
 
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         times = times_global
@@ -260,10 +272,23 @@ def series_apply(
         # over every pixel of the block). Neither pivot_table default
         # (drops all-NaN index rows) nor dropna=False (explodes the
         # index to the row×col cartesian product) gives that.
-        k = (
-            pdf["row"].to_numpy(np.int64) * 4294967296
-            + pdf["col"].to_numpy(np.int64)
-        )
+        r_arr = pdf["row"].to_numpy(np.int64)
+        c_arr = pdf["col"].to_numpy(np.int64)
+        # loud guard (matching the netcdf/zarr writers): the packed key
+        # row*2^32+col is only injective for 0 <= row, col < 2^31 — a
+        # negative col would silently collide (row, -1) with
+        # (row-1, 2^32-1) and merge two cells' series
+        if (
+            (r_arr < 0).any()
+            or (c_arr < 0).any()
+            or (r_arr >= 2**31).any()
+            or (c_arr >= 2**32).any()
+        ):
+            raise ValueError(
+                "series_apply: row/col outside [0, 2^31)/[0, 2^32) — "
+                "negative or unclamped coordinates? clip the input first"
+            )
+        k = r_arr * 4294967296 + c_arr
         ci, uk = pd.factorize(k, sort=True)
         ti = pd.Categorical(pdf[time_col], categories=list(times)).codes
         cube = np.full((len(times), len(uk)), np.nan)

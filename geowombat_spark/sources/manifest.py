@@ -42,8 +42,11 @@ def load_catalog(path: str) -> dict:
 
 
 def _bbox_intersects(a, b) -> bool:
+    # strict < : boundary CONTACT counts as intersecting (STAC/shapely
+    # `intersects` semantics — an AOI sitting exactly on a scene edge
+    # must still return the adjacent scene)
     return not (
-        a[2] <= b[0] or b[2] <= a[0] or a[3] <= b[1] or b[3] <= a[1]
+        a[2] < b[0] or b[2] < a[0] or a[3] < b[1] or b[3] < a[1]
     )
 
 
@@ -73,7 +76,10 @@ def search_catalog(
         ):
             continue
         if date_range is not None and not (
-            date_range[0] <= it["datetime"] <= date_range[1]
+            # compare on the DATE part: an item datetime with a time
+            # component ('2020-01-31T10:00:00') must not fall off the
+            # inclusive end date by raw string comparison
+            date_range[0][:10] <= it["datetime"][:10] <= date_range[1][:10]
         ):
             continue
         out.append(it)

@@ -382,7 +382,13 @@ def open_netcdf(
                 if drop_fill:
                     keep = np.zeros(len(out), dtype=bool)
                     for b in use_bands:
-                        keep |= cols[b] != fills[b]
+                        fv = fills[b]
+                        if isinstance(fv, float) and np.isnan(fv):
+                            # NaN != NaN elementwise — a plain != would
+                            # keep every cell (drop_fill no-op)
+                            keep |= ~np.isnan(cols[b])
+                        else:
+                            keep |= cols[b] != fv
                     out = out[keep]
                 if len(out):
                     yield out

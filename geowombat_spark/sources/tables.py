@@ -79,14 +79,18 @@ def _ship_package(spark: SparkSession) -> None:
         os.environ.get("TMPDIR", "/tmp"), f"geowombat_spark_pkg_{digest}.zip"
     )
     if not os.path.exists(zip_path):
-        with zipfile.ZipFile(zip_path + ".tmp", "w") as zf:
+        # per-process temp: two drivers starting concurrently (same source
+        # mtimes → same digest) must not interleave writes into one shared
+        # .tmp and publish a corrupted zip both sessions then ship
+        tmp = f"{zip_path}.tmp.{os.getpid()}"
+        with zipfile.ZipFile(tmp, "w") as zf:
             for root, _dirs, files in os.walk(pkg_dir):
                 for f in files:
                     if f.endswith(".py"):
                         full = os.path.join(root, f)
                         rel = os.path.relpath(full, os.path.dirname(pkg_dir))
                         zf.write(full, rel)
-        os.replace(zip_path + ".tmp", zip_path)
+        os.replace(tmp, zip_path)
     spark.sparkContext.addPyFile(zip_path)
 
 

@@ -237,7 +237,11 @@ def open_vrt(spark: SparkSession, filename: str) -> DataFrame:
         desc = json.loads(text)
     if desc.get("vrt_version") != VRT_VERSION:
         raise ValueError(f"unsupported VRT version in {filename}")
-    df = spark.read.option("basePath", desc["source"]).parquet(desc["source"])
+    from .tables import load_documents
+
+    # load_documents handles the single-parquet-file source (basePath must
+    # be a directory) as well as the tile-partitioned layout
+    df = load_documents(spark, desc["source"])
     src = GridSpec(**desc["src_grid"])
     dst = GridSpec(**desc["dst_grid"])
     bands = tuple(desc["bands"])

@@ -37,6 +37,7 @@ import json
 import os
 import warnings
 import zlib
+from uuid import uuid4
 
 import numpy as np
 import pandas as pd
@@ -193,22 +194,29 @@ def to_zarr(
             json.dump({"_ARRAY_DIMENSIONS": ["y", "x"]}, fh)
 
     tr, tc = grid.tile_rows, grid.tile_cols
+    nr, nc = grid.nrows, grid.ncols
     level = compress_level
     band_list = list(bands)
 
     def write_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
         cy = int(pdf["chunk_y"].iloc[0])
         cx = int(pdf["chunk_x"].iloc[0])
-        rr = pdf["row"].to_numpy(np.int64) - cy * tr
-        cc = pdf["col"].to_numpy(np.int64) - cx * tc
-        # loud guard: negative row/col would wrap via numpy fancy indexing
-        # and silently write the wrong cell of the chunk.
-        bad = (rr < 0) | (rr >= tr) | (cc < 0) | (cc >= tc)
+        gr = pdf["row"].to_numpy(np.int64)
+        gc = pdf["col"].to_numpy(np.int64)
+        # loud guard on the GLOBAL lattice (matching to_netcdf): a
+        # negative row/col would wrap via numpy fancy indexing, and a
+        # beyond-grid cell would either vanish into an edge chunk's
+        # padding (trimmed by the reader) or land in an out-of-lattice
+        # chunk file the arithmetic chunk lister never reads — both
+        # silent data loss.
+        bad = (gr < 0) | (gr >= nr) | (gc < 0) | (gc >= nc)
         if bad.any():
             raise ValueError(
-                f"to_zarr: {int(bad.sum())} cells outside chunk "
-                f"({cy},{cx}); negative coordinates? clip the input first"
+                f"to_zarr: {int(bad.sum())} cells outside the "
+                f"{nr}x{nc} grid (chunk ({cy},{cx})); clip the input first"
             )
+        rr = gr - cy * tr
+        cc = gc - cx * tc
         nbytes = 0
         for b in band_list:
             block = np.full((tr, tc), fill, dtype="<f8")
@@ -216,7 +224,10 @@ def to_zarr(
             raw = block.tobytes(order="C")
             buf = raw if level is None else zlib.compress(raw, level)
             dest = os.path.join(path, b, f"{cy}.{cx}")
-            tmp = dest + ".inprogress"
+            # per-attempt unique temp: a speculative/retried duplicate of
+            # this chunk task must never interleave writes into a shared
+            # temp file (torn publish) — same protocol as sources/fetch
+            tmp = f"{dest}.inprogress.{os.getpid()}.{uuid4().hex}"
             with open(tmp, "wb") as fh:
                 fh.write(buf)
             os.replace(tmp, dest)  # atomic: retries overwrite, never tear
@@ -239,6 +250,16 @@ def to_zarr(
         .applyInPandas(write_chunk, _MANIFEST_SCHEMA)
         .collect()  # one tiny row per chunk; this action drives the write
     )
+    # reclaim temps from hard-killed attempts (unique names mean nothing
+    # ever reuses them); the reader lists chunks arithmetically so a leaked
+    # temp is never read, but it would sit in the published store forever
+    for b in band_list:
+        for e in os.scandir(os.path.join(path, b)):
+            if e.is_file() and ".inprogress." in e.name:
+                try:
+                    os.unlink(e.path)
+                except OSError:
+                    pass
     if replacing:
         # publish: retire the old store only now that the new one is whole
         old = final_path.rstrip("/") + ".old"
@@ -325,7 +346,13 @@ def open_zarr(
                 if drop_fill:
                     keep = np.zeros(len(out), dtype=bool)
                     for b in use_bands:
-                        keep |= cols[b] != fills[b]
+                        fv = fills[b]
+                        if isinstance(fv, float) and np.isnan(fv):
+                            # NaN != NaN elementwise — a plain != would
+                            # keep every cell (drop_fill no-op)
+                            keep |= ~np.isnan(cols[b])
+                        else:
+                            keep |= cols[b] != fv
                     out = out[keep]
                 if len(out):
                     yield out

@@ -98,3 +98,30 @@ def test_open_stac_no_match_and_missing_href(spark, catalog_dir):
     broken["collections"]["a"]["items"][0]["href"] = "/nonexistent/x"
     with pytest.raises(FileNotFoundError):
         open_stac(spark, broken, "a")
+
+
+def test_search_boundary_contact_and_datetime_items(catalog_dir):
+    """STAC `intersects` semantics: an AOI touching a scene's edge still
+    matches (strict-inequality disjointness); items whose datetime
+    carries a time component stay inside an inclusive date range."""
+    cat = load_catalog(catalog_dir)
+    # AOI sharing only the x=480 edge with the [0,-480,480,0] scenes
+    got = search_catalog(cat, "a", bounds=(480.0, -480.0, 900.0, 0.0))
+    assert [it["id"] for it in got] == ["a-0", "a-1"]
+    # datetime with a time part on the range's end date is still included
+    cat2 = {
+        "collections": {
+            "c": {
+                "items": [
+                    {
+                        "id": "x",
+                        "datetime": "2024-01-31T10:00:00",
+                        "bbox": [0.0, -480.0, 480.0, 0.0],
+                        "href": "unused",
+                    }
+                ]
+            }
+        }
+    }
+    got2 = search_catalog(cat2, "c", date_range=("2024-01-01", "2024-01-31"))
+    assert [it["id"] for it in got2] == ["x"]

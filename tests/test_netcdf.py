@@ -196,3 +196,13 @@ def test_netcdf_multivar_4gib_guard():
     assert begins["b0"] > 0
     with pytest.raises(ValueError, match="only the last variable"):
         _build_header(big, ["b0", "b1"], 0.0, {})
+
+
+def test_netcdf_nan_fill_drop(spark, cells, tmp_path):
+    """drop_fill with a NaN fill value must drop the absent cells, not
+    no-op through NaN != NaN."""
+    p = str(tmp_path / "nan.nc")
+    to_netcdf(cells, p, GRID, bands=("band_blue",), fill_value=float("nan"))
+    n_cells = cells.count()
+    assert open_netcdf(spark, p, drop_fill=True).count() == n_cells
+    assert open_netcdf(spark, p, drop_fill=False).count() == 400

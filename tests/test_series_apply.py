@@ -132,3 +132,59 @@ def test_facade_parity_names():
     ]
     missing = [n for n in ref if not hasattr(gw, n)]
     assert not missing, missing
+
+
+def test_series_apply_honors_caller_time_order_and_guards_coords(spark):
+    """Caller-supplied time_names keep their order (chronological axes
+    are not lexicographic: '2020-9' < '2020-10' in time, > as strings);
+    out-of-range coordinates fail loudly instead of key-colliding."""
+    docs = _stack(spark, T=2).withColumn(
+        "t", F.when(F.col("t") == "t0", "2020-9").otherwise("2020-10")
+    )
+
+    def first_layer(cube, times):
+        assert list(times) == ["2020-9", "2020-10"]
+        return cube[0][None, :]
+
+    out = temporal.series_apply(
+        docs,
+        first_layer,
+        out_names=("v0",),
+        time_names=["2020-9", "2020-10"],
+    ).toPandas()
+    # axis order honored: v0 is the '2020-9' (= t0) layer, cell*2+0
+    got = out.sort_values(["row", "col"]).reset_index(drop=True)
+    assert (got["v0"] == (got["row"] * 10 + got["col"]) * 2).all()
+
+    import pytest as _pytest
+
+    bad = docs.withColumn("col", F.col("col") - F.lit(5))
+    with _pytest.raises(Exception, match="clip the input"):
+        temporal.series_apply(
+            bad, first_layer, out_names=("v0",),
+            time_names=["2020-9", "2020-10"],
+        ).collect()
+
+
+def test_series_stats_excludes_out_of_list_timesteps(spark):
+    """An explicit time_names subset excludes other timesteps from EVERY
+    stat — not just the quarter-indexed ones (silently inconsistent
+    statistics otherwise; series_apply masks the same rows from the
+    cube)."""
+    docs = _stack(spark, T=3)  # band = cell*2 + i*10 for t0/t1/t2
+    out = (
+        temporal.series_stats(
+            docs,
+            ["mean", "max"],
+            time_names=["t0", "t1"],
+            nodata=None,
+            key_cols=("row", "col"),
+        )
+        .toPandas()
+        .sort_values(["row", "col"])
+        .reset_index(drop=True)
+    )
+    cell = out["row"] * 10 + out["col"]
+    # t2 (cell*2+20) excluded: mean over t0/t1 = cell*2+5, max = cell*2+10
+    assert (out["mean"] == cell * 2 + 5).all()
+    assert (out["max"] == cell * 2 + 10).all()

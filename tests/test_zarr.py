@@ -155,3 +155,32 @@ def test_zarr_crashed_publish_recovery(spark, cells, tmp_path):
     os.rename(store, store + ".gone")
     with pytest.raises(RuntimeError, match="restore it with"):
         open_zarr(spark, store)
+
+
+def test_zarr_out_of_grid_raises_and_nan_fill_drops(spark, cells, tmp_path):
+    """Parity with to_netcdf: a cell beyond the grid raises loudly (it
+    would otherwise vanish into edge-chunk padding or an unlisted chunk
+    file), and drop_fill works for a NaN fill value (NaN != NaN would
+    make it a silent no-op)."""
+    store = str(tmp_path / "oob.zarr")
+    # row=20 is beyond nrows=20 but chunk-locally valid (chunk 2, rr=4)
+    bad = cells.unionByName(
+        spark.range(1).select(
+            F.lit(20).cast("long").alias("row"),
+            F.lit(0).cast("long").alias("col"),
+            F.lit(5.0).alias("band_blue"),
+            F.lit(6.0).alias("band_green"),
+        )
+    )
+    with pytest.raises(Exception, match="outside the 20x20 grid"):
+        to_zarr(bad, store, GRID, bands=("band_blue", "band_green"))
+
+    nan_store = str(tmp_path / "nan.zarr")
+    to_zarr(
+        cells, nan_store, GRID, bands=("band_blue",),
+        fill_value=float("nan"),
+    )
+    n_cells = cells.count()
+    got = open_zarr(spark, nan_store, drop_fill=True)
+    assert got.count() == n_cells  # not the dense 20x20 = 400
+    assert open_zarr(spark, nan_store, drop_fill=False).count() == 400
