@@ -3080,7 +3080,8 @@ c AS (
   SELECT doc_id,
     {stop} AS stop_ratio,
     len(list_distinct(t)) / greatest(len(t), 1) AS uniq_ratio,
-    length(regexp_replace(text, '[^.,!?;:]', '', 'g')) / greatest(length(text), 1) AS punct_ratio,
+    length(regexp_replace(coalesce(text, ''), '[^.,!?;:]', '', 'g'))
+      / greatest(length(coalesce(text, '')), 1) AS punct_ratio,
     CASE WHEN length(text) >= 20 AND length(text) <= 10000 THEN 1.0 ELSE 0.3 END AS len_ok
   FROM toks)
 SELECT doc_id, round(stop_ratio, 6) AS stop_ratio, round(punct_ratio, 6) AS punct_ratio,
@@ -3114,7 +3115,7 @@ FROM ltoks GROUP BY 1
 """
 
     o["q_dedup_exact"] = """
-SELECT md5(lower(trim(text))) AS dup_key, min(doc_id) AS survivor_id,
+SELECT md5(lower(trim(coalesce(text, '')))) AS dup_key, min(doc_id) AS survivor_id,
        count(*) AS n_dupes
 FROM documents GROUP BY 1 HAVING count(*) >= 2
 """
@@ -4168,10 +4169,10 @@ FROM tf, st
     o["q_char_lm"] = """
 WITH g AS (
   SELECT doc_id,
-         substr(lower(text), CAST(i AS INTEGER), 3) AS g,
-         substr(lower(text), CAST(i AS INTEGER), 2) AS h
+         substr(lower(coalesce(text, '')), CAST(i AS INTEGER), 3) AS g,
+         substr(lower(coalesce(text, '')), CAST(i AS INTEGER), 2) AS h
   FROM documents,
-       UNNEST(range(1, greatest(length(text) - 2, 1) + 1)) AS u(i)),
+       UNNEST(range(1, greatest(length(coalesce(text, '')) - 2, 1) + 1)) AS u(i)),
 cg AS (SELECT g, CAST(count(*) AS DOUBLE) AS cg FROM g GROUP BY g),
 ch AS (SELECT h, CAST(count(*) AS DOUBLE) AS ch FROM g GROUP BY h)
 SELECT g.doc_id,
@@ -4263,8 +4264,8 @@ FROM p
 """
 
     o["q_stream_dedup"] = """
-SELECT substr(md5(lower(trim(text))), 1, 1) AS key_bucket,
-       CAST(count(DISTINCT md5(lower(trim(text)))) AS BIGINT) AS n_unique
+SELECT substr(md5(lower(trim(coalesce(text, '')))), 1, 1) AS key_bucket,
+       CAST(count(DISTINCT md5(lower(trim(coalesce(text, ''))))) AS BIGINT) AS n_unique
 FROM documents GROUP BY 1
 """
 
@@ -4399,7 +4400,7 @@ FROM lt l LEFT JOIN cov c USING (doc_id)
 """
 
     o["q_dedup_incremental"] = """
-WITH corpus AS (SELECT doc_id, md5(lower(trim(text))) AS dup_key
+WITH corpus AS (SELECT doc_id, md5(lower(trim(coalesce(text, '')))) AS dup_key
                 FROM documents),
 idx AS (SELECT dup_key, min(doc_id) AS owner_id FROM corpus GROUP BY 1),
 batch AS (
@@ -4411,7 +4412,7 @@ batch AS (
   UNION ALL
   SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 5 = 0),
 keyed AS (
-  SELECT doc_id, md5(lower(trim(text))) AS dup_key FROM batch),
+  SELECT doc_id, md5(lower(trim(coalesce(text, '')))) AS dup_key FROM batch),
 surv AS (
   SELECT doc_id, dup_key,
          doc_id = min(doc_id) OVER (PARTITION BY dup_key)

@@ -85,8 +85,12 @@ def brute_force_topk(
     """
     query_id_col = query_id_col or id_col
     spark = corpus.sparkSession
+    # id types follow the input schemas (ivf_topk/pq_topk's rule):
+    # hardcoded bigint would crash string-id corpora in every batch
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
     qrows = queries.select(query_id_col, vec_col).collect()
-    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    q_ids = np.array([r[0] for r in qrows])
     q_mat = _normalize([r[1] for r in qrows])
     bq = spark.sparkContext.broadcast((q_ids, q_mat))
 
@@ -95,7 +99,7 @@ def brute_force_topk(
         for pdf in it:
             c = _normalize(list(pdf[vec_col]))
             sims = round6(qm @ c.T)  # (nq, batch)
-            cids = pdf[id_col].values.astype(np.int64)
+            cids = pdf[id_col].to_numpy()
             take = min(k, sims.shape[1])
             # Tie-SAFE *and bounded* local top-k per query: order each
             # row by the exact total order the global window uses
@@ -125,7 +129,7 @@ def brute_force_topk(
             )
 
     local = corpus.select(id_col, vec_col).mapInPandas(
-        _score, "query_id bigint, vec_id bigint, cosine double"
+        _score, f"query_id {qid_type}, vec_id {id_type}, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("vec_id")
@@ -162,11 +166,12 @@ def hyperplane_signatures(
             for b in range(pl.shape[0]):
                 sig |= bits[:, b].astype(np.int64) << b
             yield pd.DataFrame(
-                {"vec_id": pdf[id_col].astype(np.int64), "bucket": sig}
+                {"vec_id": pdf[id_col].to_numpy(), "bucket": sig}
             )
 
+    sig_id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, vec_col).mapInPandas(
-        _sig, "vec_id bigint, bucket bigint"
+        _sig, f"vec_id {sig_id_type}, bucket bigint"
     )
 
 
@@ -209,7 +214,7 @@ def hyperplane_lsh_pairs(
                     )
                     for t in range(n_tables)
                 ]
-            ids = pdf[id_col].astype(np.int64)
+            ids = pdf[id_col].to_numpy()
             frames = []
             for t, pl in enumerate(planes):
                 bits = (m @ pl.T) >= 0
@@ -222,7 +227,9 @@ def hyperplane_lsh_pairs(
             yield pd.concat(frames, ignore_index=True)
 
     sig = df.select(id_col, vec_col).mapInPandas(
-        _sig_all, "vec_id bigint, table int, bucket bigint"
+        _sig_all,
+        f"vec_id {df.schema[id_col].dataType.simpleString()},"
+        " table int, bucket bigint",
     )
     # window-cap + MEMORY_AND_DISK persist: the matmul signature stage
     # runs exactly once, not once per join side + once for the size
@@ -673,7 +680,8 @@ def cluster_embeddings(
             out["centroid_sim"] = round6(sims[np.arange(len(cl)), cl])
             yield out
 
+    cl_id_type = df.schema[id_col].dataType.simpleString()
     assigned = df.select(id_col, vec_col).mapInPandas(
-        _assign, f"{id_col} bigint, cluster int, centroid_sim double"
+        _assign, f"{id_col} {cl_id_type}, cluster int, centroid_sim double"
     )
     return assigned, cents

@@ -224,7 +224,12 @@ def rebalance_sources(
     ``weights`` maps source → relative target weight. The realized target
     for source s is ``total · w_s / Σw`` (``total`` defaults to the corpus
     size); sources under their target keep everything (no upsampling —
-    repetition policy belongs to the loader). Selection is an md5-uniform
+    repetition policy belongs to the loader). **Sources absent from
+    ``weights`` — including NULL sources — are DROPPED**: the output is
+    exactly the declared mixture, so rebalancing a subset of sources
+    discards the rest; pass every source you want kept (weight 1.0
+    leaves a source undersampled relative to nothing, i.e. kept whole
+    unless over target). Selection is an md5-uniform
     keep-threshold per source, so membership is a pure per-row predicate:
     reproducible across runs/partitionings and SQL-mirrorable. Plan: one
     per-source count aggregate (tiny) broadcast back, then a filter —

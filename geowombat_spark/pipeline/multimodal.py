@@ -666,6 +666,10 @@ def extract_frames(media_df: DataFrame, every: int = 2) -> DataFrame:
     analogue of :func:`frame_sample`'s index plan. Non-stream payloads
     yield no frames (they have none to extract)."""
 
+    # the id passes through untouched in the schema type _id_schema
+    # derives — forcing int(did) here would crash string doc_ids
+    id_is_str = dict(media_df.dtypes)["doc_id"] == "string"
+
     def _extract(it):
         for pdf in it:
             out = {"doc_id": [], "media_ref": [], "frame_idx": [],
@@ -678,13 +682,16 @@ def extract_frames(media_df: DataFrame, every: int = 2) -> DataFrame:
                 except Exception:
                     continue
                 for i in range(0, len(frames), every):
-                    out["doc_id"].append(int(did))
+                    out["doc_id"].append(str(did) if id_is_str else int(did))
                     out["media_ref"].append(ref)
                     out["frame_idx"].append(i)
                     out["media_bytes"].append(encode_ppm(frames[i]))
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.array(out["doc_id"], dtype="Int64"),
+                    "doc_id": pd.array(
+                        out["doc_id"],
+                        dtype=(object if id_is_str else "Int64"),
+                    ),
                     "media_ref": pd.array(out["media_ref"], dtype=object),
                     "frame_idx": pd.array(out["frame_idx"], dtype="Int32"),
                     "media_bytes": pd.Series(out["media_bytes"], dtype=object),

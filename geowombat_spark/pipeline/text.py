@@ -46,7 +46,12 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     NULL text coalesces to '' (module convention — see token_estimate):
     a NULL n_tokens/quality would silently pass or fail three-valued
-    filters instead of scoring as an empty doc."""
+    filters instead of scoring as an empty doc. Note the empty-doc score
+    under the shared split semantics is ``n_tokens = 1`` (both Spark
+    ``split`` and DuckDB ``regexp_split_to_array`` yield ``['']`` for
+    '') — a deliberate cross-engine convention; ``token_estimate``'s
+    ``n_ws_tokens`` is the 0-for-empty variant when a filter needs
+    it."""
     txt = F.coalesce(F.col(text_col), F.lit(""))
     toks = tokens(txt)
     n = F.size(toks)
@@ -79,7 +84,9 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     stop_ratio = _hit_ratio(toks, STOPWORDS)
     uniq_ratio = F.size(F.array_distinct(toks)) / n
     text_len = F.length(txt)
-    punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,!?;:]", ""))
+    # txt, not the raw column: NULL text must score like '' (module
+    # convention), not propagate a NULL punct_ratio/depressed quality
+    punct = F.length(F.regexp_replace(txt, r"[^.,!?;:]", ""))
     punct_ratio = punct / F.greatest(text_len, F.lit(1))
     len_ok = F.when((text_len >= 20) & (text_len <= 10000), 1.0).otherwise(0.3)
     score = (
@@ -258,7 +265,10 @@ def char_lm_scores(
     average — every join key is a short string, every aggregate
     map-side-combined. Lower (more negative) = less natural text.
     """
-    t = F.lower(F.col(text_col))
+    # NULL coalesces to '' (module convention): a NULL text yields a NULL
+    # gram that never survives the inner count joins, silently dropping
+    # the doc from the score table; '' scores via its single empty gram
+    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
     grams = docs.select(
         F.col(id_col), F.explode(_char_ngrams(t, n)).alias("g")
     ).withColumn("h", F.substring(F.col("g"), 1, n - 1))

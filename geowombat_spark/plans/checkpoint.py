@@ -210,10 +210,16 @@ def write_tiled_checkpointed(
     # ONE pre-pass scan yields both the distinct-tile list and the per-tile
     # counts the skew pre-pass needs (two separate scans would each
     # re-execute the full upstream plan at 100 TB).
-    tile_counts = {
-        int(r[0]): int(r[1])
-        for r in df.groupBy("tile_id").count().collect()
-    }
+    tile_rows = df.groupBy("tile_id").count().collect()
+    if any(r[0] is None for r in tile_rows):
+        # loud, named failure: a NULL tile key would otherwise die as a
+        # bare TypeError here — and even if tolerated, those rows belong
+        # to no batch and would silently never be written
+        raise ValueError(
+            "write_tiled_checkpointed: input contains NULL tile_id rows — "
+            "assign every row a tile (or filter NULLs) before the sink"
+        )
+    tile_counts = {int(r[0]): int(r[1]) for r in tile_rows}
     all_tiles = sorted(tile_counts)
     if tile_order == "hilbert":
         if tiles_x is None:

@@ -249,3 +249,15 @@ def test_sink_missing_columns_fail_fast(spark, sink_dir):
     agg = spark.createDataFrame([(1, 2.0)], "tile_id long, stat double")
     with pytest.raises(ValueError, match="requires columns"):
         cp.write_tiled_checkpointed(agg, sink_dir)
+
+
+def test_null_tile_id_raises_named_error(spark, tmp_path):
+    """A NULL tile key fails loudly with an actionable message — not a
+    bare TypeError in the pre-pass, and never a silent drop (NULL rows
+    belong to no batch and would simply not be written)."""
+    d = spark.createDataFrame(
+        [(1, 0, 1.0), (2, None, 2.0)],
+        "doc_id bigint, tile_id bigint, value double",
+    ).withColumn("cell_id", F.col("doc_id"))
+    with pytest.raises(ValueError, match="NULL tile_id"):
+        cp.write_tiled_checkpointed(d, str(tmp_path / "nulltile"))

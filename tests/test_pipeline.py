@@ -1300,3 +1300,78 @@ def test_repetition_single_token_not_repetitive(spark):
     }
     assert out[1] == 0.0 and out[2] == 0.0 and out[3] == 0.0
     assert out[4] == 1.0  # "a a" x3 of 3 bigrams: genuinely repetitive
+
+
+def test_string_id_surfaces_ann_and_frames(spark):
+    """String ids flow through the whole ANN family and extract_frames:
+    hardcoded-bigint schemas crashed these paths (the id type must follow
+    the input schema, as ivf_topk/pq_topk already did)."""
+    vecs = spark.range(40).select(
+        F.concat(F.lit("v"), F.col("id")).alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("double"),
+            (F.col("id") % 5).cast("double"),
+            F.lit(1.0),
+        ).alias("embedding"),
+    )
+    top = ann.brute_force_topk(vecs, vecs.limit(3), k=2)
+    rows = top.collect()
+    assert len(rows) == 6
+    assert all(isinstance(r["vec_id"], str) for r in rows)
+    # rank-1 self hit per string query
+    self_hits = {r["query_id"] for r in rows if r["rank"] == 1 and r["cosine"] == 1.0}
+    assert len(self_hits) == 3
+
+    sig = ann.hyperplane_signatures(vecs)
+    assert dict(sig.dtypes)["vec_id"] == "string"
+    assert sig.count() == 40
+
+    assigned, cents = ann.cluster_embeddings(vecs, k=4)
+    got = assigned.collect()
+    assert len(got) == 40 and isinstance(got[0]["vec_id"], str)
+    assert cents.shape[0] == 4
+
+    frames_df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": ["docA"],
+                "media_ref": ["m0"],
+                "media_bytes": [
+                    multimodal.encode_ppm(
+                        np.zeros((2, 2, 3), dtype=np.uint8)
+                    )
+                    * 3
+                ],
+            }
+        )
+    )
+    fr = multimodal.extract_frames(frames_df, every=1).collect()
+    assert [r["frame_idx"] for r in fr] == [0, 1, 2]
+    assert all(r["doc_id"] == "docA" for r in fr)
+
+
+def test_null_text_convention_quality_charlm_exact_dedup(spark):
+    """NULL text scores exactly like '' in every scorer and dedup method:
+    quality (punct_ratio was NULL), char-LM (doc silently vanished from
+    the score table), exact dedup (NULL dup_key never joined, leaking a
+    NULL-text duplicate into the corpus every batch)."""
+    d = spark.createDataFrame(
+        [("a", None), ("b", ""), ("c", "real text here")],
+        "doc_id string, text string",
+    )
+    q = {r["doc_id"]: r for r in text.quality_score(d).collect()}
+    assert q["a"]["punct_ratio"] == q["b"]["punct_ratio"] == 0.0
+    assert q["a"]["quality"] == q["b"]["quality"]
+
+    lm = {r["doc_id"]: r for r in text.char_lm_scores(d).collect()}
+    assert set(lm) == {"a", "b", "c"}, "NULL-text doc missing from char-LM"
+    assert lm["a"]["n_grams"] == lm["b"]["n_grams"]
+    assert lm["a"]["mean_logprob"] == lm["b"]["mean_logprob"]
+
+    # exact-index + dedup_against: the NULL-text batch doc must match the
+    # ''-text corpus doc (same empty-doc dup_key), not be kept forever
+    idx = dedup.exact_index(d.filter(F.col("doc_id") == "b"))
+    batch = d.filter(F.col("doc_id") == "a")
+    audit = {r["doc_id"]: r for r in dedup.dedup_against(batch, idx).collect()}
+    assert audit["a"]["in_corpus"] is True
+    assert audit["a"]["kept"] is False
