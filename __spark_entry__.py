@@ -3340,7 +3340,7 @@ FROM sc
 WITH {G_SQL},
 h AS (SELECT doc_id, band_green, {_HV} AS hv FROM g)
 SELECT doc_id, band_green FROM h
-WHERE band_green < 100.0 AND hv % 1000 < 300
+WHERE band_green < 100.0 AND hv % 1000000000 < 300000000
 UNION ALL
 SELECT doc_id, band_green FROM (
   SELECT doc_id, band_green,
@@ -3880,9 +3880,10 @@ f AS (
   FROM v CROSS JOIN coef)
 SELECT doc_id,
   CASE WHEN n_valid >= 10
-       THEN round(least(greatest(
-              CASE WHEN sr * a > 1.0 OR nd = 1 THEN sr ELSE sr * a END,
-              0.0), 1.0), 6)
+       THEN round(CASE WHEN nd = 1 THEN sr
+                  ELSE least(greatest(
+                         CASE WHEN sr * a > 1.0 THEN sr ELSE sr * a END,
+                         0.0), 1.0) END, 6)
        ELSE round(sr, 6) END AS topo_blue
 FROM f
 """

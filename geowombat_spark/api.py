@@ -221,6 +221,11 @@ def open(  # noqa: A001  (mirrors the reference's gw.open name)
     - list of paths + ``mosaic=True`` → spatial :func:`mosaic`;
     - list of paths (default) → :func:`concat` stack along time, one layer
       per source (``time_names`` labels them);
+    - list of paths + ``stack_dim='band'`` → band-axis concat
+      (:func:`operators.mosaic.stack_bands`): per-source-suffixed band
+      columns joined on the cell key — not a spatial mosaic;
+    - active ``config(...)`` supplies ``sensor`` / ``nodata`` /
+      ``ref_bounds`` when the kwargs are not given;
     - ``sensor`` / ``band_names`` rename band columns at plan time
       (precedence: explicit ``band_names`` > ``sensor`` kwarg > active
       ``config(sensor=...)``; ``backends/xarray_.py:349-382``). The rename
@@ -232,7 +237,12 @@ def open(  # noqa: A001  (mirrors the reference's gw.open name)
     if isinstance(path, str) and any(ch in path for ch in "*?["):
         path = parse_wildcard(path)
 
+    # the active config is consulted for every knob it can carry — the
+    # module's own headline example is `with gw.config(nodata=...):
+    # gw.open(...)`, which must reach the mosaic/concat nullify
     sensor = _resolve("sensor", sensor)
+    nodata = _resolve("nodata", nodata)
+    bounds = _resolve("ref_bounds", bounds)
 
     def _one(p):
         # format dispatch, like the reference's NetCDF-aware open
@@ -265,17 +275,34 @@ def open(  # noqa: A001  (mirrors the reference's gw.open name)
             )
         return rename_bands(df, sensor=sensor, band_names=band_names)
 
+    if stack_dim not in ("time", "band"):
+        raise ValueError(
+            f"stack_dim must be 'time' or 'band', got {stack_dim!r}"
+        )
     if isinstance(path, (list, tuple)):
         sources = [_one(p) for p in path]
-        if len(sources) == 1:
-            return sources[0]
         bands = tuple(
             c for c in sources[0].columns if c.startswith("band_")
         )
-        if mosaic or stack_dim == "band":
+        if len(sources) == 1:
+            # same semantics as the N-source stack, minus the union:
+            # nodata still nulls and the time label still lands — a
+            # list-of-one must not silently skip both (load() rescales
+            # raw nodata into 'valid' data otherwise)
+            from pyspark.sql import functions as _F
+
+            s = _mosaic._nullify(sources[0], nodata, bands)
+            if time_names is not None:
+                s = s.withColumn("t", _F.lit(time_names[0]))
+            return s
+        if mosaic:
             return _mosaic.mosaic(
                 sources, overlap=overlap, nodata=nodata, bands=bands
             )
+        if stack_dim == "band":
+            # band-axis concat, NOT a spatial mosaic: each source keeps
+            # its bands (suffixed per source) joined on the cell key
+            return _mosaic.stack_bands(sources, nodata=nodata, bands=bands)
         return _mosaic.concat(
             sources,
             time_names=time_names,

@@ -188,11 +188,10 @@ def elliptical_orbit_correction(doy: int) -> float:
 
 
 def _operand(v, angle_factor: float = 1.0) -> Column:
-    if isinstance(v, str):
-        return F.col(v).cast("double") * F.lit(float(angle_factor))
-    if isinstance(v, Column):
-        return v.cast("double") * F.lit(float(angle_factor))
-    return F.lit(float(v) * float(angle_factor))
+    """Shared angle-operand adapter — see ``radiometry._ang``."""
+    from .radiometry import _ang
+
+    return _ang(v, angle_factor)
 
 
 def lut_coeffs_nearest(

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..grid import GridSpec
-from ..operators.focal import halo_assignments
+from ..operators.focal import halo_assignments, scatter_tile
 
 _METHODS = ("cos", "c", "empirical-rotation")
 
@@ -79,28 +79,13 @@ def slope_aspect(
     )
 
     def compute(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        atile = int(key[0])
         gs = GridSpec(**g)
-        t_r, t_c = divmod(atile, gs.tiles_x)
-        r0, c0 = t_r * gs.tile_rows, t_c * gs.tile_cols
-        r1 = min(r0 + gs.tile_rows, gs.nrows)
-        c1 = min(c0 + gs.tile_cols, gs.ncols)
-        lr0, lc0 = r0 - 1, c0 - 1
-        H, W = (r1 - r0) + 2, (c1 - c0) + 2
-        arr = np.full((H, W), np.nan)
-        rr = pdf["row"].values - lr0
-        cc = pdf["col"].values - lc0
-        ok = (rr >= 0) & (rr < H) & (cc >= 0) & (cc < W)
-        arr[rr[ok], cc[ok]] = pdf["_z"].values[ok]
-
-        home = pdf[
-            (pdf["row"] >= r0)
-            & (pdf["row"] < r1)
-            & (pdf["col"] >= c0)
-            & (pdf["col"] < c1)
-        ]
-        hr = home["row"].values - lr0
-        hc = home["col"].values - lc0
+        # shared stencil prologue (operators.focal.scatter_tile): one
+        # tile-geometry/dense-scatter/home-select implementation for both
+        # stencil operators
+        arr, home, r0, c0, r1, c1 = scatter_tile(key, pdf, gs, 1, "_z")
+        hr = home["row"].values - (r0 - 1)
+        hc = home["col"].values - (c0 - 1)
         z = arr[hr, hc]
 
         def nb(dr, dc):
@@ -268,9 +253,13 @@ def norm_topo(
                 ),
                 F.col(b),
             )
-            out[b] = clip01(
-                F.when(F.col("_nodata_samp") == 1, F.col(b)).otherwise(sr_a)
-            )
+            # nodata passes through UNclipped: an out-of-range sentinel
+            # (-9999) squashed into [0,1] would read as valid black and
+            # break every downstream ==sentinel mask; the clip applies to
+            # adjusted valid samples only (per the docstring)
+            out[b] = F.when(
+                F.col("_nodata_samp") == 1, F.col(b)
+            ).otherwise(clip01(sr_a))
         return d.withColumns(out).drop(
             "_cos_z", "_il", "_nodata_samp", "_slope", "_aspect"
         )
@@ -333,16 +322,17 @@ def norm_topo(
             )
             a = F.when(F.isnan(a), F.lit(1.0)).otherwise(a)
             sr_a = F.col(b) * a
-            adj = clip01(
-                F.when(
-                    (sr_a > 1.0) | (F.col("_nodata_samp") == 1), F.col(b)
-                ).otherwise(sr_a)
+            # nodata exempt from the clip (out-of-range sentinels must
+            # survive); the >1 overshoot passthrough stays clipped —
+            # reference parity for valid samples
+            adj = F.when(F.col("_nodata_samp") == 1, F.col(b)).otherwise(
+                clip01(F.when(sr_a > 1.0, F.col(b)).otherwise(sr_a))
             )
         else:  # empirical-rotation
             m_er = F.coalesce(m_c, F.lit(0.0))  # degenerate → unadjusted
             sr_a = F.col(b) - m_er * (F.col("_il") - F.col("_cos_z"))
-            adj = clip01(
-                F.when(F.col("_nodata_samp") == 1, F.col(b)).otherwise(sr_a)
+            adj = F.when(F.col("_nodata_samp") == 1, F.col(b)).otherwise(
+                clip01(sr_a)
             )
         out[b] = F.when(enough, adj).otherwise(F.col(b))
     d = d.withColumns(out)

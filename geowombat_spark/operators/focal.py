@@ -79,6 +79,37 @@ def halo_assignments(df: DataFrame, grid: GridSpec, hw: int) -> DataFrame:
     )
 
 
+def scatter_tile(key, pdf: pd.DataFrame, gs: GridSpec, hw: int, val_col: str):
+    """Shared stencil-kernel prologue (used here and by
+    ``functions.topo.slope_aspect``): decode a halo group's tile geometry
+    from its ``atile`` key and scatter the group's rows into a dense
+    (tile + halo) float array, NaN where absent.
+
+    Returns ``(arr, home, r0, c0, r1, c1)`` — ``home`` is the subframe of
+    rows whose home tile is this group (the cells the kernel must emit);
+    ``arr`` indexes as ``arr[row - (r0 - hw), col - (c0 - hw)]``. Edge
+    tiles clamp to the grid (partial ``r1 - r0`` / ``c1 - c0``) and
+    out-of-window halo rows are masked out of the scatter."""
+    atile = int(key[0])
+    t_r, t_c = divmod(atile, gs.tiles_x)
+    r0, c0 = t_r * gs.tile_rows, t_c * gs.tile_cols
+    r1 = min(r0 + gs.tile_rows, gs.nrows)
+    c1 = min(c0 + gs.tile_cols, gs.ncols)
+    H, W = (r1 - r0) + 2 * hw, (c1 - c0) + 2 * hw
+    arr = np.full((H, W), np.nan)
+    rr = pdf["row"].values - (r0 - hw)
+    cc = pdf["col"].values - (c0 - hw)
+    ok = (rr >= 0) & (rr < H) & (cc >= 0) & (cc < W)
+    arr[rr[ok], cc[ok]] = pdf[val_col].values[ok]
+    home = pdf[
+        (pdf["row"] >= r0)
+        & (pdf["row"] < r1)
+        & (pdf["col"] >= c0)
+        & (pdf["col"] < c1)
+    ]
+    return arr, home, r0, c0, r1, c1
+
+
 #: stats that support inverse-distance weighting (the reference's Cython
 #: kernels carry weights only for mean/std/var — _moving.pyx:183-292,51-112)
 _WEIGHTED_STATS = ("mean", "std", "var")
@@ -89,6 +120,10 @@ def window_weights(w: int) -> np.ndarray:
     ``1 - dist((m, n), center)/dist(corner, center)`` — 1 at the center,
     0 at the corners."""
     hw = w // 2
+    if hw == 0:
+        # w=1: the single cell IS the center — weight 1, not the 0/0 NaN
+        # the corner-distance formula would produce
+        return np.ones((1, 1))
     m, n = np.mgrid[0:w, 0:w].astype(np.float64)
     dist = np.sqrt((n - hw) ** 2 + (m - hw) ** 2)
     return 1.0 - dist / np.sqrt(2.0 * hw * hw)
@@ -244,25 +279,11 @@ def moving(
     schema = f"row bigint, col bigint, cell_id bigint{keep_schema}, {out} double"
 
     def compute(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        atile = int(key[0])
         gs = GridSpec(**g)
-        t_r, t_c = divmod(atile, gs.tiles_x)
-        r0 = t_r * gs.tile_rows
-        c0 = t_c * gs.tile_cols
-        r1 = min(r0 + gs.tile_rows, gs.nrows)
-        c1 = min(c0 + gs.tile_cols, gs.ncols)
-        # local array covering the tile + halo, NaN where absent
-        lr0, lc0 = r0 - hw, c0 - hw
-        H, W = (r1 - r0) + 2 * hw, (c1 - c0) + 2 * hw
-        arr = np.full((H, W), np.nan)
-        rr = pdf["row"].values - lr0
-        cc = pdf["col"].values - lc0
-        ok = (rr >= 0) & (rr < H) & (cc >= 0) & (cc < W)
-        arr[rr[ok], cc[ok]] = pdf["_v"].values[ok]
+        arr, home, r0, c0, r1, c1 = scatter_tile(key, pdf, gs, hw, "_v")
         win = np.lib.stride_tricks.sliding_window_view(arr, (w, w))
         stat_arr = kern(win)  # shape (r1-r0, c1-c0): interior cells only
         # emit only cells that exist in the home tile of this group
-        home = pdf[(pdf["row"] >= r0) & (pdf["row"] < r1) & (pdf["col"] >= c0) & (pdf["col"] < c1)]
         vals = stat_arr[home["row"].values - r0, home["col"].values - c0]
         if refill is not None:
             # reference parity (_moving.pyx: 'if npy_isnan(res): return

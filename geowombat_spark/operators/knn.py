@@ -21,9 +21,7 @@ from pyspark.sql import functions as F
 from ..grid import GridSpec, kring_cells, zorder_encode
 
 
-def expand_kring(
-    points: DataFrame, grid: GridSpec, k: int, id_col: str = "doc_id"
-) -> DataFrame:
+def expand_kring(points: DataFrame, grid: GridSpec, k: int) -> DataFrame:
     """Explode each point into its k-ring cell ids via one Arrow pandas UDF
     (returns ``neighbor_cell_id`` rows; input needs row/col columns)."""
     g = grid.as_dict()
@@ -62,7 +60,7 @@ def near_pairs(
     """
     k = int(np.ceil(min_dist / min(grid.cellx, grid.celly)))
     left = expand_kring(
-        points.select(id_col, "row", "col", "x", "y"), grid, k, id_col
+        points.select(id_col, "row", "col", "x", "y"), grid, k
     ).select(
         F.col(id_col).alias("a_id"),
         F.col("x").alias("a_x"),
@@ -111,7 +109,7 @@ def knn_join(
     from pyspark.sql.window import Window
 
     cand = expand_kring(
-        queries.select(query_id, "row", "col", "x", "y"), grid, k_ring, query_id
+        queries.select(query_id, "row", "col", "x", "y"), grid, k_ring
     ).select(
         query_id,
         F.col("x").alias("q_x"),

@@ -101,6 +101,32 @@ def concat(
     return u
 
 
+def stack_bands(
+    sources: list[DataFrame],
+    nodata: float | None = 0.0,
+    bands: tuple[str, ...] = BAND_COLS,
+    key_cols: tuple[str, ...] = KEY_COLS,
+) -> DataFrame:
+    """``stack_dim='band'`` (``core/api.py:585-612``): band-axis concat.
+
+    Each source contributes its band columns with a 1-based source suffix
+    (``band_blue_1``, ``band_blue_2``, … — the columnar form of the
+    reference's duplicated band coordinate), joined on the shared cell key
+    with a full outer join so the stacked extent is the union of sources
+    (NULL bands where a source has no cell). Nodata is nulled per source
+    first, like :func:`mosaic`/:func:`concat`."""
+    renamed = []
+    for i, s in enumerate(sources, start=1):
+        s = _nullify(s, nodata, bands).select(*key_cols, *bands)
+        for b in bands:
+            s = s.withColumnRenamed(b, f"{b}_{i}")
+        renamed.append(s)
+    out = renamed[0]
+    for s in renamed[1:]:
+        out = out.join(s, list(key_cols), "full_outer")
+    return out
+
+
 def file_bounds(
     footprints: DataFrame, bounds_by: str = "union", res: float | None = None
 ) -> tuple[float, float, float, float]:

@@ -105,7 +105,9 @@ def sample_stratified_deterministic(
     partition-seeded RNG — so results are identical across engines, runs,
     partitionings and cluster sizes. This is the production variant for
     training-data pipelines where a sample must be reproducible; fractions
-    select ``hash % 1000 < frac*1000``, counts take the ``k`` smallest
+    select ``hash % 10^9 < frac*10^9`` (ppb granularity — a ``% 1000``
+    test would select NOTHING for fractions < 0.0005 and carry up to
+    0.05-percentage-point rounding error), counts take the ``k`` smallest
     hashes (a distributed top-k, no full sort).
     """
     from functools import reduce
@@ -117,7 +119,11 @@ def sample_stratified_deterministic(
     for cond, amount in strata.items():
         stratum = docs.filter(parse_strata_condition(band, cond))
         if isinstance(amount, float) and not isinstance(amount, bool) and amount <= 1.0:
-            parts.append(stratum.filter(h % 1000 < int(round(amount * 1000))))
+            parts.append(
+                stratum.filter(
+                    h % 1_000_000_000 < int(round(amount * 1_000_000_000))
+                )
+            )
         else:
             parts.append(stratum.orderBy(h, F.col(id_col)).limit(int(amount)))
     return reduce(lambda a, b: a.unionByName(b), parts)

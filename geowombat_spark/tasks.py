@@ -67,6 +67,15 @@ class GeoTask:
                 f"outputs keyed by unknown task ids: {sorted(unknown_out)} "
                 f"(tasks are {ids})"
             )
+        # same silent-typo class for func_args: a misspelled key means the
+        # task runs with DEFAULT arguments and the pipeline completes
+        # green with wrong data
+        unknown_fa = set(self.func_args) - set(ids)
+        if unknown_fa:
+            raise ValueError(
+                f"func_args keyed by unknown task ids: {sorted(unknown_fa)} "
+                f"(tasks are {ids})"
+            )
         # out_args is per-task or flat, never a mix: a flat dict that
         # happens to share a key with a task id would silently flip
         # interpretation

@@ -402,3 +402,13 @@ def test_near_pairs_matches_bruteforce_random(spark):
         np.testing.assert_allclose(
             np.sort(out["dist"].values), np.sort(exp_d), rtol=0, atol=0
         )
+
+
+def test_window_weights_w1_is_identity():
+    """w=1: the single cell is the center — weight 1.0, not the 0/0 NaN
+    of the corner-distance formula (which silently NaN'd every weighted
+    stat at w=1)."""
+    from geowombat_spark.operators.focal import window_weights
+
+    w = window_weights(1)
+    assert w.shape == (1, 1) and w[0, 0] == 1.0

@@ -68,3 +68,56 @@ def test_concat_and_duplicate_time_mosaic(spark, docs):
 def test_grids_equal(spark, docs):
     a = _dense(docs)
     assert grids_equal(a, a.withColumn("extra", F.lit(1)))
+
+
+def test_stack_bands_is_not_a_mosaic(spark, docs):
+    """stack_dim='band' concatenates the band axis (per-source-suffixed
+    columns joined on the cell key) — previously it silently routed to a
+    spatial max-mosaic, corrupting values."""
+    from geowombat_spark.operators.mosaic import stack_bands
+
+    a = _dense(docs)
+    b = a.withColumn("band_blue", F.col("band_blue") + 100.0)
+    out = stack_bands([a, b], nodata=None, bands=("band_blue",))
+    assert {"band_blue_1", "band_blue_2"} <= set(out.columns)
+    got = out.select(
+        F.sum(F.col("band_blue_2") - F.col("band_blue_1")).alias("d"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert got["d"] == 100.0 * got["n"]  # both sources' values survive
+
+
+def test_open_config_nodata_and_single_source(spark, docs, tmp_path):
+    """gw.open consults config(nodata=...) for the mosaic nullify, and a
+    LIST OF ONE source still nulls nodata and labels time — previously
+    the single-source early-return skipped both, so gw.load rescaled raw
+    nodata into 'valid' reflectance."""
+    import geowombat_spark.api as gw
+
+    p1 = str(tmp_path / "im1")
+    p2 = str(tmp_path / "im2")
+    d = _dense(docs).select("cell_id", "tile_id", "row", "col", "x", "y",
+                            "band_blue", "band_green", "band_red")
+    d.write.partitionBy("tile_id").parquet(p1)
+    d.withColumn("band_blue", F.lit(7.0)).write.partitionBy(
+        "tile_id"
+    ).parquet(p2)
+
+    with gw.config(nodata=7.0):
+        m = gw.open(spark, [p1, p2], mosaic=True, overlap="min")
+    # source 2's 7.0 is nodata → nulled → min() never sees it: the mosaic
+    # equals source 1's band values wherever source 1 is valid
+    base = {r["cell_id"]: r["band_blue"] for r in d.collect()}
+    for r in m.select("cell_id", "band_blue").collect():
+        if base[r["cell_id"]] != 7.0:
+            assert r["band_blue"] == base[r["cell_id"]]
+
+    one = gw.open(spark, [p1], time_names=["t1"], nodata=1.0)
+    assert "t" in one.columns
+    vals = one.select("band_blue").distinct().collect()
+    assert all(r["band_blue"] != 1.0 for r in vals), "nodata not nulled"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stack_dim"):
+        gw.open(spark, [p1, p2], stack_dim="bands")

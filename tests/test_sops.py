@@ -156,3 +156,24 @@ def test_bounds_overlay():
     assert not bounds_overlay(a, (11, 0, 20, 10), "intersects")
     assert bounds_overlay(a, (2, 2, 8, 8), "contains")
     assert bounds_overlay((2, 2, 8, 8), a, "within")
+
+
+def test_sample_stratified_deterministic_small_fractions(spark):
+    """ppb-granularity fraction test: a 0.0004 fraction selects ~0.04% of
+    a large stratum instead of NOTHING (the old %1000 test floored any
+    fraction below 0.0005 to zero)."""
+    from geowombat_spark.operators.sample import (
+        sample_stratified_deterministic,
+    )
+
+    d = spark.range(200_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit(1.0).alias("band_blue"),
+    )
+    out = sample_stratified_deterministic(
+        d, "band_blue", {">,0.5": 0.0004}
+    )
+    n = out.count()
+    assert 40 <= n <= 120, n  # ~80 expected from 200k at 0.0004
+    # determinism: identical selection on a re-run
+    assert out.count() == n

@@ -145,3 +145,15 @@ def test_geotask_per_task_out_args(spark):
         assert res["p:written"] is None and res["p"].count() >= 1
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_func_args_typo_raises():
+    """A func_args key naming no task must fail up front — the task would
+    otherwise run with DEFAULT arguments and complete green."""
+    with pytest.raises(ValueError, match="func_args"):
+        GeoTask(
+            {"ndvi": "in"},
+            {"ndvi": "out"},
+            (("ndvi", lambda df: df),),
+            func_args={"nvdi": {"nodata": 0.0}},
+        )

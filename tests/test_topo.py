@@ -207,3 +207,22 @@ def test_norm_topo_band_coeffs_respect_min_samples(spark, topo_docs):
     ).toPandas().sort_values(["row", "col"])
     exp = _topo_pdf().sort_values(["row", "col"])["band_a"].values
     np.testing.assert_allclose(out["band_a"].values, exp, rtol=1e-12)
+
+
+def test_norm_topo_nodata_sentinel_survives_clip(spark):
+    """An out-of-range nodata sentinel (-9999) passes through UNclipped:
+    squashing it into [0,1] would turn every nodata pixel into 'valid
+    black' and break downstream ==sentinel masks."""
+    pdf = _topo_pdf()
+    pdf.loc[pdf.index[:64], "band_a"] = -9999.0
+    grid = GridSpec(
+        left=0.0, top=0.0, cellx=30.0, celly=30.0,
+        nrows=64, ncols=64, tile_rows=32, tile_cols=32,
+    )
+    docs = spark.createDataFrame(pdf)
+    for method in ("c", "cos", "empirical-rotation"):
+        out = norm_topo(
+            docs, grid, bands=("band_a",), method=method, nodata=-9999.0
+        ).toPandas()
+        got = out.merge(pdf[["cell_id"]].iloc[:64], on="cell_id")
+        assert (got["band_a"] == -9999.0).all(), method
