@@ -2816,11 +2816,32 @@ def _local_grid_dims(minx, miny, maxx, maxy):
 
 
 _R_NR, _R_NC = _local_grid_dims(RECT["minx"], RECT["miny"], RECT["maxx"], RECT["maxy"])
+
+
+def _aligned_grid_dims(minx, miny, maxx, maxy):
+    """Reference-grid-aligned lattice over a bbox (rasterize semantics —
+    mirrors grid.polygon_sample_centers(anchor=(left, top))): origin
+    snapped onto the grid lattice, extent covering the bbox."""
+    import math as _m
+
+    ox = _m.floor((minx - 0.0) / CELL) * CELL
+    oy = 0.0 - _m.floor((0.0 - maxy) / CELL) * CELL
+    nc = int(_m.floor((maxx - ox) / CELL)) + 1
+    nr = int(_m.floor((oy - miny) / CELL)) + 1
+    return ox, oy, nr, nc
+
+
+_RA_OX, _RA_OY, _RA_NR, _RA_NC = _aligned_grid_dims(
+    RECT["minx"], RECT["miny"], RECT["maxx"], RECT["maxy"]
+)
 _T_MINX = min(TRI["ax"], TRI["bx"], TRI["cx"])
 _T_MAXX = max(TRI["ax"], TRI["bx"], TRI["cx"])
 _T_MINY = min(TRI["ay"], TRI["by"], TRI["cy"])
 _T_MAXY = max(TRI["ay"], TRI["by"], TRI["cy"])
 _T_NR, _T_NC = _local_grid_dims(_T_MINX, _T_MINY, _T_MAXX, _T_MAXY)
+_TA_OX, _TA_OY, _TA_NR, _TA_NC = _aligned_grid_dims(
+    _T_MINX, _T_MINY, _T_MAXX, _T_MAXY
+)
 
 _TRI_INSIDE = (
     f"(({TRI['bx']} - {TRI['ax']}) * (sy - ({TRI['ay']})) - "
@@ -3468,19 +3489,22 @@ FROM h
     o["q_rasterize"] = f"""
 WITH cand AS (
   SELECT CAST(1 AS BIGINT) AS fid, {RZ_BURN[0]} AS burn, 0 AS ord,
-         {RECT['minx']} + (CAST(j AS DOUBLE) + 0.5) * {CELL} AS sx,
-         {RECT['maxy']} - (CAST(i AS DOUBLE) + 0.5) * {CELL} AS sy
-  FROM UNNEST(range({_R_NR})) AS t1(i), UNNEST(range({_R_NC})) AS t2(j)
+         {_RA_OX} + (CAST(j AS DOUBLE) + 0.5) * {CELL} AS sx,
+         {_RA_OY} - (CAST(i AS DOUBLE) + 0.5) * {CELL} AS sy
+  FROM UNNEST(range({_RA_NR})) AS t1(i), UNNEST(range({_RA_NC})) AS t2(j)
   UNION ALL
   SELECT CAST(2 AS BIGINT), {RZ_BURN[1]}, 1,
-         {_T_MINX} + (CAST(j AS DOUBLE) + 0.5) * {CELL},
-         {_T_MAXY} - (CAST(i AS DOUBLE) + 0.5) * {CELL}
-  FROM UNNEST(range({_T_NR})) AS t1(i), UNNEST(range({_T_NC})) AS t2(j)),
+         {_TA_OX} + (CAST(j AS DOUBLE) + 0.5) * {CELL},
+         {_TA_OY} - (CAST(i AS DOUBLE) + 0.5) * {CELL}
+  FROM UNNEST(range({_TA_NR})) AS t1(i), UNNEST(range({_TA_NC})) AS t2(j)),
 hit AS (
   SELECT burn, ord,
          CAST(floor((0.0 - sy) / {CELL}) AS BIGINT) AS row,
          CAST(floor(sx / {CELL}) AS BIGINT) AS col
-  FROM cand WHERE fid = 1 OR (fid = 2 AND {_TRI_INSIDE})),
+  FROM cand
+  WHERE (fid = 1 AND sx > {RECT['minx']} AND sx < {RECT['maxx']}
+         AND sy > {RECT['miny']} AND sy < {RECT['maxy']})
+     OR (fid = 2 AND {_TRI_INSIDE})),
 burned AS (
   SELECT row, col, arg_max(burn, ord) AS value FROM hit GROUP BY row, col),
 cells AS (

@@ -464,13 +464,23 @@ def polygon_sample_centers(
     resx: float,
     resy: float,
     all_touched: bool = False,
+    anchor: tuple[float, float] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Sample-point centers for a polygon, row-major order.
 
-    Replicates ``sample_feature`` (``src/geowombat/core/util.py:472-573``):
-    local grid anchored at the polygon bbox (minx, maxy), truncated shape,
-    rasterize-by-center (all_touched=False ⇒ center-in-polygon, GDAL's
-    default), centers at local affine + half-cell shift, row-major emission.
+    ``anchor=None`` replicates ``sample_feature``
+    (``src/geowombat/core/util.py:472-573``): local grid anchored at the
+    polygon bbox (minx, maxy), truncated shape, rasterize-by-center
+    (all_touched=False ⇒ center-in-polygon, GDAL's default), centers at
+    local affine + half-cell shift, row-major emission — the EXTRACT
+    sampling semantics.
+
+    ``anchor=(grid.left, grid.top)`` snaps the local lattice onto the
+    reference grid instead: emitted centers ARE reference-grid cell
+    centers, which is what GDAL ``features.rasterize`` tests
+    (``conversion.py:570-833`` burns over the grid-aligned window) — the
+    RASTERIZE semantics. The bbox-local lattice diverges from it whenever
+    the polygon bbox is not grid-aligned.
 
     ``all_touched=True`` is GDAL's exact any-touch predicate: a cell is in
     iff the polygon intersects its rectangle. Decomposition — a cell whose
@@ -484,7 +494,15 @@ def polygon_sample_centers(
     ally = np.concatenate([np.asarray(r, dtype=np.float64)[1::2] for r in rings])
     minx, maxx = float(allx.min()), float(allx.max())
     miny, maxy = float(ally.min()), float(ally.max())
-    nrows, ncols = polygon_local_grid(minx, miny, maxx, maxy, resx, resy)
+    if anchor is None:
+        ox, oy = minx, maxy
+        nrows, ncols = polygon_local_grid(minx, miny, maxx, maxy, resx, resy)
+    else:
+        ax, ay = float(anchor[0]), float(anchor[1])
+        ox = ax + math.floor((minx - ax) / resx) * resx
+        oy = ay - math.floor((ay - maxy) / resy) * resy
+        ncols = int(math.floor((maxx - ox) / resx)) + 1
+        nrows = int(math.floor((oy - miny) / resy)) + 1
     if nrows <= 0 or ncols <= 0:
         return np.empty(0, dtype=np.float64), np.empty(0, dtype=np.float64)
     rr, cc = np.meshgrid(
@@ -492,8 +510,8 @@ def polygon_sample_centers(
         np.arange(ncols, dtype=np.float64),
         indexing="ij",
     )
-    cx = minx + (cc.ravel() + 0.5) * resx
-    cy = maxy - (rr.ravel() + 0.5) * resy
+    cx = ox + (cc.ravel() + 0.5) * resx
+    cy = oy - (rr.ravel() + 0.5) * resy
     if all_touched:
         hit = point_in_rings(cx, cy, rings).reshape(nrows, ncols)
         for ring in rings:
@@ -505,8 +523,8 @@ def polygon_sample_centers(
                 xs = np.concatenate([xs, xs[:1]])
                 ys = np.concatenate([ys, ys[:1]])
             # to local continuous cell coords: col along +x, row along -y
-            lc = (xs - minx) / resx
-            lr = (maxy - ys) / resy
+            lc = (xs - ox) / resx
+            lr = (oy - ys) / resy
             for i in range(lc.shape[0] - 1):
                 for rr_i, cc_i in segment_supercover(
                     lc[i], lr[i], lc[i + 1], lr[i + 1]

@@ -190,7 +190,13 @@ def detect_shifts(
             }
         )
     if max_tiles is not None:
-        n_tiles = grid.tiles_x * grid.tiles_y
+        # count tiles PRESENT in the input, not the full-grid lattice: a
+        # partial-coverage corpus (1,000 populated tiles on a 10,000-tile
+        # grid) would otherwise get a keep_mod sized for the empty grid
+        # and sample ~10x fewer tie points than the caller bounded. The
+        # distinct is a column-pruned row/col scan — cheap next to the
+        # per-tile FFTs it gates.
+        n_tiles = src.select("_tile").distinct().count()
         # ceil, not floor: floor keeps up to 2x the requested tile count
         # (n_tiles=1999, max_tiles=1000 → keep_mod=1 → ALL tiles sampled),
         # doubling the detection shuffle the caller bounded
@@ -317,21 +323,28 @@ def apply_shift_field(
     field corrects a raster in place on its own lattice, it does not
     resample onto a new grid.
     """
-    good = _quality_filter(shifts, min_peak, min_valid).select(
-        "tile", "dy", "dx"
+    # Materialize the tiny tie-point frame ONCE (≤ sampled-tile rows):
+    # aggregating it for the fallback AND rebuilding it for the broadcast
+    # join would execute the whole detection plan — the corpus shuffle
+    # plus every tile's phase-correlation FFT — twice.
+    good_pdf = (
+        _quality_filter(shifts, min_peak, min_valid)
+        .select("tile", "dy", "dx")
+        .toPandas()
     )
-    fb = good.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.percentile(F.col("dy"), F.lit(0.5)).alias("dy"),
-        F.percentile(F.col("dx"), F.lit(0.5)).alias("dx"),
-    ).collect()[0]
-    if fb["n"] == 0:
+    if len(good_pdf) == 0:
         # fail loudly like coregister(): a silent all-null warp would
         # corrupt the whole output on e.g. a fully cloud-masked scene
         raise ValueError(
             "apply_shift_field: no tile passed the tie-point quality "
             "filter; lower min_peak/min_valid"
         )
+    # pandas median == F.percentile(0.5): both linearly interpolate
+    fb = {
+        "dy": float(good_pdf["dy"].median()),
+        "dx": float(good_pdf["dx"].median()),
+    }
+    good = docs.sparkSession.createDataFrame(good_pdf)
     tile = (
         F.floor(F.col("row") / grid.tile_rows) * grid.tiles_x
         + F.floor(F.col("col") / grid.tile_cols)

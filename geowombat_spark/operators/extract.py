@@ -269,8 +269,19 @@ def extract_points(
             for t in time_names:
                 out = out.withColumnRenamed(str(t), f"{t}_{bands[0]}")
     else:
-        renames = dict(zip(band_cols, bands))
-        out = joined.withColumnsRenamed(renames)
+        # same duplicate-(cell, t) resolution as the pivot path above
+        # (min per band): without it a pre-dedup append corpus returns
+        # EXTRA rows per point on the single-time path while the
+        # multi-time path collapses them — inconsistent contract. The
+        # groupBy shuffles only the AOI-matched rows (small side), not
+        # the corpus.
+        keys1 = ["_pt_order", id_column, "x", "y", "cell_id"]
+        if "t" in joined.columns:
+            keys1.append("t")
+        keys1 += [*attr_cols, *keep_doc_columns]
+        out = joined.groupBy(*keys1).agg(
+            *[F.min(_band_col(b)).alias(b) for b in bands]
+        )
     if ordered:
         out = out.orderBy("_pt_order")
     return out.drop("_pt_order")
@@ -285,8 +296,14 @@ def sample_polygons(
     all_touched: bool = False,
     seed: int = 42,
     id_column: str = "fid",
+    grid_aligned: bool = False,
 ) -> DataFrame:
     """Polygon → sample-point centers (``sample_feature`` parity).
+
+    ``grid_aligned=True`` anchors the sampling lattice on the reference
+    grid so the emitted centers ARE grid cell centers (the GDAL rasterize
+    containment test — used by ``polygon_to_array``); the default
+    bbox-local lattice is the reference's extract sampling.
 
     ``polygons`` columns: ``fid`` plus ``rings`` (list of flat
     ``[x0,y0,x1,y1,...]`` arrays) and any attribute columns. Runs one
@@ -297,8 +314,16 @@ def sample_polygons(
     is seeded per polygon for determinism.
     """
     res_x, res_y = grid.cellx, grid.celly
+    anchor = (grid.left, grid.top) if grid_aligned else None
     pdf = polygons.copy()
     pdf["rings"] = pdf["rings"].apply(lambda rs: [list(map(float, r)) for r in rs])
+    if len(pdf) == 0:
+        # an AOI prefilter can legitimately drop every feature; the
+        # reference returns an empty frame (sops.py:836-844) — Spark
+        # cannot infer a schema from the empty object-typed rings column
+        return spark.createDataFrame(
+            [], f"{id_column} bigint, point bigint, x double, y double"
+        )
     pdf_spark = spark.createDataFrame(pdf)
 
     # id type follows the input with the reference's int-FIRST fallback
@@ -348,7 +373,7 @@ def sample_polygons(
                 np.asarray(r, dtype=np.float64) for r in g.iloc[ri]["rings"]
             ]
             cx, cy = polygon_sample_centers(
-                rings, res_x, res_y, all_touched=all_touched
+                rings, res_x, res_y, all_touched=all_touched, anchor=anchor
             )
             if frac < 1.0:
                 take = True
@@ -439,7 +464,12 @@ def extract_polygons(
     out = joined.withColumnsRenamed(renames)
     # polygon attribute columns ride back in via the (tiny) broadcast fid
     # table — ``sample_feature`` re-assigns other_cols the same way
-    attrs = polygons.drop(columns=["rings"], errors="ignore")
+    # one attribute row per fid: a multipart feature exploded into
+    # duplicate-fid rows would otherwise match every sample row N times
+    # and double-count the whole extract
+    attrs = polygons.drop(columns=["rings"], errors="ignore").drop_duplicates(
+        subset=[id_column]
+    )
     if len(attrs.columns) > 1:
         out = out.join(F.broadcast(spark.createDataFrame(attrs)), id_column)
     return out.orderBy(id_column, "point", *t_cols)

@@ -40,9 +40,19 @@ def polygon_to_array(
 
     ``col`` selects a per-feature burn value column, else ``default_value``
     (``conversion.py:570-833``). Feature order resolves overlaps: the last
-    feature in ``polygons`` wins (GDAL rasterize parity).
+    ROW in ``polygons`` wins on overlap cells (GDAL rasterize parity —
+    each row is one feature, so duplicate-``fid`` multipart rows burn
+    their own values). Burn membership is the reference-grid cell-center
+    test (``grid_aligned`` sampling), matching ``features.rasterize``
+    over the grid-aligned window. ``id_column`` is accepted for API
+    compatibility but unused (features are identified by row position).
     """
     if window is None:
+        if len(polygons) == 0:
+            # no features and no window: nothing defines an extent
+            return spark.createDataFrame(
+                [], "row long, col long, x double, y double, value double"
+            )
         from .sops import _total_bounds
 
         minx, miny, maxx, maxy = _total_bounds(polygons)
@@ -58,44 +68,59 @@ def polygon_to_array(
             [], "row long, col long, x double, y double, value double"
         )
 
-    samples = sample_polygons(
-        spark, polygons, grid, all_touched=all_touched, id_column=id_column
-    )
-    # DROP sample centers outside the grid BEFORE encoding (same contract
-    # as extract_polygons, reference sops.py:836-844): encode_cells clamps
-    # out-of-grid centers onto border cells, so a polygon arm overhanging
-    # the grid would otherwise burn the border cells it snaps onto —
-    # GDAL rasterize leaves those cells at fill
-    samples = samples.filter(in_bounds_col(grid))
-    enc = encode_cells(samples, grid).select(id_column, "row", "col")
+    # each input ROW is one GDAL feature: key sampling and the burn join
+    # on a per-row id (_pfid), not the user fid — duplicate fids
+    # (multipart explode, or fid collisions carrying different burn
+    # values) must burn each part with ITS OWN row's value, with
+    # later-row-wins only on genuinely overlapping cells
+    pdf = polygons.reset_index(drop=True)[["rings"]].copy()
+    pdf["_pfid"] = np.arange(len(pdf), dtype=np.int64)
+    if len(pdf) == 0:
+        burned = spark.createDataFrame([], "row long, col long, value double")
+    else:
+        # grid_aligned: burn membership is the REFERENCE-grid center test
+        # (GDAL features.rasterize over the grid-aligned window,
+        # conversion.py:570-833) — the bbox-local extract lattice diverges
+        # whenever a polygon bbox is not grid-aligned
+        samples = sample_polygons(
+            spark,
+            pdf,
+            grid,
+            all_touched=all_touched,
+            id_column="_pfid",
+            grid_aligned=True,
+        )
+        # DROP sample centers outside the grid BEFORE encoding (same
+        # contract as extract_polygons, reference sops.py:836-844):
+        # encode_cells clamps out-of-grid centers onto border cells, so a
+        # polygon arm overhanging the grid would otherwise burn the
+        # border cells it snaps onto — GDAL rasterize leaves those at
+        # fill
+        samples = samples.filter(in_bounds_col(grid))
+        enc = encode_cells(samples, grid).select("_pfid", "row", "col")
 
-    burn = polygons[[id_column]].copy()
-    burn["burn"] = (
-        polygons[col].astype(float) if col else float(default_value)
-    )
-    burn["ord"] = np.arange(len(polygons), dtype=np.int64)
-    burn_df = spark.createDataFrame(burn)
+        burn = pd.DataFrame({"_pfid": pdf["_pfid"]})
+        burn["burn"] = (
+            polygons.reset_index(drop=True)[col].astype(float)
+            if col
+            else float(default_value)
+        )
+        burn_df = spark.createDataFrame(burn)
 
-    burned = (
-        enc.join(F.broadcast(burn_df), id_column)
-        .groupBy("row", "col")
-        .agg(F.max_by("burn", "ord").alias("value"))
-    )
+        burned = (
+            enc.join(F.broadcast(burn_df), "_pfid")
+            .groupBy("row", "col")
+            .agg(F.max_by("burn", "_pfid").alias("value"))
+        )
 
-    cells = (
-        spark.range(nrows * ncols)
-        .select(
+    from .transform import _with_centers
+
+    cells = _with_centers(
+        spark.range(nrows * ncols).select(
             (F.lit(row0) + F.expr(f"id div {ncols}")).cast("long").alias("row"),
             (F.lit(col0) + F.col("id") % ncols).cast("long").alias("col"),
-        )
-        .withColumns(
-            {
-                "x": F.lit(grid.left)
-                + (F.col("col").cast("double") + 0.5) * grid.cellx,
-                "y": F.lit(grid.top)
-                - (F.col("row").cast("double") + 0.5) * grid.celly,
-            }
-        )
+        ),
+        grid,
     )
     out = cells.join(F.broadcast(burned), ["row", "col"], "left")
     return out.withColumn("value", F.coalesce(F.col("value"), F.lit(float(fill))))

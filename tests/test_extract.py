@@ -286,3 +286,67 @@ def test_sample_polygons_float_fid_stays_numeric(spark):
     out_big = sample_polygons(spark, polys_big, L8_GRID, id_column="fid")
     assert dict(out_big.dtypes)["fid"] == "string"
     assert out_big.count() > 0
+
+
+def test_extract_polygons_duplicate_fid_attrs_not_doubled(spark, docs):
+    """A multipart feature exploded into duplicate-fid rows must not
+    double every sample row through the attribute join."""
+    from geowombat_spark.operators.extract import sample_polygons
+
+    sq = lambda x0, y0: [  # noqa: E731
+        [x0, y0, x0 + 90.0, y0, x0 + 90.0, y0 - 90.0, x0, y0 - 90.0, x0, y0]
+    ]
+    part1 = sq(717585.0, -2776995.0)
+    part2 = sq(717885.0, -2776995.0)
+    single = pd.DataFrame(
+        {"fid": [1, 2], "rings": [part1, part2], "crop": ["corn", "corn"]}
+    )
+    multi = pd.DataFrame(
+        {"fid": [1, 1], "rings": [part1, part2], "crop": ["corn", "corn"]}
+    )
+    from geowombat_spark.operators.extract import extract_polygons
+
+    n_single = extract_polygons(
+        spark, docs, single, L8_GRID, bands=("blue",)
+    ).count()
+    n_multi = extract_polygons(
+        spark, docs, multi, L8_GRID, bands=("blue",)
+    ).count()
+    assert n_multi == n_single, "duplicate-fid attribute join doubled rows"
+
+
+def test_extract_points_single_time_duplicates_collapse(spark, aoi_points_pdf):
+    """Duplicate (cell) corpus rows (pre-dedup appends) collapse via min
+    on the single-time path too — the multi-time pivot already did."""
+    from geowombat_spark.operators.extract import extract_points
+    from geowombat_spark.sources.tables import corpus_df  # noqa: F401
+    from tests.conftest import build_corpus, corpus_windows_for_tests  # noqa
+
+    # duplicate the corpus rows with a higher band value
+    base = build_corpus(windows=corpus_windows_for_tests(), with_span_hash=True)
+    import pandas as _pd
+
+    pdf = base.to_pandas()
+    dup = pdf.copy()
+    dup["band_blue"] = dup["band_blue"] + 1
+    import tempfile as _tf
+
+    d = _tf.mkdtemp(prefix="gw_dupex_")
+    both = _pd.concat([pdf, dup], ignore_index=True)
+    sdf = spark.createDataFrame(both)
+    out = extract_points(spark, sdf, aoi_points_pdf, L8_GRID).toPandas()
+    # one row per AOI point, min of the duplicate pair per band
+    assert len(out) == len(
+        extract_points(
+            spark, spark.createDataFrame(pdf), aoi_points_pdf, L8_GRID
+        ).toPandas()
+    )
+
+
+def test_sample_polygons_empty_frame_returns_empty(spark):
+    from geowombat_spark.operators.extract import sample_polygons
+
+    empty = pd.DataFrame({"fid": [], "rings": []})
+    out = sample_polygons(spark, empty, L8_GRID)
+    assert out.count() == 0
+    assert set(out.columns) == {"fid", "point", "x", "y"}

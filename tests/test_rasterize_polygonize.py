@@ -22,18 +22,22 @@ def _rect_rings(minx, miny, maxx, maxy):
 
 
 def test_rasterize_burn_and_fill(spark):
-    # Reference parity (util.py:269-295): sampling runs on the POLYGON-LOCAL
-    # grid — origin (minx, maxy)=(2,-2), truncated dims 3 cols × 2 rows →
-    # local centers x=7,17,27 / y=-7,-17 → global cols 0-2, rows 0-1.
+    # GDAL features.rasterize parity (conversion.py:570-833): burn tests
+    # REFERENCE-grid cell centers, not a polygon-local lattice. Rect
+    # (2,-28)-(38,-2) on the 10 m grid: centers x=5,15,25,35 are inside
+    # (2,38) → cols 0-3; centers y=-5,-15,-25 inside (-28,-2) → rows 0-2
+    # → 12 burned cells. (The bbox-local truncated lattice — the EXTRACT
+    # sampling, util.py:269-295 — would give only 6; rasterize must not
+    # inherit it.)
     polys = pd.DataFrame(
         [{"fid": 1, "rings": _rect_rings(2.0, -28.0, 38.0, -2.0)}]
     )
     out = rz.polygon_to_array(spark, polys, GRID, default_value=5.0, fill=0.0)
     pdf = out.toPandas().sort_values(["row", "col"]).reset_index(drop=True)
     burned = pdf[pdf["value"] == 5.0]
-    assert len(burned) == 6
-    assert set(burned["col"]) == {0, 1, 2}
-    assert set(burned["row"]) == {0, 1}
+    assert len(burned) == 12
+    assert set(burned["col"]) == {0, 1, 2, 3}
+    assert set(burned["row"]) == {0, 1, 2}
     # everything else in the window is fill
     assert set(pdf["value"]).issubset({0.0, 5.0})
 
@@ -97,7 +101,7 @@ def test_rasterize_string_fid(spark):
     )
     out = rz.polygon_to_array(spark, polys, GRID, default_value=5.0)
     pdf = out.toPandas()
-    assert (pdf["value"] == 5.0).sum() == 6
+    assert (pdf["value"] == 5.0).sum() == 12  # ref-grid centers, see above
 
 
 def _cells(spark, arr):
@@ -435,11 +439,10 @@ def _convex_poly(rng, cx, cy, rad, nv):
 
 def test_rasterize_matches_bruteforce_random(spark):
     """Randomized end-to-end cross-check of polygon_to_array against a
-    from-scratch numpy re-derivation of the reference semantics
-    (conversion.py:570-833 + util.py:269-295): polygon-LOCAL sampling
-    grid (origin (minx, maxy), truncated shape), center-in-polygon via an
-    INDEPENDENT winding-number test, centers snapped to global cells by
-    plain floor division, off-grid centers dropped, later feature wins,
+    from-scratch numpy re-derivation of the GDAL rasterize semantics
+    (conversion.py:570-833): REFERENCE-grid cell centers over each
+    feature's bbox window, center-in-polygon via an INDEPENDENT
+    winding-number test, off-grid centers dropped, later feature wins,
     window filled with `fill`. Polygons deliberately overhang the grid on
     all four sides to exercise the off-grid drop path."""
     rng = np.random.default_rng(42_2026)
@@ -474,13 +477,16 @@ def test_rasterize_matches_bruteforce_random(spark):
         xs, ys = np.asarray(ring)[0::2], np.asarray(ring)[1::2]
         minx, maxx = xs.min(), xs.max()
         miny, maxy = ys.min(), ys.max()
-        nr = int((maxy - miny) / GRID.celly)
-        nc = int((maxx - minx) / GRID.cellx)
-        if nr <= 0 or nc <= 0:
-            continue
-        rr, cc = np.meshgrid(np.arange(nr), np.arange(nc), indexing="ij")
-        px = minx + (cc.ravel() + 0.5) * GRID.cellx
-        py = maxy - (rr.ravel() + 0.5) * GRID.celly
+        # reference-grid cells whose center could fall in the bbox
+        ca = int(np.floor((minx - GRID.left) / GRID.cellx))
+        cb = int(np.floor((maxx - GRID.left) / GRID.cellx))
+        ra = int(np.floor((GRID.top - maxy) / GRID.celly))
+        rb = int(np.floor((GRID.top - miny) / GRID.celly))
+        rr, cc = np.meshgrid(
+            np.arange(ra, rb + 1), np.arange(ca, cb + 1), indexing="ij"
+        )
+        px = GRID.left + (cc.ravel() + 0.5) * GRID.cellx
+        py = GRID.top - (rr.ravel() + 0.5) * GRID.celly
         hit = _winding_inside(px, py, ring)
         px, py = px[hit], py[hit]
         ok = (
@@ -504,3 +510,30 @@ def test_rasterize_matches_bruteforce_random(spark):
     # every window cell is present exactly once and fill is intact
     n_fill = (pdf["value"] == -1.0).sum()
     assert n_fill == len(pdf) - len(exp)
+
+
+def test_rasterize_duplicate_fid_parts_burn_own_values(spark):
+    """Each ROW is one GDAL feature: duplicate-fid rows with different
+    burn values burn their own value on their own cells (the fid-keyed
+    burn join used to give every part the LAST row's value)."""
+    a = {"fid": 1, "rings": _rect_rings(2.0, -28.0, 38.0, -2.0)}
+    b = {"fid": 1, "rings": _rect_rings(62.0, -28.0, 98.0, -2.0)}  # disjoint
+    polys = pd.DataFrame([a, b]).assign(burn=[10.0, 20.0])
+    out = rz.polygon_to_array(spark, polys, GRID, col="burn", fill=-1.0)
+    pdf = out.toPandas()
+    a_cells = pdf[(pdf["col"] <= 3) & (pdf["value"] != -1.0)]
+    b_cells = pdf[(pdf["col"] >= 6) & (pdf["value"] != -1.0)]
+    assert (a_cells["value"] == 10.0).all() and len(a_cells) == 12
+    assert (b_cells["value"] == 20.0).all() and len(b_cells) == 12
+
+
+def test_rasterize_empty_polygons(spark):
+    """Zero features: explicit window → all fill; no window → empty frame
+    (nothing defines an extent) — not a createDataFrame crash."""
+    empty = pd.DataFrame({"fid": [], "rings": []})
+    out = rz.polygon_to_array(
+        spark, empty, GRID, fill=-1.0, window=(0, 2, 0, 3)
+    )
+    pdf = out.toPandas()
+    assert len(pdf) == 6 and (pdf["value"] == -1.0).all()
+    assert rz.polygon_to_array(spark, empty, GRID).count() == 0
